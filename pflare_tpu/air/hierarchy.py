@@ -1,0 +1,398 @@
+"""AIR hierarchy setup: the level loop.
+
+Reference: src/AIR_MG_Setup.F90:44-1231 (setup_air_pcmg).  The setup is split
+TPU-style: a host symbolic+numeric phase (CF splitting, submatrix extraction,
+SpGEMMs, dropping -- producing static patterns) and the device hierarchy
+pytree consumed by the jitted cycle.  On a same-pattern re-setup the stored
+patterns short-circuit the symbolic work (the reference's reuse_sparsity
+system, docs/reuse.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..params import InverseType, ZType, tolerances
+from ..options import AIROptions
+from ..sparse import ELL
+from ..sparse.ops import (
+    remove_from_sparse_match,
+    remove_small_from_sparse,
+    one_point_strongest,
+)
+from ..cf.splitting import compute_cf_splitting
+from ..inverse import build_inverse
+from ..inverse.build import Inverse
+from .operators import (
+    assemble_p,
+    assemble_r,
+    compute_coarse_matrix,
+    compute_w_ideal,
+    compute_z_airg,
+    compute_z_lair,
+    extract_submatrices,
+    improve_transfer,
+    strong_r_drop,
+)
+from ..utils.timers import timer
+from .constrain import constrain_grid_transfer, smooth_near_nullspace
+
+
+@dataclass
+class LevelData:
+    """Host-side record of one level (kept for reuse and stats)."""
+
+    n: int
+    fine: np.ndarray
+    coarse: np.ndarray
+    A: sp.csr_matrix               # level operator (host)
+    A_ff: sp.csr_matrix
+    A_fc: sp.csr_matrix
+    A_cf: sp.csr_matrix | None
+    A_cc: sp.csr_matrix | None
+    R: sp.csr_matrix
+    P: sp.csr_matrix
+    inv_Aff: Inverse
+    inv_Acc: Inverse | None
+    inv_Aff_host: sp.csr_matrix | None = None  # assembled copy when available
+    # stored patterns for reuse (reference: reuse_amount >= 2 slots)
+    patterns: dict = field(default_factory=dict)
+    device: dict | None = None
+
+    def to_device(self, opts: AIROptions):
+        d = {
+            "fine": jnp.asarray(self.fine, dtype=jnp.int32),
+            "coarse": jnp.asarray(self.coarse, dtype=jnp.int32),
+            "A_ff": ELL.from_scipy(self.A_ff),
+            "A_fc": ELL.from_scipy(self.A_fc),
+            "inv_Aff": self.inv_Aff,
+            "R": ELL.from_scipy(self.R),
+            "P": ELL.from_scipy(self.P),
+        }
+        if opts.any_c_smooths and self.A_cc is not None:
+            d["A_cf"] = ELL.from_scipy(self.A_cf)
+            d["A_cc"] = ELL.from_scipy(self.A_cc)
+            d["inv_Acc"] = self.inv_Acc
+        if opts.full_smoothing_up_and_down:
+            d["A"] = ELL.from_scipy(self.A)
+        self.device = d
+        return d
+
+
+@dataclass
+class Hierarchy:
+    levels: list            # list[LevelData]
+    coarse_matrix: sp.csr_matrix
+    coarse_inv: Inverse
+    options: AIROptions
+    auto_truncated: bool = False
+    device_levels: list = field(default_factory=list)
+
+    @property
+    def n_levels(self):
+        return len(self.levels) + 1
+
+
+def _is_diagonal_only(A: sp.csr_matrix) -> bool:
+    """MATDIAGONAL fast path detection (reference:
+    src/C_PETSc_Routines.c:324, src/AIR_MG_Setup.F90:405-522)."""
+    rows = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+    return bool(np.all(rows == A.indices))
+
+
+def _diag_inverse(A: sp.csr_matrix) -> Inverse:
+    d = A.diagonal()
+    return Inverse("diagonal", diag=jnp.asarray(np.where(d != 0, 1.0 / d, 0.0)))
+
+
+def _build_aff_inverse(A_ff, opts: AIROptions, inverse_type, poly_order,
+                       sparsity_order, matrix_free, coefficients=None):
+    if _is_diagonal_only(A_ff):
+        return _diag_inverse(A_ff)
+    E = ELL.from_scipy(A_ff)
+    return build_inverse(
+        E, inverse_type, poly_order=poly_order, sparsity_order=sparsity_order,
+        matrix_free=matrix_free, diag_scale=opts.diag_scale_polys,
+        coefficients=coefficients, A_scipy=A_ff, seed=opts.seed,
+    )
+
+
+def _coarse_solver_quality(A: sp.csr_matrix, inv: Inverse, seed: int) -> float:
+    """Relative residual of the coarse solver on a random RHS (the
+    auto-truncation probe, reference: src/AIR_MG_Setup.F90:158-256)."""
+    rng = np.random.default_rng(seed + 101)
+    b = jnp.asarray(rng.standard_normal(A.shape[0]))
+    x = inv.apply(b)
+    r = b - jnp.asarray(A @ np.asarray(x))
+    return float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+
+
+def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
+                    previous: Hierarchy | None = None,
+                    near_nullspace=None) -> Hierarchy:
+    """Build (or numerically rebuild, when ``previous`` is given and the
+    pattern is unchanged) the full AIR hierarchy."""
+    A = sp.csr_matrix(A)
+    A.sort_indices()
+    tol = tolerances(A.dtype)
+    levels: list[LevelData] = []
+    reuse = previous is not None
+    auto_truncated = False
+
+    # near-nullspace vectors for constraints (reference:
+    # src/Constrain_Z_or_W.F90:19-118)
+    left_nulls = right_nulls = None
+    if opts.constrain_z or opts.constrain_w:
+        if near_nullspace is None:
+            near_nullspace = [np.ones(A.shape[0])]
+        if opts.constrain_z:
+            left_nulls = [v.copy() for v in near_nullspace]
+        if opts.constrain_w:
+            right_nulls = [v.copy() for v in near_nullspace]
+
+    level_idx = 0
+    while level_idx < opts.max_levels - 1:
+        n = A.shape[0]
+
+        # ~~~~~~~~~~ auto-truncation probe ~~~~~~~~~~
+        if (opts.auto_truncate_start_level > 0
+                and level_idx + 1 >= opts.auto_truncate_start_level):
+            with timer("air_inverse"):
+                probe_inv = build_inverse(
+                    ELL.from_scipy(A), opts.coarsest_inverse_type,
+                    poly_order=opts.coarsest_poly_order,
+                    sparsity_order=opts.coarsest_inverse_sparsity_order,
+                    matrix_free=opts.coarsest_matrix_free_polys,
+                    diag_scale=opts.coarsest_diag_scale_polys,
+                    A_scipy=A, seed=opts.seed,
+                )
+            if _coarse_solver_quality(A, probe_inv, opts.seed) <= \
+                    opts.auto_truncate_tol:
+                auto_truncated = True
+                coarse_inv = probe_inv
+                break
+
+        # ~~~~~~~~~~ CF splitting ~~~~~~~~~~
+        if reuse and level_idx < len(previous.levels):
+            fine = previous.levels[level_idx].fine
+            coarse = previous.levels[level_idx].coarse
+        else:
+            with timer("air_coarsen"):
+                fine, coarse = compute_cf_splitting(
+                    A, opts.symmetric, opts.strong_threshold,
+                    opts.max_luby_steps, opts.cf_splitting_type,
+                    opts.ddc_its, opts.ddc_fraction, seed=opts.seed,
+                    cr_inverse_type=opts.inverse_type,
+                    cr_poly_order=opts.poly_order,
+                    cr_sparsity_order=opts.inverse_sparsity_order,
+                    cr_diag_scale=opts.diag_scale_polys,
+                )
+
+        # coarsen-or-stop (reference: src/AIR_MG_Setup.F90:316-363)
+        if len(coarse) <= opts.coarse_eq_limit or len(fine) == 0:
+            break
+
+        prev_lvl = previous.levels[level_idx] if (
+            reuse and level_idx < len(previous.levels)) else None
+        lvl = _build_level(A, fine, coarse, opts, tol, prev_lvl,
+                           left_nulls, right_nulls)
+        levels.append(lvl)
+        # restrict near-nullspace vectors to the coarse grid
+        if left_nulls is not None:
+            left_nulls = [v[coarse] for v in left_nulls]
+        if right_nulls is not None:
+            right_nulls = [v[coarse] for v in right_nulls]
+        A = lvl.patterns["coarse_A"]
+        level_idx += 1
+
+    # ~~~~~~~~~~ coarse solve ~~~~~~~~~~
+    if not auto_truncated:
+        with timer("air_inverse"):
+            if _is_diagonal_only(A):
+                coarse_inv = _diag_inverse(A)
+            else:
+                prev_coeffs = None
+                if reuse and opts.reuse_poly_coeffs and previous.coarse_inv is not None:
+                    prev_coeffs = np.asarray(previous.coarse_inv.coefficients)
+                coarse_inv = build_inverse(
+                    ELL.from_scipy(A), opts.coarsest_inverse_type,
+                    poly_order=opts.coarsest_poly_order,
+                    sparsity_order=opts.coarsest_inverse_sparsity_order,
+                    matrix_free=opts.coarsest_matrix_free_polys,
+                    diag_scale=opts.coarsest_diag_scale_polys,
+                    A_scipy=A, seed=opts.seed, coefficients=prev_coeffs,
+                )
+
+    hier = Hierarchy(levels, A, coarse_inv, opts,
+                     auto_truncated=auto_truncated)
+    hier.device_levels = [lvl.to_device(opts) for lvl in levels]
+    return hier
+
+
+def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
+                 left_nulls=None, right_nulls=None) -> LevelData:
+    """Build one level's operators (reference:
+    src/AIR_Operators_Setup.F90:36-1082)."""
+    n = A.shape[0]
+    patterns = prev.patterns if prev is not None else {}
+
+    if (opts.constrain_z or opts.constrain_w) and (
+            left_nulls is not None or right_nulls is not None):
+        with timer("air_constrain"):
+            smooth_near_nullspace(A, left_nulls, right_nulls)
+
+    with timer("air_extract"):
+        need_acc = opts.any_c_smooths and not opts.full_smoothing_up_and_down
+        A_ff, A_fc, A_cf, A_cc = extract_submatrices(A, fine, coarse,
+                                                     need_acc=need_acc)
+
+    # strong-R dropped copies used only for the grid transfers
+    with timer("air_drop"):
+        A_ff_drop, A_cf_drop, A_fc_drop = strong_r_drop(
+            A, fine, coarse, opts.strong_r_threshold,
+            need_afc=not opts.one_point_classical_prolong,
+        )
+    if A_ff_drop is None:
+        A_ff_drop, A_cf_drop, A_fc_drop = A_ff, A_cf, A_fc
+
+    # ~~~~~~~~~~ approximate inverse of A_ff (smoother) ~~~~~~~~~~
+    with timer("air_inverse"):
+        smooth_mat = A if opts.full_smoothing_up_and_down else A_ff
+        prev_coeffs = None
+        if prev is not None and opts.reuse_poly_coeffs:
+            prev_coeffs = (np.asarray(prev.inv_Aff.coefficients)
+                           if prev.inv_Aff.coefficients is not None else None)
+        inv_Aff = _build_aff_inverse(
+            smooth_mat, opts, opts.inverse_type, opts.poly_order,
+            opts.inverse_sparsity_order, opts.matrix_free_polys,
+            coefficients=prev_coeffs,
+        )
+
+        # AIRG needs an *assembled* inverse of the dropped A_ff for Z
+        # (reference: src/AIR_Operators_Setup.F90:406-475)
+        inv_Aff_host = None
+        if opts.z_type == ZType.PRODUCT:
+            if (opts.strong_r_threshold != 0.0
+                    or opts.full_smoothing_up_and_down
+                    or opts.matrix_free_polys
+                    or inv_Aff.kind != "assembled" and inv_Aff.kind != "diagonal"):
+                inv_dropped = _build_aff_inverse(
+                    A_ff_drop, opts, opts.inverse_type, opts.poly_order,
+                    opts.inverse_sparsity_order, matrix_free=False,
+                )
+            else:
+                inv_dropped = inv_Aff
+            if inv_dropped.kind == "diagonal":
+                inv_Aff_host = sp.diags(np.asarray(inv_dropped.diag)).tocsr()
+            else:
+                inv_Aff_host = inv_dropped.mat.to_scipy()
+
+    # ~~~~~~~~~~ C-point smoother inverse ~~~~~~~~~~
+    inv_Acc = None
+    if need_acc:
+        with timer("air_inverse"):
+            inv_Acc = _build_aff_inverse(
+                A_cc, opts, opts.c_inverse_type, opts.c_poly_order,
+                opts.c_inverse_sparsity_order, opts.matrix_free_polys,
+            )
+
+    inv_diag_Aff = None
+    if opts.improve_w_its > 0 or opts.improve_z_its > 0:
+        d = A_ff.diagonal()
+        inv_diag_Aff = np.where(d != 0, 1.0 / d, 0.0)
+
+    # ~~~~~~~~~~ W (prolongator component) ~~~~~~~~~~
+    W_drop = None
+    if not opts.symmetric:
+        with timer("air_prolong"):
+            if opts.one_point_classical_prolong:
+                if prev is not None and "W_drop" in patterns:
+                    W_drop = patterns["W_drop"]  # never changes on reuse
+                else:
+                    W_drop = one_point_strongest(A_fc)
+            else:
+                W = compute_w_ideal(inv_Aff_host if inv_Aff_host is not None
+                                    else _assembled_host(inv_Aff), A_fc_drop)
+                if opts.improve_w_its > 0:
+                    W = improve_transfer(W, A_ff, A_fc, inv_diag_Aff,
+                                         opts.improve_w_its, is_z=False)
+                if prev is not None and "W_drop" in patterns:
+                    W_drop = remove_from_sparse_match(W, patterns["W_drop"])
+                else:
+                    W_drop = remove_small_from_sparse(
+                        W, opts.r_drop, relative_max_row_tol=1)
+            if opts.constrain_w and right_nulls is not None:
+                with timer("air_constrain"):
+                    W_drop = constrain_grid_transfer(
+                        W_drop, [v[fine] for v in right_nulls],
+                        [v[coarse] for v in right_nulls], is_z=False)
+            patterns["W_drop"] = W_drop
+
+    # ~~~~~~~~~~ Z (restrictor component) ~~~~~~~~~~
+    with timer("air_restrict"):
+        if opts.z_type == ZType.PRODUCT:
+            Z = compute_z_airg(A_cf_drop, inv_Aff_host)
+        else:
+            Z = compute_z_lair(A_ff, A_cf, A_ff_drop, A_cf_drop,
+                               opts.lair_distance,
+                               incomplete=(opts.z_type == ZType.LAIR))
+        if opts.improve_z_its > 0:
+            if inv_diag_Aff is None:
+                d = A_ff.diagonal()
+                inv_diag_Aff = np.where(d != 0, 1.0 / d, 0.0)
+            Z = improve_transfer(Z, A_ff, A_cf, inv_diag_Aff,
+                                 opts.improve_z_its, is_z=True)
+
+    with timer("air_drop"):
+        if prev is not None and "Z_drop" in patterns:
+            Z_drop = remove_from_sparse_match(Z, patterns["Z_drop"])
+        else:
+            Z_drop = remove_small_from_sparse(Z, opts.r_drop,
+                                              relative_max_row_tol=1)
+        patterns["Z_drop"] = Z_drop
+    if opts.constrain_z and left_nulls is not None:
+        with timer("air_constrain"):
+            Z_drop = constrain_grid_transfer(
+                Z_drop, [v[fine] for v in left_nulls],
+                [v[coarse] for v in left_nulls], is_z=True)
+
+    # ~~~~~~~~~~ assemble R, P ~~~~~~~~~~
+    with timer("air_restrict"):
+        R = assemble_r(Z_drop, fine, coarse, n)
+    with timer("air_prolong"):
+        if opts.symmetric:
+            P = sp.csr_matrix(R.T)
+        else:
+            P = assemble_p(W_drop, fine, coarse, n)
+
+    # ~~~~~~~~~~ RAP ~~~~~~~~~~
+    with timer("air_rap"):
+        if prev is not None and "RAP_drop" in patterns:
+            if opts.symmetric:
+                RAP = sp.csr_matrix(P.T @ (A @ P))
+            else:
+                RAP = sp.csr_matrix(R @ (A @ P))
+            coarse_A = remove_from_sparse_match(RAP, patterns["RAP_drop"],
+                                                lump=opts.a_lump)
+        else:
+            coarse_A, RAP = compute_coarse_matrix(A, R, P, opts.a_drop,
+                                                  opts.a_lump, opts.symmetric)
+            patterns["RAP_drop"] = coarse_A
+    patterns["coarse_A"] = coarse_A
+
+    return LevelData(
+        n=n, fine=fine, coarse=coarse, A=A, A_ff=A_ff, A_fc=A_fc,
+        A_cf=A_cf if need_acc else None, A_cc=A_cc, R=R, P=P,
+        inv_Aff=inv_Aff, inv_Acc=inv_Acc, inv_Aff_host=inv_Aff_host,
+        patterns=patterns,
+    )
+
+
+def _assembled_host(inv: Inverse) -> sp.csr_matrix:
+    if inv.kind == "diagonal":
+        return sp.diags(np.asarray(inv.diag)).tocsr()
+    return inv.mat.to_scipy()

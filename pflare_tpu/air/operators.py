@@ -1,0 +1,153 @@
+"""AIR operator construction: W, Z, P, R, RAP.
+
+Host "symbolic+numeric" setup phase (reference: src/AIR_Operators_Setup.F90,
+src/Grid_Transfer.F90, src/Grid_Transfer_Improve.F90).  All products run in
+scipy float64 on first setup; the resulting patterns become the static
+structure for jitted numeric re-setup (reuse).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..params import ZType
+from ..sparse.ops import (
+    one_point_strongest,
+    remove_from_sparse_match,
+    remove_small_from_sparse,
+)
+from ..inverse.sai import sai_z
+from ..sparse.ops import symbolic_matmat
+
+
+def extract_submatrices(A: sp.csr_matrix, fine, coarse, need_acc=False):
+    """A_ff, A_fc, A_cf (and A_cc) by CF masks (reference:
+    src/AIR_Operators_Setup.F90:196-227)."""
+    Af = A[fine]
+    Ac = A[coarse]
+    A_ff = sp.csr_matrix(Af[:, fine])
+    A_fc = sp.csr_matrix(Af[:, coarse])
+    A_cf = sp.csr_matrix(Ac[:, fine])
+    A_cc = sp.csr_matrix(Ac[:, coarse]) if need_acc else None
+    for M in (A_ff, A_fc, A_cf) + ((A_cc,) if need_acc else ()):
+        M.sort_indices()
+    return A_ff, A_fc, A_cf, A_cc
+
+
+def strong_r_drop(A: sp.csr_matrix, fine, coarse, strong_r_threshold: float,
+                  need_afc: bool):
+    """Strong-R dropping of A then re-extraction of the dropped submatrices
+    (reference: src/AIR_Operators_Setup.F90:56-287).  Returns
+    (A_ff_drop, A_cf_drop, A_fc_drop)."""
+    if strong_r_threshold == 0.0:
+        return None, None, None
+    A_drop = remove_small_from_sparse(A, strong_r_threshold,
+                                      relative_max_row_tol=1,
+                                      drop_diagonal=0)
+    Ad_f = A_drop[fine]
+    Ad_c = A_drop[coarse]
+    A_ff_drop = sp.csr_matrix(Ad_f[:, fine])
+    A_cf_drop = sp.csr_matrix(Ad_c[:, fine])
+    A_fc_drop = sp.csr_matrix(Ad_f[:, coarse]) if need_afc else None
+    return A_ff_drop, A_cf_drop, A_fc_drop
+
+
+def compute_z_airg(A_cf_drop: sp.csr_matrix, inv_Aff: sp.csr_matrix):
+    """AIRG: Z = -A_cf_drop @ inv(A_ff_drop) (reference:
+    src/AIR_Operators_Setup.F90:784-795)."""
+    Z = sp.csr_matrix(A_cf_drop @ inv_Aff)
+    Z.data *= -1.0
+    Z.sort_indices()
+    return Z
+
+
+def compute_z_lair(A_ff, A_cf, A_ff_drop, A_cf_drop, distance: int,
+                   incomplete: bool):
+    """lAIR / SAI-lAIR: per-row dense solves on the distance-d sparsity
+    A_cf_drop @ A_ff_drop^(d-1) (reference:
+    src/AIR_Operators_Setup.F90:700-782)."""
+    if distance == 1:
+        sparsity = A_cf_drop
+    else:
+        P = A_ff_drop
+        for _ in range(3, distance + 1):
+            P = symbolic_matmat(A_ff_drop, P)
+        sparsity = symbolic_matmat(A_cf_drop, P)
+    # solve against the UN-dropped matrices; sparsity came from the dropped
+    return sai_z(A_ff, A_cf, sparsity, incomplete=incomplete)
+
+
+def compute_w_ideal(inv_Aff: sp.csr_matrix, A_fc_drop: sp.csr_matrix):
+    """Ideal prolongator W = -inv(A_ff) @ A_fc (reference:
+    src/AIR_Operators_Setup.F90:544-555)."""
+    W = sp.csr_matrix(inv_Aff @ A_fc_drop)
+    W.data *= -1.0
+    W.sort_indices()
+    return W
+
+
+def improve_transfer(M: sp.csr_matrix, A_ff: sp.csr_matrix,
+                     A_other: sp.csr_matrix, inv_diag_Aff: np.ndarray,
+                     its: int, is_z: bool) -> sp.csr_matrix:
+    """Fixed-sparsity Richardson improvement of W or Z (reference:
+    src/Grid_Transfer_Improve.F90:25-200):
+      W <- W + D^-1 (-A_fc - A_ff W)|_S(W)
+      Z <- Z + (-A_cf - Z A_ff) D^-1 |_S(Z)
+    """
+    D = sp.diags(inv_diag_Aff)
+    for _ in range(its):
+        if is_z:
+            resid = -A_other - (M @ A_ff) @ D
+        else:
+            resid = D @ (-A_other - A_ff @ M)
+        M = remove_from_sparse_match(sp.csr_matrix(M + resid), M)
+    return M
+
+
+def assemble_p(W: sp.csr_matrix, fine, coarse, n: int) -> sp.csr_matrix:
+    """P = [W; I] scattered to the full ordering: P[fine, :] = W,
+    P[coarse, j] = 1 (reference: src/Grid_Transfer.F90:224)."""
+    n_c = len(coarse)
+    rows = np.concatenate([fine[_rows_of(W)], coarse])
+    cols = np.concatenate([W.indices, np.arange(n_c)])
+    vals = np.concatenate([W.data, np.ones(n_c)])
+    P = sp.csr_matrix((vals, (rows, cols)), shape=(n, n_c))
+    P.sort_indices()
+    return P
+
+
+def assemble_r(Z: sp.csr_matrix, fine, coarse, n: int) -> sp.csr_matrix:
+    """R = [Z I] in the full column ordering: R[:, fine] = Z,
+    R[i, coarse[i]] = 1 (reference: src/Grid_Transfer.F90:465)."""
+    n_c = len(coarse)
+    rows = np.concatenate([_rows_of(Z), np.arange(n_c)])
+    cols = np.concatenate([fine[Z.indices], coarse])
+    vals = np.concatenate([Z.data, np.ones(n_c)])
+    R = sp.csr_matrix((vals, (rows, cols)), shape=(n_c, n))
+    R.sort_indices()
+    return R
+
+
+def compute_coarse_matrix(A, R, P, a_drop: float, a_lump: bool,
+                          symmetric: bool = False):
+    """RAP via two SpGEMMs (or PtAP) + relative drop/lump (reference:
+    src/AIR_Operators_Setup.F90:960-1082)."""
+    if symmetric:
+        RAP = sp.csr_matrix(P.T @ (A @ P))
+    else:
+        AP = sp.csr_matrix(A @ P)
+        RAP = sp.csr_matrix(R @ AP)
+    RAP.sort_indices()
+    if a_drop != 0.0 or True:
+        # tol 0 still drops explicit zeros (reference drops zeros always)
+        coarse = remove_small_from_sparse(RAP, a_drop,
+                                          relative_max_row_tol=1,
+                                          lump=a_lump)
+    else:
+        coarse = RAP
+    return coarse, RAP
+
+
+def _rows_of(M: sp.csr_matrix):
+    return np.repeat(np.arange(M.shape[0], dtype=np.int64), np.diff(M.indptr))

@@ -1,0 +1,147 @@
+"""PCAIR: the reduction-multigrid preconditioner object.
+
+The user-facing equivalent of the reference's PCAIR PETSc type
+(reference: src/PCAIR.c, src/PCAIR_Shell.F90): setup builds/reuses the
+hierarchy, apply runs the jitted Kaskade cycle, and every option has a
+get/set through the ``AIROptions`` dataclass.  Changing options resets the
+preconditioner (reference: src/PCAIR_Interfaces.F90:1821-1882); re-setup
+with ``structure='same'`` triggers sparsity reuse
+(reference: src/PCAIR_Shell.F90:107-165).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..options import AIROptions
+from ..utils.timers import timer
+from .hierarchy import Hierarchy, setup_hierarchy
+from .smooth import vcycle_full, vcycle_kaskade
+from .stats import compute_stats, print_stats
+
+
+class PCAIR:
+    """Reduction multigrid with approximate ideal restriction.
+
+    Usage::
+
+        pc = PCAIR(AIROptions(...))
+        pc.setup(A)              # scipy CSR (host) matrix
+        y = pc.apply(r)          # jitted V-cycle, device vectors
+        res = pc.solve(b, ...)   # GMRES with this PC
+    """
+
+    def __init__(self, options: AIROptions | None = None, **kw):
+        opts = options or AIROptions()
+        if kw:
+            opts = opts.replace(**kw)
+        self.options = opts
+        self.hierarchy: Hierarchy | None = None
+        self._apply_jit = None
+        self._frozen = False  # KSPSetReusePreconditioner analogue
+
+    # ~~~~~~~~~~ option mutation resets the PC ~~~~~~~~~~
+    def set_options(self, **kw):
+        self.options = self.options.replace(**kw)
+        self.reset()
+
+    def reset(self):
+        self.hierarchy = None
+        self._apply_jit = None
+
+    def freeze(self, flag: bool = True):
+        """KSPSetReusePreconditioner semantics (reference:
+        src/PCAIR.c:150-166): skip re-setup entirely while frozen."""
+        self._frozen = flag
+
+    # ~~~~~~~~~~ setup ~~~~~~~~~~
+    def setup(self, A, structure: str = "different", near_nullspace=None):
+        """Build the hierarchy.  structure='same' reuses the CF splitting
+        and every stored sparsity pattern when reuse_sparsity is on."""
+        if self._frozen and self.hierarchy is not None:
+            return self
+        A = sp.csr_matrix(A)
+        with timer("air_setup"):
+            previous = None
+            if (structure == "same" and self.hierarchy is not None
+                    and self.options.reuse_sparsity):
+                previous = self.hierarchy
+            self.hierarchy = setup_hierarchy(
+                A, self.options, previous=previous,
+                near_nullspace=near_nullspace,
+            )
+        self._build_apply()
+        if self.options.print_stats_timings:
+            print_stats(self.hierarchy)
+        return self
+
+    def _build_apply(self):
+        opts = self.options
+        hier = self.hierarchy
+        if not hier.levels:
+            # single level: precondition with the coarse solve directly
+            # (reference: src/AIR_MG_Setup.F90:1158-1175)
+            coarse_inv = hier.coarse_inv
+            self._apply_jit = jax.jit(lambda levels, ci, r: ci.apply(r))
+        elif opts.full_smoothing_up_and_down:
+            self._apply_jit = jax.jit(
+                lambda levels, ci, r: vcycle_full(levels, ci, r)
+            )
+        else:
+            smooth_order = opts.smooth_order
+
+            def _apply(levels, ci, r):
+                return vcycle_kaskade(levels, ci, r, smooth_order)
+
+            self._apply_jit = jax.jit(_apply)
+
+    # ~~~~~~~~~~ apply / solve ~~~~~~~~~~
+    def apply(self, r):
+        if self.hierarchy is None:
+            raise RuntimeError("PCAIR not set up")
+        return self._apply_jit(self.hierarchy.device_levels,
+                               self.hierarchy.coarse_inv, jnp.asarray(r))
+
+    def __call__(self, r):
+        return self.apply(r)
+
+    def solve(self, b, x0=None, ksp="gmres", rtol=1e-5, atol=1e-50,
+              max_it=10000, side="left", restart=30):
+        from ..solvers import gmres, richardson, fgmres
+
+        A = self.hierarchy.levels[0].A if self.hierarchy.levels else \
+            self.hierarchy.coarse_matrix
+        from ..sparse import ELL
+
+        E = ELL.from_scipy(A)
+        b = jnp.asarray(b)
+        if ksp == "gmres":
+            return gmres(E, b, x0=x0, M=self.apply, side=side, rtol=rtol,
+                         atol=atol, max_it=max_it, restart=restart)
+        if ksp == "fgmres":
+            return fgmres(E, b, x0=x0, M=self.apply, rtol=rtol, atol=atol,
+                          max_it=max_it, restart=restart)
+        if ksp == "richardson":
+            return richardson(E, b, x0=x0, M=self.apply, rtol=rtol,
+                              atol=atol, max_it=max_it)
+        raise ValueError(ksp)
+
+    # ~~~~~~~~~~ introspection ~~~~~~~~~~
+    @property
+    def n_levels(self):
+        return self.hierarchy.n_levels if self.hierarchy else 0
+
+    def stats(self):
+        return compute_stats(self.hierarchy)
+
+    def get_poly_coefficients(self, level: int):
+        """Per-level polynomial coefficient extraction (reference:
+        PCAIRGetPolyCoeffs, include/pflare.h:191)."""
+        if level == -1 or level == self.n_levels - 1:
+            inv = self.hierarchy.coarse_inv
+        else:
+            inv = self.hierarchy.levels[level].inv_Aff
+        return None if inv.coefficients is None else np.asarray(inv.coefficients)

@@ -1,0 +1,317 @@
+"""Approximate-inverse dispatcher.
+
+TPU-native equivalent of the reference's Approx_Inverse_Setup
+(reference: src/Approx_Inverse_Setup.F90:33-553): one entry point that
+computes coefficients/roots for the requested inverse type and returns an
+``Inverse`` pytree whose ``apply`` is jit-friendly (assembled SpMV, Horner
+chain, or static Newton program).
+
+Coefficient reuse protocol (reference: src/Approx_Inverse_Setup.F90:52-64):
+pass ``coefficients`` to skip the polynomial iteration and rebuild an
+identical preconditioner.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..params import InverseType, tolerances
+from ..sparse import ELL, FixedSparsityPolyPlan, SparsityPattern
+from .gmres_poly import (
+    coefficients_arnoldi,
+    coefficients_power,
+    horner,
+    trim_high_order_zeros,
+)
+from .newton import (
+    build_newton_program,
+    newton_apply,
+    newton_residual_apply,
+    newton_roots,
+)
+from .sai import sai_inverse
+
+
+@jax.tree_util.register_pytree_node_class
+class Inverse:
+    """An applier for an approximate inverse.
+
+    kind (static): 'assembled' | 'diagonal' | 'poly_mf' | 'newton_mf' |
+    'neumann_mf'.  ``scaled`` marks right diagonal scaling
+    q(D^-1 A) D^-1 (reference: src/Gmres_Poly.F90:1375-1414).
+    """
+
+    def __init__(self, kind, mat=None, coefficients=None, steps=(),
+                 diag=None, scaled=False, meta=None):
+        self.kind = kind
+        self.mat = mat
+        self.coefficients = coefficients
+        self.steps = steps
+        self.diag = diag
+        self.scaled = scaled
+        self.meta = meta or {}
+
+    def tree_flatten(self):
+        leaves = (self.mat, self.coefficients, self.diag)
+        aux = (self.kind, self.steps, self.scaled, _HashableMeta(self.meta))
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        mat, coefficients, diag = leaves
+        kind, steps, scaled, meta = aux
+        return cls(kind, mat, coefficients, steps, diag, scaled, meta.d)
+
+    # ~~~~~~~~~~ application ~~~~~~~~~~
+    def _matvec(self):
+        mv = self.mat.matvec
+        if self.scaled:
+            diag = self.diag
+            return lambda v: mv(v) / diag
+        return mv
+
+    def apply(self, x):
+        if self.kind == "assembled":
+            return self.mat.matvec(x)
+        if self.kind == "diagonal":
+            return self.diag * x
+        if self.kind == "poly_mf":
+            xin = x / self.diag if self.scaled else x
+            return horner(self._matvec(), self.coefficients, xin)
+        if self.kind == "neumann_mf":
+            diag = self.diag
+            mv = self.mat.matvec
+            shifted = lambda v: v - mv(v) / diag
+            return horner(shifted, self.coefficients, x / diag)
+        if self.kind == "newton_mf":
+            xin = x / self.diag if self.scaled else x
+            return newton_apply(self._matvec(), self.steps, xin)
+        raise ValueError(self.kind)
+
+    def apply_residual(self, x):
+        """pi(A) x -- residual polynomial (Newton mf only; used by
+        auto-truncation, reference: src/Gmres_Poly_Newton.F90:966)."""
+        if self.kind == "newton_mf":
+            xin = x / self.diag if self.scaled else x
+            y = newton_residual_apply(self._matvec(), self.steps, xin)
+            return y * self.diag if self.scaled else y
+        raise ValueError("residual applier only for newton_mf")
+
+    def __call__(self, x):
+        return self.apply(x)
+
+    @property
+    def num_matvecs(self):
+        """Matvecs per application (for stats/cycle complexity)."""
+        if self.kind in ("assembled", "diagonal"):
+            return 1
+        if self.kind in ("poly_mf", "neumann_mf"):
+            return int(self.coefficients.shape[0]) - 1
+        if self.kind == "newton_mf":
+            return sum(1 if s[0] in ("real",) else 2 if s[0] == "cc" else 1
+                       for s in self.steps if s[0] != "real_last")
+        return 0
+
+
+class _HashableMeta:
+    def __init__(self, d):
+        self.d = d
+
+    def __hash__(self):
+        return hash(tuple(sorted(self.d.items())))
+
+    def __eq__(self, other):
+        return isinstance(other, _HashableMeta) and self.d == other.d
+
+
+def _clamp_orders(n_global, poly_order, sparsity_order):
+    """reference: src/Gmres_Poly.F90:64-76."""
+    if poly_order + 1 > n_global:
+        poly_order = max(int(n_global) - 1, 0)
+    sparsity_order = min(sparsity_order, max(poly_order, 1))
+    return poly_order, sparsity_order
+
+
+def build_inverse(
+    A: ELL,
+    inverse_type: InverseType,
+    poly_order: int = 6,
+    sparsity_order: int = 1,
+    matrix_free: bool = False,
+    diag_scale: bool = False,
+    coefficients=None,
+    seed: int = 17,
+    qr_reduce=None,
+    A_scipy: sp.csr_matrix | None = None,
+) -> Inverse:
+    """Compute and build an approximate inverse of A.
+
+    ``A`` is the device matrix; ``A_scipy`` optionally supplies the host copy
+    (avoids a device->host transfer during setup).
+    """
+    inverse_type = InverseType(inverse_type)
+    n = A.shape[0]
+    dtype = A.dtype
+    poly_order, sparsity_order = _clamp_orders(n, poly_order, sparsity_order)
+    tol = tolerances(dtype)
+
+    # ~~~~~~~~~~ Jacobi family: assembled diagonal ~~~~~~~~~~
+    if inverse_type in (InverseType.JACOBI, InverseType.WJACOBI):
+        diag = A.diagonal()
+        if inverse_type == InverseType.WJACOBI:
+            # hypre weight 3/(4 ||D^-1/2 A D^-1/2||_inf)
+            # (reference: src/Weighted_Jacobi.F90:44-66)
+            dsqrt = jnp.sqrt(jnp.abs(diag))
+            inv_ds = jnp.where(dsqrt > 0, 1.0 / dsqrt, 0.0)
+            scaled_rows = jnp.abs(A.data * inv_ds[:, None] *
+                                  jnp.take(inv_ds, A.cols, axis=0))
+            norm_inf = float(jnp.max(jnp.sum(scaled_rows, axis=1)))
+            weight = 3.0 / (4.0 * norm_inf)
+        else:
+            weight = 1.0
+        inv_diag = jnp.where(diag != 0, weight / diag, 0.0)
+        return Inverse("diagonal", diag=inv_diag,
+                       meta={"type": int(inverse_type)})
+
+    # ~~~~~~~~~~ SAI / ISAI: assembled least-squares inverse ~~~~~~~~~~
+    if inverse_type in (InverseType.SAI, InverseType.ISAI):
+        A_host = A_scipy if A_scipy is not None else A.to_scipy()
+        S = A_host
+        for _ in range(sparsity_order - 1):
+            S = (S @ A_host).tocsr()
+        M = sai_inverse(A_host, incomplete=(inverse_type == InverseType.ISAI),
+                        sparsity=S)
+        return Inverse("assembled", mat=ELL.from_scipy(M, dtype=dtype),
+                       meta={"type": int(inverse_type)})
+
+    # ~~~~~~~~~~ Neumann ~~~~~~~~~~
+    if inverse_type == InverseType.NEUMANN:
+        diag = A.diagonal()
+        ones = jnp.ones(poly_order + 1, dtype=dtype)
+        if matrix_free:
+            return Inverse("neumann_mf", mat=A, coefficients=ones, diag=diag,
+                           meta={"type": int(inverse_type)})
+        # assembled: p(N)|_S . D^-1 with N = I - D^-1 A
+        # (reference: src/Neumann_Poly.F90:177-212)
+        A_host = A_scipy if A_scipy is not None else A.to_scipy()
+        d = np.asarray(diag)
+        N = sp.eye(n, format="csr") - sp.diags(1.0 / d) @ A_host
+        N = sp.csr_matrix(N)
+        N.sort_indices()
+        N_ell = ELL.from_scipy(N, dtype=dtype)
+        plan = FixedSparsityPolyPlan(N_ell.pattern, poly_order, sparsity_order)
+        M = plan.execute(N_ell, ones)
+        M_host = M.to_scipy() @ sp.diags(1.0 / d)
+        return Inverse("assembled", mat=ELL.from_scipy(M_host, dtype=dtype),
+                       meta={"type": int(inverse_type)})
+
+    # ~~~~~~~~~~ GMRES polynomial family ~~~~~~~~~~
+    diag = A.diagonal() if diag_scale else None
+    if diag_scale:
+        matvec = lambda v: A.matvec(v) / diag
+    else:
+        matvec = A.matvec
+
+    if inverse_type in (InverseType.NEWTON, InverseType.NEWTON_NO_EXTRA):
+        if coefficients is not None:
+            wr, wi = np.asarray(coefficients[0]), np.asarray(coefficients[1])
+        else:
+            wr, wi = newton_roots(
+                matvec, n, poly_order, dtype,
+                add_roots=(inverse_type == InverseType.NEWTON), seed=seed,
+            )
+        steps = build_newton_program(wr, wi, tol.zero)
+        if matrix_free:
+            return Inverse("newton_mf", mat=A, steps=steps, diag=diag,
+                           scaled=diag_scale,
+                           meta={"type": int(inverse_type)},
+                           coefficients=jnp.asarray(
+                               np.stack([wr, wi]), dtype=dtype))
+        # Assembled Newton: expand the factored inverse polynomial into
+        # monomials in f64 (stable at the low orders used assembled;
+        # device fixed-sparsity accumulation mirrors
+        # reference: src/Gmres_Poly_Newtonk.kokkos.cxx:15).
+        mono = _newton_monomial_coefficients(wr, wi, tol.zero)
+        return _assemble_poly(A, mono, sparsity_order, dtype, diag_scale,
+                              diag, A_scipy, int(inverse_type),
+                              roots=(wr, wi))
+
+    # power / arnoldi
+    if coefficients is not None:
+        coeffs = np.asarray(coefficients, dtype=np.float64)
+    elif inverse_type == InverseType.POWER:
+        coeffs = coefficients_power(matvec, n, poly_order, dtype, seed=seed,
+                                    qr_reduce=qr_reduce)
+    elif inverse_type == InverseType.ARNOLDI:
+        coeffs = coefficients_arnoldi(matvec, n, poly_order, dtype, seed=seed)
+    else:
+        raise ValueError(f"unknown inverse type {inverse_type}")
+
+    if matrix_free:
+        cj = jnp.asarray(trim_high_order_zeros(coeffs), dtype=dtype)
+        return Inverse("poly_mf", mat=A, coefficients=cj, diag=diag,
+                       scaled=diag_scale, meta={"type": int(inverse_type)})
+    return _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
+                          A_scipy, int(inverse_type))
+
+
+def _newton_monomial_coefficients(wr, wi, tol_zero):
+    """p(z) = sum_i prod_{j<i}(1 - z/theta_j) / theta_i expanded in
+    monomials (complex arithmetic, real result)."""
+    thetas = []
+    for a, b in zip(wr, wi):
+        if (b == 0 and abs(a) < tol_zero) or (b != 0 and a * a + b * b < tol_zero):
+            continue
+        thetas.append(complex(a, b))
+    if not thetas:
+        return np.zeros(1)
+    order = len(thetas)
+    poly = np.zeros(order + 1, dtype=complex)  # ascending monomial coeffs
+    prod = np.zeros(order + 1, dtype=complex)
+    prod[0] = 1.0
+    for i, th in enumerate(thetas):
+        poly[: i + 1] += prod[: i + 1] / th
+        # prod *= (1 - z/th)
+        new = prod.copy()
+        new[1 : i + 2] -= prod[: i + 1] / th
+        prod = new
+    return poly.real
+
+
+def _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
+                   A_scipy, itype, roots=None):
+    """Assembled polynomial inverse (fixed sparsity, reference:
+    src/Gmres_Poly.F90:1522-1813)."""
+    n = A.shape[0]
+    poly_order = len(coeffs) - 1
+    meta = {"type": itype}
+    if diag_scale:
+        d_np = np.asarray(diag)
+        A_host = A_scipy if A_scipy is not None else A.to_scipy()
+        A_use_host = sp.csr_matrix(sp.diags(1.0 / d_np) @ A_host)
+        A_use_host.sort_indices()
+        A_use = ELL.from_scipy(A_use_host, dtype=dtype)
+    else:
+        A_use = A
+
+    if poly_order == 0:
+        inv_diag = jnp.full(n, float(coeffs[0]), dtype=dtype)
+        if diag_scale:
+            inv_diag = inv_diag / diag
+        return Inverse("diagonal", diag=inv_diag, meta=meta,
+                       coefficients=jnp.asarray(coeffs, dtype=dtype))
+
+    plan = FixedSparsityPolyPlan(A_use.pattern, poly_order, sparsity_order)
+    M = plan.execute(A_use, jnp.asarray(coeffs, dtype=dtype))
+    if diag_scale:
+        M_host = M.to_scipy() @ sp.diags(1.0 / np.asarray(diag))
+        M = ELL.from_scipy(sp.csr_matrix(M_host), dtype=dtype)
+    inv = Inverse("assembled", mat=M, meta=meta,
+                  coefficients=(jnp.asarray(coeffs, dtype=dtype)
+                                if roots is None else
+                                jnp.asarray(np.stack(roots), dtype=dtype)))
+    inv.plan = plan  # kept for numeric-only reuse
+    return inv

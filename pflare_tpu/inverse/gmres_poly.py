@@ -1,0 +1,158 @@
+"""GMRES polynomial coefficients (power & Arnoldi bases) + appliers.
+
+TPU-native re-design of the reference's GMRES-polynomial machinery
+(reference: src/Gmres_Poly.F90).  The Krylov basis is built with device
+matvecs; the tiny dense factorisations (QR of the tall-skinny power basis,
+Hessenberg least-squares) run on host in float64 -- they are O(order^2)
+scalars, exactly the work the reference does in LAPACK.
+
+The power basis is the comms-avoiding path: build K_{m+1} with m matvecs and
+a single QR reduction (the reference's TSQR, reference:
+src/Gmres_Poly.F90:552-776 and src/TSQR.F90).  On a device mesh the QR of the
+row-sharded K maps to local QR + psum of R factors; on one chip it is a plain
+reduced QR.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import tolerances
+
+
+def box_muller(n: int, dtype=jnp.float64, seed: int = 17) -> jnp.ndarray:
+    """Normal random RHS via Box-Muller, deterministic seed (reference:
+    src/Gmres_Poly.F90:139-209: N(0,1) preserves white noise in the
+    eigenspace)."""
+    rng = np.random.default_rng(seed)
+    u1 = rng.random(n)
+    u2 = rng.random(n)
+    z = np.sqrt(-2.0 * np.log1p(-u1)) * np.cos(2.0 * np.pi * u2)
+    return jnp.asarray(z, dtype=dtype)
+
+
+def arnoldi_host(matvec, n, poly_order, dtype, lucky_tol, compute_cn=False,
+                 rel_tol=None, seed: int = 17):
+    """Plain Arnoldi storing the unrotated H (and optionally C_n with
+    V_n = K_n C_n) -- reference: src/Gmres_Poly.F90:308-456.
+
+    Returns (beta, H, m, C, y): H is (order+2, order+1) numpy; m is the
+    numerically reached order; C maps Krylov to Arnoldi coordinates; y the
+    LS solution when rel_tol is active.
+    """
+    subspace = poly_order + 1
+    r0 = box_muller(n, dtype, seed)
+    beta = float(jnp.linalg.norm(r0))
+    V = [r0 / beta]
+    H = np.zeros((subspace + 1, subspace))
+    C = np.zeros((subspace + 1, subspace + 1)) if compute_cn else None
+    if compute_cn:
+        C[0, 0] = 1.0 / beta
+    y = np.zeros(subspace)
+    m = 0
+    for j in range(subspace):
+        w = matvec(V[j])
+        if compute_cn:
+            c_j = np.zeros(subspace + 1)
+            c_j[1 : j + 2] = C[: j + 1, j]
+        # all Hessenberg entries in one batched dot (one reduction)
+        Vstack = jnp.stack(V[: j + 1])
+        h = np.asarray(Vstack @ w)
+        H[: j + 1, j] = h
+        w = w - jnp.tensordot(jnp.asarray(h, dtype=dtype), Vstack, axes=1)
+        if compute_cn:
+            for i in range(j + 1):
+                c_j[: i + 1] -= C[: i + 1, i] * H[i, j]
+        hj1 = float(jnp.linalg.norm(w))
+        H[j + 1, j] = hj1
+        m = j + 1
+        if hj1 < lucky_tol:
+            if rel_tol is not None:
+                y = _ls_solve_arnoldi(beta, m, H)
+            break
+        V.append(w / hj1)
+        if compute_cn:
+            C[: j + 2, j + 1] = c_j[: j + 2] / hj1
+        if rel_tol is not None:
+            y = _ls_solve_arnoldi(beta, m, H)
+            res = np.linalg.norm(H[: m + 1, :m] @ y[:m] - beta * np.eye(m + 1)[:, 0])
+            if res / beta < rel_tol:
+                break
+    return beta, H, m, C, y
+
+
+def _ls_solve_arnoldi(beta, m, H):
+    g0 = np.zeros(m + 1)
+    g0[0] = beta
+    y_m, *_ = np.linalg.lstsq(H[: m + 1, :m], g0, rcond=None)
+    y = np.zeros(H.shape[1])
+    y[:m] = y_m
+    return y
+
+
+def coefficients_arnoldi(matvec, n, poly_order, dtype=jnp.float64,
+                         seed: int = 17) -> np.ndarray:
+    """Arnoldi-basis polynomial coefficients per Nachtigal et al. 1992
+    (reference: src/Gmres_Poly.F90:460-548): coeffs = C_n[1:m,1:m] @ y."""
+    tol = tolerances(dtype)
+    beta, H, m, C, y = arnoldi_host(
+        matvec, n, poly_order, dtype, tol.lucky, compute_cn=True,
+        rel_tol=tol.arnoldi, seed=seed,
+    )
+    coeffs = np.zeros(poly_order + 1)
+    coeffs[:] = (C[: poly_order + 1, : poly_order + 1] @ y[: poly_order + 1])[
+        : poly_order + 1
+    ]
+    return coeffs
+
+
+def coefficients_power(matvec, n, poly_order, dtype=jnp.float64,
+                       seed: int = 17, qr_reduce=None) -> np.ndarray:
+    """Power-basis coefficients with a single QR reduction (reference:
+    src/Gmres_Poly.F90:552-776).
+
+    Build K_{m+1} = [b, Ab, ..., A^m b]; QR; beta sits at R[0,0]; solve
+    min || beta e1 - R[:,1:] g || with a rank-revealing lstsq (the power
+    basis may be rank deficient).  ``qr_reduce`` can override the QR for the
+    distributed TSQR (local QR + psum of stacked R factors).
+    """
+    subspace = poly_order + 1
+    b = box_muller(n, dtype, seed)
+    cols = [b]
+    for _ in range(subspace):
+        cols.append(matvec(cols[-1]))
+    K = jnp.stack(cols, axis=1)  # [n, subspace+1]
+    if qr_reduce is None:
+        R = np.linalg.qr(np.asarray(K, dtype=np.float64), mode="r")
+    else:
+        R = qr_reduce(K)
+    g0 = np.zeros(subspace + 1)
+    g0[0] = R[0, 0]
+    tol = tolerances(dtype)
+    g, *_ = np.linalg.lstsq(R[:, 1:], g0, rcond=tol.rcond)
+    return g[:subspace]
+
+
+# ~~~~~~~~~~~~~~~~~~~~~~ appliers ~~~~~~~~~~~~~~~~~~~~~~
+
+def horner(matvec, coefficients, x):
+    """y = (c0 + c1 A + c2 A^2 + ...) x via Horner (reference:
+    src/Gmres_Poly.F90:1418-1484).  ``coefficients`` is a static-length
+    device array; jit-friendly."""
+    order = coefficients.shape[0] - 1
+    y = coefficients[order] * x
+    for k in range(order - 1, -1, -1):
+        y = matvec(y) + coefficients[k] * x
+    return y
+
+
+def trim_high_order_zeros(coeffs: np.ndarray) -> np.ndarray:
+    """Drop exactly-zero high-order coefficients (early Arnoldi termination)
+    so the matrix-free applier skips their matvecs (reference:
+    src/Gmres_Poly.F90:90-135)."""
+    nz = np.nonzero(coeffs)[0]
+    if len(nz) == 0:
+        return coeffs[:1]
+    return coeffs[: nz[-1] + 1]

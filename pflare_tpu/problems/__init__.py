@@ -1,0 +1,18 @@
+from .generators import (
+    adv_1d,
+    adv_diff_2d,
+    adv_diff_3d,
+    random_diag_dominant,
+    anisotropic_diffusion_2d,
+)
+from .io import read_petsc_matrix, read_petsc_vec
+
+__all__ = [
+    "adv_1d",
+    "adv_diff_2d",
+    "adv_diff_3d",
+    "random_diag_dominant",
+    "anisotropic_diffusion_2d",
+    "read_petsc_matrix",
+    "read_petsc_vec",
+]

@@ -1,0 +1,29 @@
+from .pattern import SparsityPattern
+from .ell import ELL, spmv
+from .ops import (
+    remove_small_from_sparse,
+    remove_from_sparse_match,
+    duplicate_plus_diag,
+    one_point_strongest,
+    identity_csr,
+    diag_dominance_ratio,
+    symbolic_matmat,
+)
+from .spgemm import SpGEMMPlan, build_spgemm_plan, FixedSparsityPolyPlan, scipy_matmat
+
+__all__ = [
+    "SparsityPattern",
+    "ELL",
+    "spmv",
+    "remove_small_from_sparse",
+    "remove_from_sparse_match",
+    "duplicate_plus_diag",
+    "one_point_strongest",
+    "identity_csr",
+    "diag_dominance_ratio",
+    "symbolic_matmat",
+    "SpGEMMPlan",
+    "build_spgemm_plan",
+    "FixedSparsityPolyPlan",
+    "scipy_matmat",
+]

@@ -1,0 +1,296 @@
+"""PCAIR end-to-end solver oracles.
+
+Every test mirrors a reference driver + iteration cap from tests/Makefile
+(the reference's test strategy: if the method regresses, the solve exceeds
+the cap, reference: docs/dev/testing.md)."""
+
+import os
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+import pytest
+
+from pflare_tpu import (
+    AIROptions,
+    CFSplittingType,
+    InverseType,
+    PCAIR,
+    ZType,
+    adv_diff_2d,
+    adv_diff_3d,
+    random_diag_dominant,
+)
+from pflare_tpu.problems import read_petsc_matrix
+
+DATA_DIR = os.environ.get("PFLARE_DATA", "/root/reference/tests/data")
+STREAM = os.path.join(DATA_DIR, "mat_stream_2364")
+needs_stream = pytest.mark.skipif(
+    not os.path.exists(STREAM), reason="reference data not available"
+)
+
+
+def rhs(n, seed=3):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(n))
+
+
+def stream():
+    A, vecs = read_petsc_matrix(STREAM, return_vecs=True)
+    return A, jnp.asarray(vecs[0])
+
+
+# ~~~~~~~~~~~~~~ run_check analogues ~~~~~~~~~~~~~~
+
+def test_check_adv_diff_25():
+    """reference: tests/Makefile:1323 -- adv_diff 25^2, default AIR,
+    <= 5 its."""
+    A = adv_diff_2d(25)
+    pc = PCAIR().setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=5)
+    assert res.converged, res.iterations
+
+
+def test_check_matrandom():
+    """reference: tests/Makefile:1319 -- random diag-dominant, <= 5 its."""
+    A = random_diag_dominant(300, 0.02, seed=11)
+    pc = PCAIR().setup(A)
+    res = pc.solve(rhs(300), rtol=1e-5, max_it=5)
+    assert res.converged, res.iterations
+
+
+def test_medium_scaling_100():
+    """reference: tests/Makefile:1117-1131 -- right-PC GMRES rtol 1e-10,
+    a_lump, a_drop 1e-5, strong_threshold 0.99: <= 6 its at 100^2."""
+    A = adv_diff_2d(100)
+    pc = PCAIR(AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99))
+    pc.setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-10, atol=1e-50, max_it=6,
+                   side="right")
+    assert res.converged, res.iterations
+
+
+def test_grid_complexity_bound():
+    """reference: python/run_parse_tests.py:7 -- grid complexity < 3.0."""
+    A = adv_diff_2d(40)
+    pc = PCAIR().setup(A)
+    s = pc.stats()
+    assert s["grid_complexity"] < 3.0, s
+
+
+# ~~~~~~~~~~~~~~ streaming-matrix configs ~~~~~~~~~~~~~~
+
+@needs_stream
+def test_stream_airg_default():
+    """reference: tests/Makefile:89 -- default AIRG <= 5 its."""
+    A, b = stream()
+    pc = PCAIR().setup(A)
+    res = pc.solve(b, rtol=1e-5, max_it=5)
+    assert res.converged, res.iterations
+
+
+@needs_stream
+def test_stream_airg_power():
+    """reference: tests/Makefile:91 -- a_drop 1e-3, power basis, <= 5 its."""
+    A, b = stream()
+    pc = PCAIR(AIROptions(a_drop=1e-3, inverse_type=InverseType.POWER))
+    pc.setup(A)
+    res = pc.solve(b, rtol=1e-5, max_it=5)
+    assert res.converged, res.iterations
+
+
+@needs_stream
+def test_stream_airg_fcf():
+    """reference: tests/Makefile:93 -- fcf smoothing."""
+    A, b = stream()
+    pc = PCAIR(AIROptions(a_drop=1e-3, inverse_type=InverseType.POWER)
+               .with_smooth_type("fcf"))
+    pc.setup(A)
+    res = pc.solve(b, rtol=1e-5, max_it=5)
+    assert res.converged, res.iterations
+
+
+@needs_stream
+def test_stream_airg_matrix_free():
+    """reference: tests/Makefile:95 -- matrix-free poly smoothing."""
+    A, b = stream()
+    pc = PCAIR(AIROptions(a_drop=1e-3, inverse_type=InverseType.POWER,
+                          matrix_free_polys=True))
+    pc.setup(A)
+    res = pc.solve(b, rtol=1e-5, max_it=5)
+    assert res.converged, res.iterations
+
+
+@needs_stream
+def test_stream_lair():
+    """reference: tests/Makefile:113 -- lAIR z."""
+    A, b = stream()
+    pc = PCAIR(AIROptions(a_drop=1e-3, inverse_type=InverseType.POWER,
+                          z_type=ZType.LAIR))
+    pc.setup(A)
+    res = pc.solve(b, rtol=1e-5, max_it=5)
+    assert res.converged, res.iterations
+
+
+@needs_stream
+def test_stream_lair_strong_r():
+    """reference: tests/Makefile:115 -- lAIR + strong R threshold 0.01."""
+    A, b = stream()
+    pc = PCAIR(AIROptions(a_drop=1e-3, inverse_type=InverseType.POWER,
+                          z_type=ZType.LAIR, strong_r_threshold=0.01))
+    pc.setup(A)
+    res = pc.solve(b, rtol=1e-5, max_it=5)
+    assert res.converged, res.iterations
+
+
+@needs_stream
+def test_stream_newton_low_order():
+    """reference: tests/Makefile:163-165 -- newton-basis AIR poly_order 2/3
+    <= 5 its (matrix-free, Newton is mf-only for smoothing)."""
+    A, b = stream()
+    for order in (2, 3):
+        pc = PCAIR(AIROptions(inverse_type=InverseType.NEWTON, poly_order=order,
+                              matrix_free_polys=True))
+        pc.setup(A)
+        res = pc.solve(b, rtol=1e-5, max_it=5)
+        assert res.converged, (order, res.iterations)
+
+
+@needs_stream
+def test_stream_airg_exact_solver():
+    """reference: tests/Makefile:131-135 -- strong_threshold 0 gives
+    diagonal A_ff; AIRG becomes an exact solver up to the coarse solve."""
+    A, b = stream()
+    pc = PCAIR(AIROptions(strong_threshold=0.0, a_drop=0.0, r_drop=0.0,
+                          inverse_type=InverseType.JACOBI, max_levels=30,
+                          coarsest_inverse_type=InverseType.ARNOLDI,
+                          coarsest_poly_order=18,
+                          coarsest_matrix_free_polys=True))
+    pc.setup(A)
+    res = pc.solve(b, ksp="richardson", rtol=1e-5, max_it=10)
+    assert res.converged, res.iterations
+
+
+# ~~~~~~~~~~~~~~ option/variant coverage ~~~~~~~~~~~~~~
+
+def test_ideal_prolongator():
+    A = adv_diff_2d(25)
+    pc = PCAIR(AIROptions(one_point_classical_prolong=False))
+    pc.setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=6)
+    assert res.converged, res.iterations
+
+
+def test_full_smoothing():
+    A = adv_diff_2d(20, alpha=1.0)
+    pc = PCAIR(AIROptions(full_smoothing_up_and_down=True,
+                          inverse_type=InverseType.ARNOLDI))
+    pc.setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=25)
+    assert res.converged, res.iterations
+
+
+def test_symmetric_ptap():
+    A = adv_diff_2d(20, alpha=1.0)
+    pc = PCAIR(AIROptions(symmetric=True))
+    pc.setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=25)
+    assert res.converged, res.iterations
+
+
+def test_improve_and_constrain():
+    A = adv_diff_2d(20)
+    pc = PCAIR(AIROptions(one_point_classical_prolong=False,
+                          improve_w_its=2, improve_z_its=2,
+                          constrain_z=True, constrain_w=True))
+    pc.setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=8)
+    assert res.converged, res.iterations
+
+
+def test_adv_diff_3d():
+    """reference: tests/adv_diff_fd.c -dim 3."""
+    A = adv_diff_3d(10)
+    pc = PCAIR().setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=6)
+    assert res.converged, res.iterations
+
+
+def test_cf_splitting_variants_in_air():
+    A = adv_diff_2d(20)
+    for t in (CFSplittingType.PMIS, CFSplittingType.PMIS_DIST2,
+              CFSplittingType.AGG):
+        pc = PCAIR(AIROptions(cf_splitting_type=t))
+        pc.setup(A)
+        res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=30)
+        assert res.converged, (t, res.iterations)
+
+
+def test_diag_scale_polys():
+    A = adv_diff_2d(20)
+    pc = PCAIR(AIROptions(diag_scale_polys=True))
+    pc.setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=8)
+    assert res.converged, res.iterations
+
+
+def test_auto_truncate():
+    A = adv_diff_2d(20)
+    pc = PCAIR(AIROptions(auto_truncate_start_level=2,
+                          auto_truncate_tol=1e-2,
+                          coarsest_poly_order=12))
+    pc.setup(A)
+    pc_full = PCAIR().setup(A)
+    # truncation must not increase levels
+    assert pc.n_levels <= pc_full.n_levels
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=10)
+    assert res.converged, res.iterations
+
+
+# ~~~~~~~~~~~~~~ reuse semantics ~~~~~~~~~~~~~~
+
+def test_reuse_same_pattern():
+    """reference: tests/reuse_preconditioner.c + docs/reuse.md -- re-setup
+    with SAME pattern reuses the CF splitting and every stored sparsity;
+    complexities must be identical across the rebuild."""
+    A = adv_diff_2d(25)
+    pc = PCAIR(AIROptions(reuse_sparsity=True))
+    pc.setup(A)
+    s1 = pc.stats()
+    its1 = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=10).iterations
+
+    A2 = A.copy()
+    A2.data = A2.data * 1.1  # same pattern, new values
+    pc.setup(A2, structure="same")
+    s2 = pc.stats()
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=10)
+    assert res.converged
+    assert s1["levels"] == s2["levels"]
+    assert np.isclose(s1["grid_complexity"], s2["grid_complexity"])
+
+
+def test_reuse_poly_coeffs_identical():
+    """Frozen coefficients + same matrix reproduce the preconditioner
+    exactly (reference: tests/ex6f_getcoeffs.F90 semantics)."""
+    A = adv_diff_2d(20)
+    pc = PCAIR(AIROptions(reuse_sparsity=True, reuse_poly_coeffs=True))
+    pc.setup(A)
+    h1 = pc.solve(rhs(A.shape[0]), rtol=1e-8, max_it=20).history
+    pc.setup(A, structure="same")
+    h2 = pc.solve(rhs(A.shape[0]), rtol=1e-8, max_it=20).history
+    assert len(h1) == len(h2)
+    assert np.allclose(h1, h2, rtol=1e-8)
+
+
+def test_freeze_preconditioner():
+    """KSPSetReusePreconditioner analogue (reference: src/PCAIR.c:150-166)."""
+    A = adv_diff_2d(20)
+    pc = PCAIR().setup(A)
+    lv = pc.hierarchy
+    pc.freeze(True)
+    A2 = A.copy()
+    A2.data = A2.data * 2.0
+    pc.setup(A2)
+    assert pc.hierarchy is lv  # untouched while frozen
+    pc.freeze(False)
+    pc.setup(A2)
+    assert pc.hierarchy is not lv
