@@ -27,6 +27,7 @@ from .solvers import gmres, fgmres, richardson
 from .inverse import build_inverse, Inverse
 from .options import AIROptions, PFLAREINVOptions, parse_smooth_order
 from .air import PCAIR
+from .pcpflareinv import PCPFLAREINV
 from .cf import compute_cf_splitting, compute_diag_dom_submatrix
 from .sparse.ops import remove_from_sparse_match as _rfsm  # public C API parity
 
@@ -57,6 +58,7 @@ __all__ = [
     "PFLAREINVOptions",
     "parse_smooth_order",
     "PCAIR",
+    "PCPFLAREINV",
     "compute_cf_splitting",
     "compute_diag_dom_submatrix",
 ]

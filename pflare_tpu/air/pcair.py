@@ -34,11 +34,13 @@ class PCAIR:
         res = pc.solve(b, ...)   # GMRES with this PC
     """
 
-    def __init__(self, options: AIROptions | None = None, **kw):
+    def __init__(self, options: AIROptions | None = None, jit: bool = True,
+                 **kw):
         opts = options or AIROptions()
         if kw:
             opts = opts.replace(**kw)
         self.options = opts
+        self.jit = jit  # jit=False runs the cycle eagerly (cheap for tests)
         self.hierarchy: Hierarchy | None = None
         self._apply_jit = None
         self._frozen = False  # KSPSetReusePreconditioner analogue
@@ -84,19 +86,16 @@ class PCAIR:
         if not hier.levels:
             # single level: precondition with the coarse solve directly
             # (reference: src/AIR_MG_Setup.F90:1158-1175)
-            coarse_inv = hier.coarse_inv
-            self._apply_jit = jax.jit(lambda levels, ci, r: ci.apply(r))
+            fn = lambda levels, ci, r: ci.apply(r)
         elif opts.full_smoothing_up_and_down:
-            self._apply_jit = jax.jit(
-                lambda levels, ci, r: vcycle_full(levels, ci, r)
-            )
+            fn = lambda levels, ci, r: vcycle_full(levels, ci, r)
         else:
             smooth_order = opts.smooth_order
 
-            def _apply(levels, ci, r):
+            def fn(levels, ci, r):
                 return vcycle_kaskade(levels, ci, r, smooth_order)
 
-            self._apply_jit = jax.jit(_apply)
+        self._apply_jit = jax.jit(fn) if self.jit else fn
 
     # ~~~~~~~~~~ apply / solve ~~~~~~~~~~
     def apply(self, r):

@@ -128,11 +128,15 @@ def coefficients_power(matvec, n, poly_order, dtype=jnp.float64,
         R = np.linalg.qr(np.asarray(K, dtype=np.float64), mode="r")
     else:
         R = qr_reduce(K)
-    g0 = np.zeros(subspace + 1)
+    # R has min(n, subspace+1) rows: tiny matrices (order clamped to n-1)
+    # give a wide K whose R is n x (subspace+1)
+    g0 = np.zeros(R.shape[0])
     g0[0] = R[0, 0]
     tol = tolerances(dtype)
     g, *_ = np.linalg.lstsq(R[:, 1:], g0, rcond=tol.rcond)
-    return g[:subspace]
+    out = np.zeros(subspace)
+    out[: len(g)] = g[:subspace]
+    return out
 
 
 # ~~~~~~~~~~~~~~~~~~~~~~ appliers ~~~~~~~~~~~~~~~~~~~~~~

@@ -1,22 +1,14 @@
 """Test configuration: CPU backend with 8 virtual devices, float64 enabled.
 
-Multi-chip sharding is validated on a virtual CPU mesh
-(xla_force_host_platform_device_count); real-TPU benchmarking happens in
-bench.py.  Must run before jax initialises.
+The session environment pins jax_platforms to "axon,cpu" (a TPU plugin), and
+the env-var route (JAX_PLATFORMS) is overridden -- so force the platform via
+config.update, which must happen before the backend initialises.  Multi-chip
+sharding is validated on the virtual 8-device CPU mesh; real-TPU
+benchmarking happens in bench.py.
 """
 
-import os
+import jax
 
-# Hard-set: the session environment may point JAX_PLATFORMS at a TPU; tests
-# must run on the virtual-8-device CPU backend in exact float64.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_ENABLE_X64"] = "1"
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
