@@ -90,11 +90,26 @@ class Hierarchy:
     coarse_inv: Inverse
     options: AIROptions
     auto_truncated: bool = False
-    device_levels: list = field(default_factory=list)
+    _device_levels: list | None = None
 
     @property
     def n_levels(self):
         return len(self.levels) + 1
+
+    @property
+    def device_levels(self):
+        """Device pytree of the hierarchy, uploaded lazily on first use
+        (the h2d copy belongs to the warmup phase, like the reference's
+        prelim-solve "gpu copy stage", reference: tests/adv_diff_fd.c:327)."""
+        if self._device_levels is None:
+            self._device_levels = [
+                lvl.to_device(self.options) for lvl in self.levels
+            ]
+        return self._device_levels
+
+    @device_levels.setter
+    def device_levels(self, value):
+        self._device_levels = value
 
 
 def _is_diagonal_only(A: sp.csr_matrix) -> bool:
@@ -105,8 +120,10 @@ def _is_diagonal_only(A: sp.csr_matrix) -> bool:
 
 
 def _diag_inverse(A: sp.csr_matrix) -> Inverse:
-    d = A.diagonal()
-    return Inverse("diagonal", diag=jnp.asarray(np.where(d != 0, 1.0 / d, 0.0)))
+    d = np.where(A.diagonal() != 0, 1.0 / A.diagonal(), 0.0)
+    inv = Inverse("diagonal", diag=jnp.asarray(d))
+    inv.host_diag = d
+    return inv
 
 
 def _build_aff_inverse(A_ff, opts: AIROptions, inverse_type, poly_order,
@@ -227,10 +244,8 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
                     A_scipy=A, seed=opts.seed, coefficients=prev_coeffs,
                 )
 
-    hier = Hierarchy(levels, A, coarse_inv, opts,
+    return Hierarchy(levels, A, coarse_inv, opts,
                      auto_truncated=auto_truncated)
-    hier.device_levels = [lvl.to_device(opts) for lvl in levels]
-    return hier
 
 
 def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
@@ -286,10 +301,7 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                 )
             else:
                 inv_dropped = inv_Aff
-            if inv_dropped.kind == "diagonal":
-                inv_Aff_host = sp.diags(np.asarray(inv_dropped.diag)).tocsr()
-            else:
-                inv_Aff_host = inv_dropped.mat.to_scipy()
+            inv_Aff_host = _assembled_host(inv_dropped)
 
     # ~~~~~~~~~~ C-point smoother inverse ~~~~~~~~~~
     inv_Acc = None
@@ -393,6 +405,14 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
 
 
 def _assembled_host(inv: Inverse) -> sp.csr_matrix:
+    """Host copy of an assembled inverse WITHOUT a device->host transfer
+    when the setup-phase scipy copy is available (d2h through the TPU
+    tunnel is catastrophically slow)."""
     if inv.kind == "diagonal":
-        return sp.diags(np.asarray(inv.diag)).tocsr()
+        d = getattr(inv, "host_diag", None)
+        if d is None:
+            d = np.asarray(inv.diag)
+        return sp.diags(d).tocsr()
+    if getattr(inv, "host_csr", None) is not None:
+        return inv.host_csr
     return inv.mat.to_scipy()

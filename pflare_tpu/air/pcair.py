@@ -136,6 +136,48 @@ class PCAIR:
     def stats(self):
         return compute_stats(self.hierarchy)
 
+    def view(self, out=print):
+        """Pretty-print the configuration (the PCView analogue, reference:
+        src/PCAIR.c:3034-3599)."""
+        o = self.options
+        lines = [
+            "PCAIR (reduction multigrid with approximate ideal restriction)",
+            f"  levels requested/built: {o.max_levels}/{self.n_levels}",
+            f"  CF splitting: {o.cf_splitting_type.name}, strong threshold "
+            f"{o.strong_threshold}, luby steps {o.max_luby_steps}, "
+            f"ddc its {o.ddc_its} fraction {o.ddc_fraction}",
+            f"  Z: {o.z_type.name}"
+            + (f", lair distance {o.lair_distance}" if o.z_type.value else "")
+            + f", strong R threshold {o.strong_r_threshold}",
+            f"  prolongator: "
+            f"{'one-point classical' if o.one_point_classical_prolong else 'ideal'}"
+            + (", symmetric (R^T)" if o.symmetric else ""),
+            f"  A_ff inverse: {o.inverse_type.name}, order {o.poly_order}, "
+            f"sparsity order {o.inverse_sparsity_order}, "
+            f"{'matrix-free' if o.matrix_free_polys else 'assembled'}"
+            + (", diag-scaled" if o.diag_scale_polys else ""),
+            f"  smoothing: {o.smooth_order} "
+            f"({'full up/down' if o.full_smoothing_up_and_down else 'F/C Kaskade'})",
+            f"  coarse solver: {o.coarsest_inverse_type.name}, order "
+            f"{o.coarsest_poly_order}, "
+            f"{'matrix-free' if o.coarsest_matrix_free_polys else 'assembled'}",
+            f"  drop: r_drop {o.r_drop}, a_drop {o.a_drop}, "
+            f"lump {o.a_lump}",
+            f"  reuse: sparsity {o.reuse_sparsity}, amount {o.reuse_amount}, "
+            f"poly coeffs {o.reuse_poly_coeffs}",
+        ]
+        if self.hierarchy is not None:
+            s = compute_stats(self.hierarchy)
+            lines.append(
+                f"  complexities: grid {s['grid_complexity']:.3f}, operator "
+                f"{s['operator_complexity']:.3f}, cycle "
+                f"{s['cycle_complexity']:.3f}, storage "
+                f"{s['storage_complexity']:.3f}"
+            )
+        for ln in lines:
+            out(ln)
+        return "\n".join(lines)
+
     def get_poly_coefficients(self, level: int):
         """Per-level polynomial coefficient extraction (reference:
         PCAIRGetPolyCoeffs, include/pflare.h:191)."""

@@ -45,7 +45,7 @@ class Inverse:
     """
 
     def __init__(self, kind, mat=None, coefficients=None, steps=(),
-                 diag=None, scaled=False, meta=None):
+                 diag=None, scaled=False, meta=None, host_csr=None):
         self.kind = kind
         self.mat = mat
         self.coefficients = coefficients
@@ -53,6 +53,10 @@ class Inverse:
         self.diag = diag
         self.scaled = scaled
         self.meta = meta or {}
+        # host-side scipy copy of the assembled inverse (setup-phase only;
+        # avoids device->host transfers when the hierarchy needs it for
+        # SpGEMMs).  Not part of the pytree.
+        self.host_csr = host_csr
 
     def tree_flatten(self):
         leaves = (self.mat, self.coefficients, self.diag)
@@ -160,10 +164,24 @@ def build_inverse(
 
     # ~~~~~~~~~~ Jacobi family: assembled diagonal ~~~~~~~~~~
     if inverse_type in (InverseType.JACOBI, InverseType.WJACOBI):
+        if A_scipy is not None:
+            d_np = np.asarray(A_scipy.diagonal())
+            if inverse_type == InverseType.WJACOBI:
+                # hypre weight 3/(4 ||D^-1/2 A D^-1/2||_inf)
+                # (reference: src/Weighted_Jacobi.F90:44-66)
+                inv_ds = np.where(np.abs(d_np) > 0,
+                                  1.0 / np.sqrt(np.abs(d_np)), 0.0)
+                Dm = sp.diags(inv_ds)
+                norm_inf = float(np.abs(Dm @ A_scipy @ Dm).sum(axis=1).max())
+                weight = 3.0 / (4.0 * norm_inf)
+            else:
+                weight = 1.0
+            inv_diag = jnp.asarray(
+                np.where(d_np != 0, weight / d_np, 0.0), dtype=dtype)
+            return Inverse("diagonal", diag=inv_diag,
+                           meta={"type": int(inverse_type)})
         diag = A.diagonal()
         if inverse_type == InverseType.WJACOBI:
-            # hypre weight 3/(4 ||D^-1/2 A D^-1/2||_inf)
-            # (reference: src/Weighted_Jacobi.F90:44-66)
             dsqrt = jnp.sqrt(jnp.abs(diag))
             inv_ds = jnp.where(dsqrt > 0, 1.0 / dsqrt, 0.0)
             scaled_rows = jnp.abs(A.data * inv_ds[:, None] *
@@ -185,11 +203,12 @@ def build_inverse(
         M = sai_inverse(A_host, incomplete=(inverse_type == InverseType.ISAI),
                         sparsity=S)
         return Inverse("assembled", mat=ELL.from_scipy(M, dtype=dtype),
-                       meta={"type": int(inverse_type)})
+                       meta={"type": int(inverse_type)}, host_csr=M)
 
     # ~~~~~~~~~~ Neumann ~~~~~~~~~~
     if inverse_type == InverseType.NEUMANN:
-        diag = A.diagonal()
+        diag = (jnp.asarray(A_scipy.diagonal(), dtype=dtype)
+                if A_scipy is not None else A.diagonal())
         ones = jnp.ones(poly_order + 1, dtype=dtype)
         if matrix_free:
             return Inverse("neumann_mf", mat=A, coefficients=ones, diag=diag,
@@ -201,19 +220,34 @@ def build_inverse(
         N = sp.eye(n, format="csr") - sp.diags(1.0 / d) @ A_host
         N = sp.csr_matrix(N)
         N.sort_indices()
-        N_ell = ELL.from_scipy(N, dtype=dtype)
-        plan = FixedSparsityPolyPlan(N_ell.pattern, poly_order, sparsity_order)
-        M = plan.execute(N_ell, ones)
-        M_host = M.to_scipy() @ sp.diags(1.0 / d)
+        from ..sparse.pattern import SparsityPattern as _SP
+        pat_N = _SP(N.indptr, N.indices, N.shape)
+        plan = FixedSparsityPolyPlan(pat_N, poly_order, sparsity_order)
+        M_host = plan.execute_host(N, np.ones(poly_order + 1))
+        M_host = sp.csr_matrix(M_host @ sp.diags(1.0 / d))
         return Inverse("assembled", mat=ELL.from_scipy(M_host, dtype=dtype),
-                       meta={"type": int(inverse_type)})
+                       meta={"type": int(inverse_type)}, host_csr=M_host)
 
     # ~~~~~~~~~~ GMRES polynomial family ~~~~~~~~~~
-    diag = A.diagonal() if diag_scale else None
-    if diag_scale:
-        matvec = lambda v: A.matvec(v) / diag
+    # Coefficient iteration runs on host (scipy matvecs, zero XLA compiles)
+    # whenever the host matrix is available; on a sharded device matrix the
+    # jnp path is used and the reductions ride the mesh.
+    use_host = A_scipy is not None
+    if use_host:
+        xp = np
+        d_np = np.asarray(A_scipy.diagonal()) if diag_scale else None
+        diag = jnp.asarray(d_np, dtype=dtype) if diag_scale else None
+        if diag_scale:
+            matvec = lambda v: (A_scipy @ v) / d_np
+        else:
+            matvec = lambda v: A_scipy @ v
     else:
-        matvec = A.matvec
+        xp = jnp
+        diag = A.diagonal() if diag_scale else None
+        if diag_scale:
+            matvec = lambda v: A.matvec(v) / diag
+        else:
+            matvec = A.matvec
 
     if inverse_type in (InverseType.NEWTON, InverseType.NEWTON_NO_EXTRA):
         if coefficients is not None:
@@ -222,6 +256,7 @@ def build_inverse(
             wr, wi = newton_roots(
                 matvec, n, poly_order, dtype,
                 add_roots=(inverse_type == InverseType.NEWTON), seed=seed,
+                xp=xp,
             )
         steps = build_newton_program(wr, wi, tol.zero)
         if matrix_free:
@@ -244,9 +279,10 @@ def build_inverse(
         coeffs = np.asarray(coefficients, dtype=np.float64)
     elif inverse_type == InverseType.POWER:
         coeffs = coefficients_power(matvec, n, poly_order, dtype, seed=seed,
-                                    qr_reduce=qr_reduce)
+                                    qr_reduce=qr_reduce, xp=xp)
     elif inverse_type == InverseType.ARNOLDI:
-        coeffs = coefficients_arnoldi(matvec, n, poly_order, dtype, seed=seed)
+        coeffs = coefficients_arnoldi(matvec, n, poly_order, dtype, seed=seed,
+                                      xp=xp)
     else:
         raise ValueError(f"unknown inverse type {inverse_type}")
 
@@ -288,14 +324,13 @@ def _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
     n = A.shape[0]
     poly_order = len(coeffs) - 1
     meta = {"type": itype}
+    A_host = A_scipy if A_scipy is not None else A.to_scipy()
     if diag_scale:
         d_np = np.asarray(diag)
-        A_host = A_scipy if A_scipy is not None else A.to_scipy()
         A_use_host = sp.csr_matrix(sp.diags(1.0 / d_np) @ A_host)
         A_use_host.sort_indices()
-        A_use = ELL.from_scipy(A_use_host, dtype=dtype)
     else:
-        A_use = A
+        A_use_host = A_host
 
     if poly_order == 0:
         inv_diag = jnp.full(n, float(coeffs[0]), dtype=dtype)
@@ -304,12 +339,14 @@ def _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
         return Inverse("diagonal", diag=inv_diag, meta=meta,
                        coefficients=jnp.asarray(coeffs, dtype=dtype))
 
-    plan = FixedSparsityPolyPlan(A_use.pattern, poly_order, sparsity_order)
-    M = plan.execute(A_use, jnp.asarray(coeffs, dtype=dtype))
+    from ..sparse.pattern import SparsityPattern as _SP
+    pat = _SP(A_use_host.indptr, A_use_host.indices, A_use_host.shape)
+    plan = FixedSparsityPolyPlan(pat, poly_order, sparsity_order)
+    M_host = plan.execute_host(A_use_host, coeffs)
     if diag_scale:
-        M_host = M.to_scipy() @ sp.diags(1.0 / np.asarray(diag))
-        M = ELL.from_scipy(sp.csr_matrix(M_host), dtype=dtype)
-    inv = Inverse("assembled", mat=M, meta=meta,
+        M_host = sp.csr_matrix(M_host @ sp.diags(1.0 / np.asarray(diag)))
+    M = ELL.from_scipy(M_host, dtype=dtype)
+    inv = Inverse("assembled", mat=M, meta=meta, host_csr=M_host,
                   coefficients=(jnp.asarray(coeffs, dtype=dtype)
                                 if roots is None else
                                 jnp.asarray(np.stack(roots), dtype=dtype)))

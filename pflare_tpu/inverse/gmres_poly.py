@@ -22,7 +22,7 @@ import numpy as np
 from ..params import tolerances
 
 
-def box_muller(n: int, dtype=jnp.float64, seed: int = 17) -> jnp.ndarray:
+def box_muller(n: int, dtype=jnp.float64, seed: int = 17, xp=jnp):
     """Normal random RHS via Box-Muller, deterministic seed (reference:
     src/Gmres_Poly.F90:139-209: N(0,1) preserves white noise in the
     eigenspace)."""
@@ -30,21 +30,27 @@ def box_muller(n: int, dtype=jnp.float64, seed: int = 17) -> jnp.ndarray:
     u1 = rng.random(n)
     u2 = rng.random(n)
     z = np.sqrt(-2.0 * np.log1p(-u1)) * np.cos(2.0 * np.pi * u2)
+    if xp is np:
+        return z.astype(np.float64)
     return jnp.asarray(z, dtype=dtype)
 
 
 def arnoldi_host(matvec, n, poly_order, dtype, lucky_tol, compute_cn=False,
-                 rel_tol=None, seed: int = 17):
+                 rel_tol=None, seed: int = 17, xp=jnp):
     """Plain Arnoldi storing the unrotated H (and optionally C_n with
     V_n = K_n C_n) -- reference: src/Gmres_Poly.F90:308-456.
+
+    ``xp=np`` runs fully on host (matvec should then be scipy) -- the
+    setup-phase path, avoiding per-shape XLA compiles; ``xp=jnp`` keeps the
+    basis on device (the sharded path: the dots become psums).
 
     Returns (beta, H, m, C, y): H is (order+2, order+1) numpy; m is the
     numerically reached order; C maps Krylov to Arnoldi coordinates; y the
     LS solution when rel_tol is active.
     """
     subspace = poly_order + 1
-    r0 = box_muller(n, dtype, seed)
-    beta = float(jnp.linalg.norm(r0))
+    r0 = box_muller(n, dtype, seed, xp=xp)
+    beta = float(xp.linalg.norm(r0))
     V = [r0 / beta]
     H = np.zeros((subspace + 1, subspace))
     C = np.zeros((subspace + 1, subspace + 1)) if compute_cn else None
@@ -58,14 +64,14 @@ def arnoldi_host(matvec, n, poly_order, dtype, lucky_tol, compute_cn=False,
             c_j = np.zeros(subspace + 1)
             c_j[1 : j + 2] = C[: j + 1, j]
         # all Hessenberg entries in one batched dot (one reduction)
-        Vstack = jnp.stack(V[: j + 1])
+        Vstack = xp.stack(V[: j + 1])
         h = np.asarray(Vstack @ w)
         H[: j + 1, j] = h
-        w = w - jnp.tensordot(jnp.asarray(h, dtype=dtype), Vstack, axes=1)
+        w = w - xp.tensordot(xp.asarray(h).astype(w.dtype), Vstack, axes=1)
         if compute_cn:
             for i in range(j + 1):
                 c_j[: i + 1] -= C[: i + 1, i] * H[i, j]
-        hj1 = float(jnp.linalg.norm(w))
+        hj1 = float(xp.linalg.norm(w))
         H[j + 1, j] = hj1
         m = j + 1
         if hj1 < lucky_tol:
@@ -93,13 +99,13 @@ def _ls_solve_arnoldi(beta, m, H):
 
 
 def coefficients_arnoldi(matvec, n, poly_order, dtype=jnp.float64,
-                         seed: int = 17) -> np.ndarray:
+                         seed: int = 17, xp=jnp) -> np.ndarray:
     """Arnoldi-basis polynomial coefficients per Nachtigal et al. 1992
     (reference: src/Gmres_Poly.F90:460-548): coeffs = C_n[1:m,1:m] @ y."""
     tol = tolerances(dtype)
     beta, H, m, C, y = arnoldi_host(
         matvec, n, poly_order, dtype, tol.lucky, compute_cn=True,
-        rel_tol=tol.arnoldi, seed=seed,
+        rel_tol=tol.arnoldi, seed=seed, xp=xp,
     )
     coeffs = np.zeros(poly_order + 1)
     coeffs[:] = (C[: poly_order + 1, : poly_order + 1] @ y[: poly_order + 1])[
@@ -109,7 +115,7 @@ def coefficients_arnoldi(matvec, n, poly_order, dtype=jnp.float64,
 
 
 def coefficients_power(matvec, n, poly_order, dtype=jnp.float64,
-                       seed: int = 17, qr_reduce=None) -> np.ndarray:
+                       seed: int = 17, qr_reduce=None, xp=jnp) -> np.ndarray:
     """Power-basis coefficients with a single QR reduction (reference:
     src/Gmres_Poly.F90:552-776).
 
@@ -119,11 +125,11 @@ def coefficients_power(matvec, n, poly_order, dtype=jnp.float64,
     distributed TSQR (local QR + psum of stacked R factors).
     """
     subspace = poly_order + 1
-    b = box_muller(n, dtype, seed)
+    b = box_muller(n, dtype, seed, xp=xp)
     cols = [b]
     for _ in range(subspace):
         cols.append(matvec(cols[-1]))
-    K = jnp.stack(cols, axis=1)  # [n, subspace+1]
+    K = xp.stack(cols, axis=1)  # [n, subspace+1]
     if qr_reduce is None:
         R = np.linalg.qr(np.asarray(K, dtype=np.float64), mode="r")
     else:

@@ -139,12 +139,16 @@ def compute_extra_roots(real_roots, imag_roots, tol_zero):
     return np.asarray(out_r), np.asarray(out_i)
 
 
-def newton_roots(matvec, n, poly_order, dtype, add_roots=True, seed: int = 17):
+def newton_roots(matvec, n, poly_order, dtype, add_roots=True, seed: int = 17,
+                 xp=None):
     """Harmonic Ritz values in modified-Leja order (reference:
     src/Gmres_Poly_Newton.F90:379-712).  Returns (real, imag) arrays."""
+    import jax.numpy as jnp
+    if xp is None:
+        xp = jnp
     tol = tolerances(dtype)
     beta, H, m, _, _ = arnoldi_host(matvec, n, poly_order, dtype, tol.lucky,
-                                    seed=seed)
+                                    seed=seed, xp=xp)
     d = poly_order + 1
     # Harmonic Ritz: H_sq + f e_d^T with f = H[d,d-1]^2 * (H_sq^-T e_d)
     H_sq = H[:d, :d].copy()

@@ -36,18 +36,46 @@ class SpGEMMPlan:
         self.pat_A = pat_A
         self.pat_B = pat_B
         self.pat_C = pat_C
-        self.a_slot = jnp.asarray(a_slot)
-        self.b_slot = jnp.asarray(b_slot)
-        self.out_pos = jnp.asarray(out_pos)
+        self.a_slot_np = np.asarray(a_slot)
+        self.b_slot_np = np.asarray(b_slot)
+        self.out_pos_np = np.asarray(out_pos)
+        self._dev = None
+
+    def _device_arrays(self):
+        if self._dev is None:
+            self._dev = (jnp.asarray(self.a_slot_np),
+                         jnp.asarray(self.b_slot_np),
+                         jnp.asarray(self.out_pos_np))
+        return self._dev
+
+    @property
+    def a_slot(self):
+        return self._device_arrays()[0]
+
+    @property
+    def b_slot(self):
+        return self._device_arrays()[1]
+
+    @property
+    def out_pos(self):
+        return self._device_arrays()[2]
 
     def execute(self, A: ELL, B: ELL) -> ELL:
-        """Numeric product (jit-friendly; shapes are static)."""
-        a = A.data.reshape(-1)[self.a_slot]
-        b = B.data.reshape(-1)[self.b_slot]
+        """Numeric product on device (jit-friendly; shapes are static)."""
+        a_slot, b_slot, out_pos = self._device_arrays()
+        a = A.data.reshape(-1)[a_slot]
+        b = B.data.reshape(-1)[b_slot]
         c_flat = jax.ops.segment_sum(
-            a * b, self.out_pos, num_segments=self.pat_C.nnz
+            a * b, out_pos, num_segments=self.pat_C.nnz
         )
         return ELL.from_flat(self.pat_C, c_flat)
+
+    def execute_host(self, a_flat: np.ndarray, b_flat: np.ndarray) -> np.ndarray:
+        """Numeric product on host (setup phase): flat ELL value arrays in,
+        CSR-ordered C values out."""
+        prod = a_flat[self.a_slot_np] * b_flat[self.b_slot_np]
+        return np.bincount(self.out_pos_np, weights=prod,
+                           minlength=self.pat_C.nnz)
 
 
 def build_spgemm_plan(
@@ -110,10 +138,15 @@ class FixedSparsityPolyPlan:
         self.order = order
         self.sparsity_order = max(1, min(sparsity_order, order))
         A = pat_A.csr_bool().astype(np.float64)
-        # Pattern S = pattern of A^sparsity_order (plus diagonal)
+        # Pattern S = union of the diagonal and every power up to
+        # sparsity_order (a matrix with structural zero diagonal -- e.g. the
+        # Neumann N = I - D^-1 A -- has pattern(A^2) not containing
+        # pattern(A), so the union is required for the c1*A term to land)
         S = A.copy()
+        power = A
         for _ in range(self.sparsity_order - 1):
-            S = _csr64(S @ A)
+            power = _csr64(power @ A)
+            S = _csr64(S + power)
         n = min(pat_A.shape)
         S = _csr64(
             S + sp.csr_matrix((np.ones(n), (np.arange(n), np.arange(n))), shape=S.shape)
@@ -124,9 +157,12 @@ class FixedSparsityPolyPlan:
         # (X@A) keeps the running power in the first operand.
         self.step_plan = build_spgemm_plan(self.pat_S, pat_A, self.pat_S)
         # Plan to inject A itself onto S
-        self.inject_pos = jnp.asarray(self.pat_S.find(pat_A.row_of_pos(), pat_A.indices))
-        self.inject_slot = jnp.asarray(pat_A.slot_of_pos)
-        self.diag_pos = jnp.asarray(self.pat_S.diag_positions())
+        self.inject_pos_np = self.pat_S.find(pat_A.row_of_pos(), pat_A.indices)
+        self.inject_slot_np = pat_A.slot_of_pos
+        self.diag_pos_np = self.pat_S.diag_positions()
+        self.inject_pos = jnp.asarray(self.inject_pos_np)
+        self.inject_slot = jnp.asarray(self.inject_slot_np)
+        self.diag_pos = jnp.asarray(self.diag_pos_np)
 
     def execute(self, A: ELL, coefficients) -> ELL:
         """coefficients: [order+1] array (c0 ... c_order)."""
@@ -148,6 +184,35 @@ class FixedSparsityPolyPlan:
             jnp.where(self.diag_pos >= 0, coefficients[0], 0.0)
         )
         return ELL.from_flat(self.pat_S, acc_flat)
+
+    def execute_host(self, A_csr, coefficients) -> "sp.csr_matrix":
+        """Host numeric path (setup phase, no XLA): same plan, numpy
+        bincount segment sums."""
+        coefficients = np.asarray(coefficients, dtype=np.float64)
+        patA, patS = self.pat_A, self.pat_S
+        a_flat = np.zeros(patA.shape[0] * patA.K)
+        a_flat[patA.slot_of_pos] = A_csr.data
+        a_on_s = np.bincount(self.inject_pos_np,
+                             weights=a_flat[self.inject_slot_np],
+                             minlength=patS.nnz)
+        acc = coefficients[1] * a_on_s
+        power_csr = a_on_s
+
+        def to_flat(csr_vals):
+            flat = np.zeros(patS.shape[0] * patS.K)
+            flat[patS.slot_of_pos] = csr_vals
+            return flat
+
+        for k in range(2, self.order + 1):
+            power_csr = self.step_plan.execute_host(to_flat(power_csr), a_flat)
+            acc = acc + coefficients[k] * power_csr
+        dmask = self.diag_pos_np >= 0
+        acc[self.diag_pos_np[dmask]] += coefficients[0]
+        out = sp.csr_matrix(
+            (acc, patS.indices.astype(np.int64), patS.indptr), shape=patS.shape
+        )
+        out.sort_indices()
+        return out
 
 
 def scipy_matmat(A: sp.csr_matrix, B: sp.csr_matrix) -> sp.csr_matrix:
