@@ -91,6 +91,15 @@ def pmisr_existing_measure(strength_mat, measure, cf_markers,
         cf[zero_nodes] = C_POINT if pmis else F_POINT
     assigned |= zero_nodes
 
+    # native Luby loop (C++ host kernel) when available
+    from ..native import pmisr_luby_native
+
+    nat = pmisr_luby_native(G.indptr, G.indices, measure, cf,
+                            assigned.astype(np.uint8), max_luby_steps)
+    if nat is not None:
+        cf, _ = nat
+        return cf
+
     gidx = np.arange(n, dtype=np.int64)
     steps = 0
     while True:

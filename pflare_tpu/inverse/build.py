@@ -339,10 +339,7 @@ def _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
         return Inverse("diagonal", diag=inv_diag, meta=meta,
                        coefficients=jnp.asarray(coeffs, dtype=dtype))
 
-    from ..sparse.pattern import SparsityPattern as _SP
-    pat = _SP(A_use_host.indptr, A_use_host.indices, A_use_host.shape)
-    plan = FixedSparsityPolyPlan(pat, poly_order, sparsity_order)
-    M_host = plan.execute_host(A_use_host, coeffs)
+    M_host = _fixed_sparsity_poly_host(A_use_host, coeffs, sparsity_order)
     if diag_scale:
         M_host = sp.csr_matrix(M_host @ sp.diags(1.0 / np.asarray(diag)))
     M = ELL.from_scipy(M_host, dtype=dtype)
@@ -350,5 +347,38 @@ def _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
                   coefficients=(jnp.asarray(coeffs, dtype=dtype)
                                 if roots is None else
                                 jnp.asarray(np.stack(roots), dtype=dtype)))
-    inv.plan = plan  # kept for numeric-only reuse
     return inv
+
+
+def _fixed_sparsity_poly_host(A: sp.csr_matrix, coeffs, sparsity_order
+                              ) -> sp.csr_matrix:
+    """Host fixed-sparsity polynomial accumulation: every power restricted
+    onto S = union(diag, A, ..., A^sparsity_order) via a boolean mask
+    product (reference: mat_mult_powers_share_sparsity,
+    src/Gmres_Poly.F90:777-920; here as scipy SpGEMM + mask instead of a
+    triple-enumeration plan -- the plan path is only built for device
+    reuse)."""
+    poly_order = len(coeffs) - 1
+    n = min(A.shape)
+    S = A.copy()
+    power_pat = A
+    for _ in range(max(1, min(sparsity_order, poly_order)) - 1):
+        power_pat = (power_pat @ A).tocsr()
+        S = (S + power_pat).tocsr()
+    S_mask = sp.csr_matrix(
+        (np.ones(S.nnz, dtype=np.float64), S.indices, S.indptr), shape=S.shape
+    )
+    eye = sp.csr_matrix((np.ones(n), (np.arange(n), np.arange(n))),
+                        shape=S.shape)
+    S_mask = sp.csr_matrix(S_mask + eye)
+    S_mask.data[:] = 1.0
+
+    A_on_S = sp.csr_matrix(A.multiply(S_mask))
+    acc = coeffs[1] * A_on_S
+    P = A_on_S
+    for k in range(2, poly_order + 1):
+        P = sp.csr_matrix((P @ A).multiply(S_mask))
+        acc = acc + coeffs[k] * P
+    acc = sp.csr_matrix(acc + coeffs[0] * eye)
+    acc.sort_indices()
+    return acc

@@ -1,0 +1,144 @@
+"""Native host-kernel loader: compiles kernels.cpp on first use (ctypes).
+
+Falls back to the numpy implementations transparently when no compiler is
+available.  Set PFLARE_NO_NATIVE=1 to force the numpy paths (also the
+debug-compare lever, mirroring the reference's PFLARE_KOKKOS_DEBUG idea of
+running both implementations, reference: docs/dev/kokkos.md).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _so_path():
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(here, f"_kernels_{sys.implementation.cache_tag}.so")
+
+
+def _build():
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "kernels.cpp")
+    out = _so_path()
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           src, "-o", out]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def get_lib():
+    """The loaded ctypes library, or None if unavailable/disabled."""
+    global _LIB, _TRIED
+    if os.environ.get("PFLARE_NO_NATIVE") == "1":
+        return None
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        path = _so_path()
+        if not os.path.exists(path):
+            path = _build()
+        lib = ctypes.CDLL(path)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.pmisr_luby.restype = ctypes.c_int
+        lib.pmisr_luby.argtypes = [i64p, i64p, ctypes.c_int64, f64p, i64p,
+                                   u8p, ctypes.c_int]
+        lib.plan_count.restype = ctypes.c_int64
+        lib.plan_count.argtypes = [i64p, i64p, i64p, ctypes.c_int64]
+        lib.plan_fill.restype = ctypes.c_int64
+        lib.plan_fill.argtypes = [i64p, i64p, i64p, i64p, i64p, i64p,
+                                  ctypes.c_int64, i64p, i64p, i64p]
+        lib.drop_small.restype = None
+        lib.drop_small.argtypes = [i64p, i64p, f64p, f64p, ctypes.c_int64,
+                                   ctypes.c_int, ctypes.c_int, u8p, f64p]
+        lib.dd_ratio.restype = None
+        lib.dd_ratio.argtypes = [i64p, i64p, f64p, u8p, ctypes.c_int64, f64p]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def _p(a, typ):
+    return a.ctypes.data_as(typ)
+
+
+def _i64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def _f64(a):
+    return np.ascontiguousarray(a, dtype=np.float64)
+
+
+def pmisr_luby_native(indptr, indices, measure, cf, assigned, max_steps):
+    """Returns (cf, rounds) or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = _i64(indptr)
+    indices = _i64(indices)
+    measure = _f64(measure)
+    cf = np.ascontiguousarray(cf, dtype=np.int64)
+    assigned = np.ascontiguousarray(assigned, dtype=np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rounds = lib.pmisr_luby(_p(indptr, i64p), _p(indices, i64p),
+                            len(indptr) - 1, _p(measure, f64p),
+                            _p(cf, i64p), _p(assigned, u8p), int(max_steps))
+    return cf, rounds
+
+
+def plan_triples_native(a_indptr, a_indices, b_indptr, b_indices,
+                        c_indptr, c_indices):
+    """Returns (a_pos, b_pos, c_pos) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    a_indptr = _i64(a_indptr)
+    a_indices = _i64(a_indices)
+    b_indptr = _i64(b_indptr)
+    b_indices = _i64(b_indices)
+    c_indptr = _i64(c_indptr)
+    c_indices = _i64(c_indices)
+    n_rows = len(a_indptr) - 1
+    total = lib.plan_count(_p(a_indptr, i64p), _p(a_indices, i64p),
+                           _p(b_indptr, i64p), n_rows)
+    a_pos = np.empty(total, dtype=np.int64)
+    b_pos = np.empty(total, dtype=np.int64)
+    c_pos = np.empty(total, dtype=np.int64)
+    kept = lib.plan_fill(_p(a_indptr, i64p), _p(a_indices, i64p),
+                         _p(b_indptr, i64p), _p(b_indices, i64p),
+                         _p(c_indptr, i64p), _p(c_indices, i64p), n_rows,
+                         _p(a_pos, i64p), _p(b_pos, i64p), _p(c_pos, i64p))
+    return a_pos[:kept], b_pos[:kept], c_pos[:kept]
+
+
+def dd_ratio_native(indptr, indices, data, f_mask):
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    indptr = _i64(indptr)
+    indices = _i64(indices)
+    data = _f64(data)
+    fm = np.ascontiguousarray(f_mask, dtype=np.uint8)
+    n = len(indptr) - 1
+    out = np.zeros(n, dtype=np.float64)
+    lib.dd_ratio(_p(indptr, i64p), _p(indices, i64p), _p(data, f64p),
+                 _p(fm, u8p), n, _p(out, f64p))
+    return out

@@ -1,0 +1,162 @@
+// Native host kernels for the setup phase.
+//
+// The reference implements its numerical setup in Fortran with Kokkos C++
+// device siblings (reference: src/*.F90 + src/*k.kokkos.cxx).  In this
+// framework the device compute path is XLA; the host setup runtime gets
+// these C++ kernels for the tight loops that don't vectorise well in
+// numpy: the Luby independent-set rounds, SpGEMM product-triple
+// enumeration, and one-pass drop/lump.
+//
+// Plain C ABI over raw pointers, loaded with ctypes (no pybind11 in this
+// image).  All index arrays are int64, values double.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ~~~~~~~~~~~~~~~~~~ Luby PMISR ~~~~~~~~~~~~~~~~~~
+// One full PMISR Luby iteration set over a symmetric graph in CSR form
+// (reference algorithm: src/PMISR_Module.F90:271-670).  cf: 0 undecided,
+// -1 F (independent set), +1 C.  assigned: 0/1.  Runs until all assigned
+// or max_steps rounds (max_steps <= 0 means unbounded).  Returns rounds.
+int pmisr_luby(const int64_t* indptr, const int64_t* indices, int64_t n,
+               const double* measure, int64_t* cf, uint8_t* assigned,
+               int max_steps) {
+    std::vector<uint8_t> in_set(n);
+    int rounds = 0;
+    while (true) {
+        if (max_steps > 0 && rounds >= max_steps) break;
+        int64_t undecided = 0;
+        for (int64_t i = 0; i < n; ++i)
+            if (!assigned[i]) ++undecided;
+        if (undecided == 0) break;
+
+        // candidates: unassigned nodes not beaten by any unassigned
+        // neighbour (smaller measure wins; ties: smaller index wins)
+        for (int64_t i = 0; i < n; ++i) {
+            if (assigned[i]) { in_set[i] = 0; continue; }
+            uint8_t win = 1;
+            const double mi = measure[i];
+            for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+                const int64_t j = indices[p];
+                if (assigned[j]) continue;
+                const double mj = measure[j];
+                if (mi > mj || (mi == mj && i > j)) { win = 0; break; }
+            }
+            in_set[i] = win;
+        }
+        // commit: new set members become F; they and their neighbours
+        // are assigned (neighbours -> C at the end)
+        for (int64_t i = 0; i < n; ++i) {
+            if (!in_set[i]) continue;
+            cf[i] = -1;
+            assigned[i] = 1;
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            if (!in_set[i]) continue;
+            for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+                assigned[indices[p]] = 1;
+        }
+        ++rounds;
+    }
+    for (int64_t i = 0; i < n; ++i)
+        if (cf[i] == 0) cf[i] = 1;  // leftovers become C
+    return rounds;
+}
+
+// ~~~~~~~~~~~~~~~~ SpGEMM plan enumeration ~~~~~~~~~~~~~~~~
+// Count and fill the product triples (i,k)(k,j) of C = A@B restricted to
+// C's pattern (the symbolic half of the fixed-sparsity product plans,
+// reference counterpart: PETSc MatMatMult symbolic).
+int64_t plan_count(const int64_t* a_indptr, const int64_t* a_indices,
+                   const int64_t* b_indptr, int64_t n_rows) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n_rows; ++i)
+        for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+            const int64_t k = a_indices[p];
+            total += b_indptr[k + 1] - b_indptr[k];
+        }
+    return total;
+}
+
+// Fill a_pos/b_pos/c_pos with CSR entry positions; triples whose (i,j)
+// is absent from C are skipped.  Returns the number of kept triples.
+int64_t plan_fill(const int64_t* a_indptr, const int64_t* a_indices,
+                  const int64_t* b_indptr, const int64_t* b_indices,
+                  const int64_t* c_indptr, const int64_t* c_indices,
+                  int64_t n_rows,
+                  int64_t* a_pos, int64_t* b_pos, int64_t* c_pos) {
+    int64_t out = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const int64_t c_lo = c_indptr[i], c_hi = c_indptr[i + 1];
+        for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+            const int64_t k = a_indices[p];
+            for (int64_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+                const int64_t j = b_indices[q];
+                // binary search j in C row i
+                int64_t lo = c_lo, hi = c_hi;
+                while (lo < hi) {
+                    const int64_t mid = (lo + hi) >> 1;
+                    if (c_indices[mid] < j) lo = mid + 1; else hi = mid;
+                }
+                if (lo < c_hi && c_indices[lo] == j) {
+                    a_pos[out] = p;
+                    b_pos[out] = q;
+                    c_pos[out] = lo;
+                    ++out;
+                }
+            }
+        }
+    }
+    return out;
+}
+
+// ~~~~~~~~~~~~~~~~ one-pass drop/lump ~~~~~~~~~~~~~~~~
+// Drop |a_ij| < row_tol[i], never/always/allow dropping the diagonal,
+// optionally lumping dropped values onto the diagonal (reference:
+// src/PETSc_Helper.F90:207-412).  Writes a keep mask and the lump vector.
+void drop_small(const int64_t* indptr, const int64_t* indices,
+                const double* data, const double* row_tol, int64_t n_rows,
+                int drop_diag_mode /*0 never,1 allow,-1 always*/,
+                int lump, uint8_t* keep, double* lump_vec) {
+    for (int64_t i = 0; i < n_rows; ++i) {
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int64_t j = indices[p];
+            const double v = data[p];
+            const bool is_diag = (j == i);
+            bool k = std::fabs(v) >= row_tol[i];
+            if (drop_diag_mode == -1 && is_diag) k = false;
+            else if (drop_diag_mode == 0 && is_diag) k = k || true;
+            if (v == 0.0) k = false;  // MAT_IGNORE_ZERO_ENTRIES
+            keep[p] = k ? 1 : 0;
+            if (!k && lump && v != 0.0) lump_vec[i] += v;
+        }
+    }
+}
+
+// ~~~~~~~~~~~~~~~~ diagonal-dominance ratio ~~~~~~~~~~~~~~~~
+// ratio[i] = sum_{j in F, j != i} |a_ij| / |a_ii| for F rows, else 0
+// (reference: src/MatDiagDom.F90:98).
+void dd_ratio(const int64_t* indptr, const int64_t* indices,
+              const double* data, const uint8_t* f_mask, int64_t n_rows,
+              double* ratio) {
+    for (int64_t i = 0; i < n_rows; ++i) {
+        ratio[i] = 0.0;
+        if (!f_mask[i]) continue;
+        double offsum = 0.0, diag = 0.0;
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int64_t j = indices[p];
+            if (!f_mask[j]) continue;
+            if (j == i) diag = std::fabs(data[p]);
+            else offsum += std::fabs(data[p]);
+        }
+        if (diag > 0.0) ratio[i] = offsum / diag;
+        else if (offsum > 0.0) ratio[i] = INFINITY;
+    }
+}
+
+}  // extern "C"

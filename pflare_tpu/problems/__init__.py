@@ -1,4 +1,5 @@
 from .generators import (
+    dg_upwind_advection_unstructured,
     adv_1d,
     adv_diff_2d,
     adv_diff_3d,
@@ -8,6 +9,7 @@ from .generators import (
 from .io import read_petsc_matrix, read_petsc_vec
 
 __all__ = [
+    "dg_upwind_advection_unstructured",
     "adv_1d",
     "adv_diff_2d",
     "adv_diff_3d",

@@ -270,3 +270,82 @@ def anisotropic_diffusion_2d(nx: int, epsilon: float = 1e-3,
     A.sum_duplicates()
     A.sort_indices()
     return A
+
+
+def dg_upwind_advection_unstructured(n_side: int = 20, theta: float | None = None,
+                                     curved_velocity: bool = False,
+                                     seed: int = 11) -> sp.csr_matrix:
+    """First-order upwind finite-volume advection on an unstructured
+    triangular mesh (the reference's unstructured DG upwind test family,
+    reference: tests/adv_dg_upwind.c).
+
+    Cells are Delaunay triangles of a jittered grid on [0,1]^2; each
+    interior edge contributes an upwinded flux v.n * |e|, outflow boundary
+    edges add to the diagonal, and fully-inflow cells at the boundary pick
+    up their inflow flux on the diagonal (weak Dirichlet).  The operator is
+    strongly asymmetric with unstructured connectivity -- the lAIR target
+    regime.
+    """
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    xs = np.linspace(0.0, 1.0, n_side)
+    X, Y = np.meshgrid(xs, xs)
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    h = 1.0 / (n_side - 1)
+    interior = (pts[:, 0] > 0) & (pts[:, 0] < 1) & (pts[:, 1] > 0) & (pts[:, 1] < 1)
+    pts[interior] += rng.uniform(-0.3 * h, 0.3 * h, size=(interior.sum(), 2))
+    tri = Delaunay(pts)
+    simplices = tri.simplices
+    n_cells = len(simplices)
+    centroids = pts[simplices].mean(axis=1)
+
+    if theta is None:
+        theta = np.pi / 4.0
+
+    def vel(p):
+        if curved_velocity:
+            v = np.array([p[1], 1.0 - p[0]])
+        else:
+            v = np.array([np.cos(theta), np.sin(theta)])
+        nv = np.linalg.norm(v)
+        return v / nv if nv > 1e-12 else v
+
+    rows, cols, vals = [], [], []
+    diag = np.zeros(n_cells)
+    # neighbour array: tri.neighbors[i][k] is the cell across from vertex k
+    for i in range(n_cells):
+        verts = simplices[i]
+        for k in range(3):
+            j = tri.neighbors[i][k]
+            # edge opposite vertex k
+            a, b = pts[verts[(k + 1) % 3]], pts[verts[(k + 2) % 3]]
+            edge = b - a
+            length = np.linalg.norm(edge)
+            nrm = np.array([edge[1], -edge[0]]) / length  # unit normal
+            # orient outward from cell i
+            mid = 0.5 * (a + b)
+            if np.dot(nrm, mid - centroids[i]) < 0:
+                nrm = -nrm
+            flux = np.dot(vel(mid), nrm) * length
+            if j >= 0:
+                if flux > 0:  # outflow across this edge
+                    diag[i] += flux
+                else:         # inflow from neighbour j
+                    rows.append(i)
+                    cols.append(int(j))
+                    vals.append(flux)  # negative
+            else:
+                # boundary edge
+                if flux > 0:
+                    diag[i] += flux           # outflow boundary
+                else:
+                    diag[i] += -flux          # weak inflow Dirichlet
+    rows += list(range(n_cells))
+    cols += list(range(n_cells))
+    vals += list(diag)
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(n_cells, n_cells))
+    A.sum_duplicates()
+    A.eliminate_zeros()
+    A.sort_indices()
+    return A

@@ -211,6 +211,11 @@ def diag_dominance_ratio(A, f_mask: np.ndarray) -> np.ndarray:
     (reference: src/MatDiagDom.F90:98).  Returns an array over F rows in
     order of their appearance.  Rows with a single diagonal entry give 0."""
     A = _canon(A)
+    from ..native import dd_ratio_native
+
+    nat = dd_ratio_native(A.indptr, A.indices, A.data, f_mask)
+    if nat is not None:
+        return nat[np.asarray(f_mask, dtype=bool)]
     rows = row_of_entries(A)
     cols = A.indices
     absval = np.abs(A.data)

@@ -37,6 +37,7 @@ class SparsityPattern:
         "ell_cols",
         "slot_of_pos",
         "_csr_bool",
+        "_keys",
     )
 
     def __init__(self, indptr: np.ndarray, indices: np.ndarray, shape):
@@ -60,6 +61,7 @@ class SparsityPattern:
         self.ell_cols = ell_cols
         self.slot_of_pos = slot_of_pos
         self._csr_bool = None
+        self._keys = None
 
     # Hash by identity: two identical patterns built separately will retrace,
     # which is correct (just mildly wasteful) under jit.
@@ -89,11 +91,13 @@ class SparsityPattern:
         return self._csr_bool
 
     def keys(self) -> np.ndarray:
-        """Global sorted entry keys row*n_cols+col (for pattern lookups)."""
-        rows = np.repeat(
-            np.arange(self.shape[0], dtype=np.int64), np.diff(self.indptr)
-        )
-        return rows * np.int64(self.shape[1]) + self.indices
+        """Global sorted entry keys row*n_cols+col (cached)."""
+        if self._keys is None:
+            rows = np.repeat(
+                np.arange(self.shape[0], dtype=np.int64), np.diff(self.indptr)
+            )
+            self._keys = rows * np.int64(self.shape[1]) + self.indices
+        return self._keys
 
     def find(self, rows, cols):
         """Positions of (rows, cols) entries; -1 where absent."""

@@ -94,27 +94,36 @@ def build_spgemm_plan(
         C = _csr64(A @ B)
         pat_C = SparsityPattern(C.indptr, C.indices, C.shape)
 
-    nnz_A = pat_A.nnz
-    a_rows = pat_A.row_of_pos()
-    a_cols = pat_A.indices
-    b_indptr = pat_B.indptr
-    b_len = np.diff(b_indptr)
+    # native triple enumeration (C++ host kernel) when available
+    from ..native import plan_triples_native
 
-    # per A-entry: number of B entries in row a_cols[t]
-    rep = b_len[a_cols]
-    total = int(rep.sum())
-    a_idx = np.repeat(np.arange(nnz_A, dtype=np.int64), rep)
-    grp_start = np.cumsum(rep) - rep
-    off = np.arange(total, dtype=np.int64) - np.repeat(grp_start, rep)
-    b_idx = np.repeat(b_indptr[a_cols], rep) + off
+    nat = plan_triples_native(pat_A.indptr, pat_A.indices,
+                              pat_B.indptr, pat_B.indices,
+                              pat_C.indptr, pat_C.indices)
+    if nat is not None:
+        a_idx, b_idx, out_pos = nat
+    else:
+        nnz_A = pat_A.nnz
+        a_rows = pat_A.row_of_pos()
+        a_cols = pat_A.indices
+        b_indptr = pat_B.indptr
+        b_len = np.diff(b_indptr)
 
-    i_trip = a_rows[a_idx]
-    j_trip = pat_B.indices[b_idx]
+        # per A-entry: number of B entries in row a_cols[t]
+        rep = b_len[a_cols]
+        total = int(rep.sum())
+        a_idx = np.repeat(np.arange(nnz_A, dtype=np.int64), rep)
+        grp_start = np.cumsum(rep) - rep
+        off = np.arange(total, dtype=np.int64) - np.repeat(grp_start, rep)
+        b_idx = np.repeat(b_indptr[a_cols], rep) + off
 
-    # locate each (i, j) in C's pattern
-    out_pos = pat_C.find(i_trip, j_trip)
-    keep = out_pos >= 0
-    a_idx, b_idx, out_pos = a_idx[keep], b_idx[keep], out_pos[keep]
+        i_trip = a_rows[a_idx]
+        j_trip = pat_B.indices[b_idx]
+
+        # locate each (i, j) in C's pattern
+        out_pos = pat_C.find(i_trip, j_trip)
+        keep = out_pos >= 0
+        a_idx, b_idx, out_pos = a_idx[keep], b_idx[keep], out_pos[keep]
 
     return SpGEMMPlan(
         pat_A, pat_B, pat_C,

@@ -294,3 +294,41 @@ def test_freeze_preconditioner():
     pc.freeze(False)
     pc.setup(A2)
     assert pc.hierarchy is not lv
+
+
+# ~~~~~~~~~~~~~~ BASELINE.json config coverage ~~~~~~~~~~~~~~
+
+def test_unstructured_dg_upwind_lair():
+    """lAIR distance-2 + PMISR-DDC on unstructured DG upwind advection
+    (reference: tests/adv_dg_upwind.c, richardson <= 8 its at rtol 1e-10)."""
+    from pflare_tpu.problems import dg_upwind_advection_unstructured
+
+    A = dg_upwind_advection_unstructured(24)
+    b = rhs(A.shape[0])
+    for z in (ZType.PRODUCT, ZType.LAIR):
+        pc = PCAIR(AIROptions(z_type=z, inverse_type=InverseType.POWER,
+                              a_drop=1e-3), jit=False)
+        pc.setup(A)
+        res = pc.solve(b, rtol=1e-10, max_it=8)
+        assert res.converged, (z, res.iterations)
+
+
+def test_unstructured_dg_upwind_curved():
+    from pflare_tpu.problems import dg_upwind_advection_unstructured
+
+    A = dg_upwind_advection_unstructured(20, curved_velocity=True)
+    pc = PCAIR(AIROptions(a_drop=1e-3), jit=False).setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-10, max_it=10)
+    assert res.converged, res.iterations
+
+
+def test_anisotropic_diffusion():
+    """Heavily anisotropic diffusion (BASELINE.json config list)."""
+    from pflare_tpu.problems import anisotropic_diffusion_2d
+
+    A = anisotropic_diffusion_2d(24, epsilon=1e-3)
+    pc = PCAIR(AIROptions(strong_threshold=0.2).with_smooth_type("ffc"),
+               jit=False)
+    pc.setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-8, max_it=40)
+    assert res.converged, res.iterations
