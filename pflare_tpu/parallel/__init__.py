@@ -1,3 +1,10 @@
+from .tsqr import tsqr_r, make_qr_reduce
+from .repartition import (
+    local_nonlocal_nnz_ratio,
+    should_agglomerate,
+    active_shards_schedule,
+    interleaved_partition,
+)
 from .mesh import (
     make_mesh,
     row_sharding,
@@ -10,6 +17,12 @@ from .mesh import (
 )
 
 __all__ = [
+    "tsqr_r",
+    "make_qr_reduce",
+    "local_nonlocal_nnz_ratio",
+    "should_agglomerate",
+    "active_shards_schedule",
+    "interleaved_partition",
     "make_mesh",
     "row_sharding",
     "replicated",

@@ -67,3 +67,25 @@ def test_mesh_sizes():
     for n in (2, 4, 8):
         mesh = make_mesh(n)
         assert mesh.devices.size == n
+
+
+def test_distributed_tsqr():
+    """Local QR + deterministic R-combine reproduces the serial QR and the
+    power-basis coefficients exactly (the reference's single-reduction TSQR,
+    reference: src/TSQR.F90)."""
+    from pflare_tpu.parallel.tsqr import tsqr_r, make_qr_reduce
+    from pflare_tpu.inverse import coefficients_power
+    from pflare_tpu.problems import random_diag_dominant
+
+    mesh = make_mesh(8)
+    K = jnp.asarray(np.random.default_rng(0).standard_normal((256, 7)))
+    R = np.asarray(tsqr_r(K, mesh))
+    R0 = np.linalg.qr(np.asarray(K), mode="r")
+    assert np.allclose(np.abs(R), np.abs(R0), atol=1e-10)
+
+    A = random_diag_dominant(256, 0.03, seed=1)
+    E = ELL.from_scipy(A)
+    c_ref = coefficients_power(E.matvec, 256, 5, seed=9)
+    c_tsqr = coefficients_power(E.matvec, 256, 5, seed=9,
+                                qr_reduce=make_qr_reduce(mesh))
+    assert np.allclose(c_ref, c_tsqr, rtol=1e-8)
