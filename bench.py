@@ -34,7 +34,6 @@ if _plat:
     jax.config.update("jax_platforms", _plat)
 if X64:
     jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp  # noqa: E402
 
 from pflare_tpu import PCAIR, AIROptions, InverseType, adv_diff_2d  # noqa: E402

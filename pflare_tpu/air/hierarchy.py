@@ -64,6 +64,12 @@ class LevelData:
     device: dict | None = None
 
     def to_device(self, opts: AIROptions):
+        if not opts.full_smoothing_up_and_down:
+            from .fullspace import build_fullspace_level
+
+            d = build_fullspace_level(self, opts)
+            self.device = d
+            return d
         d = {
             "fine": jnp.asarray(self.fine, dtype=jnp.int32),
             "coarse": jnp.asarray(self.coarse, dtype=jnp.int32),

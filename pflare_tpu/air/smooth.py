@@ -47,15 +47,37 @@ def c_smooth(level, b, x, its: int):
     return x.at[coarse].set(x_c)
 
 
+def f_smooth_full(level, b, x, its: int):
+    """Full-space F smoothing: zero vector gathers (see air/fullspace.py)."""
+    t = level["mask_f"] * b - level["A_fc"].matvec(x)
+    inv = level["inv_Aff"]
+    A_ff = level["A_ff"]
+    for _ in range(its):
+        r = t - A_ff.matvec(x)
+        x = x + inv.apply(r)
+    return x
+
+
+def c_smooth_full(level, b, x, its: int):
+    t = level["mask_c"] * b - level["A_cf"].matvec(x)
+    inv = level["inv_Acc"]
+    A_cc = level["A_cc"]
+    for _ in range(its):
+        r = t - A_cc.matvec(x)
+        x = x + inv.apply(r)
+    return x
+
+
 def fc_point_richardson(level, b, x, smooth_order):
     """One smoother application: consecutive F/C groups per smooth_order
     (positive = F smooths, negative = C smooths; reference:
     src/FC_Smooth.F90:421-497)."""
+    full = "mask_f" in level
     for group in smooth_order:
         if group > 0:
-            x = f_smooth(level, b, x, group)
+            x = (f_smooth_full if full else f_smooth)(level, b, x, group)
         elif group < 0:
-            x = c_smooth(level, b, x, -group)
+            x = (c_smooth_full if full else c_smooth)(level, b, x, -group)
     return x
 
 
@@ -76,11 +98,20 @@ def vcycle_kaskade(levels, coarse_inv, r, smooth_order):
     nonzero initial guess).  ``levels`` is a list of level dicts (pytree)."""
     bs = [r]
     for lev in levels:
-        bs.append(lev["R"].matvec(bs[-1]))
+        t = lev["R"].matvec(bs[-1])
+        if "mask_f" in lev:
+            # R_ext wrote the restricted values at coarse positions
+            t = jnp.take(t, lev["coarse"])
+        bs.append(t)
     x = coarse_inv.apply(bs[-1])
     for i in range(len(levels) - 1, -1, -1):
         lev = levels[i]
-        x = lev["P"].matvec(x)
+        if "mask_f" in lev:
+            x_full = jnp.zeros(lev["mask_f"].shape[0],
+                               dtype=x.dtype).at[lev["coarse"]].set(x)
+            x = lev["P"].matvec(x_full)
+        else:
+            x = lev["P"].matvec(x)
         x = fc_point_richardson(lev, bs[i], x, smooth_order)
     return x
 

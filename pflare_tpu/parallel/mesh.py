@@ -96,20 +96,49 @@ def replicate(tree, mesh: Mesh):
     )
 
 
+def _shard_op(op, mesh: Mesh):
+    """Row-shard a device operator (ELL or DIA) if its rows divide the
+    mesh; otherwise replicate."""
+    from ..sparse.dia import DIA
+
+    n_dev = mesh.devices.size
+    if isinstance(op, ELL):
+        if op.shape[0] % n_dev == 0:
+            return shard_ell(op, mesh, pad=False)
+        return replicate(op, mesh)
+    if isinstance(op, DIA):
+        if op.shape[0] % n_dev == 0:
+            sh = NamedSharding(mesh, P(None, ROW_AXIS))
+            return DIA(op.offsets, jax.device_put(op.data, sh), op.shape)
+        return replicate(op, mesh)
+    return replicate(op, mesh)
+
+
 def shard_hierarchy(hierarchy, mesh: Mesh, min_rows_per_device: int = 1):
-    """Shard the finest levels' row-dimension arrays over the mesh;
-    replicate levels too small to benefit (shard agglomeration)."""
+    """Shard each level's row-dimension operators over the mesh; replicate
+    levels too small to benefit (shard agglomeration)."""
+    from ..sparse.dia import DIA
+
     n_dev = mesh.devices.size
     out_levels = []
     for lvl in hierarchy.device_levels:
-        n = int(lvl["A_ff"].shape[0]) + int(lvl["A_fc"].shape[1])
-        if n >= min_rows_per_device * n_dev and n % n_dev == 0:
-            new = dict(lvl)
-            # rows of R and P live on this level's full index space
-            new["R"] = shard_ell(lvl["R"], mesh) if lvl["R"].shape[0] % n_dev == 0 else replicate(lvl["R"], mesh)
-            new["P"] = shard_ell(lvl["P"], mesh) if lvl["P"].shape[0] % n_dev == 0 else replicate(lvl["P"], mesh)
-            out_levels.append(new)
+        if "mask_f" in lvl:
+            n = int(lvl["mask_f"].shape[0])
         else:
+            n = int(lvl["A_ff"].shape[0]) + int(lvl["A_fc"].shape[1])
+        if n < min_rows_per_device * n_dev or n % n_dev != 0:
             out_levels.append(replicate(lvl, mesh))
+            continue
+        new = {}
+        for key, val in lvl.items():
+            if isinstance(val, (ELL, DIA)):
+                new[key] = _shard_op(val, mesh)
+            elif key in ("mask_f", "mask_c") and val.shape[0] % n_dev == 0:
+                new[key] = jax.device_put(val, row_sharding(mesh))
+            elif hasattr(val, "dtype"):
+                new[key] = jax.device_put(val, replicated(mesh))
+            else:
+                new[key] = replicate(val, mesh)
+        out_levels.append(new)
     coarse_inv = replicate(hierarchy.coarse_inv, mesh)
     return out_levels, coarse_inv

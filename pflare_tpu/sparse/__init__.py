@@ -1,5 +1,6 @@
 from .pattern import SparsityPattern
 from .ell import ELL, spmv
+from .dia import DIA
 from .ops import (
     remove_small_from_sparse,
     remove_from_sparse_match,
@@ -14,6 +15,7 @@ from .spgemm import SpGEMMPlan, build_spgemm_plan, FixedSparsityPolyPlan, scipy_
 __all__ = [
     "SparsityPattern",
     "ELL",
+    "DIA",
     "spmv",
     "remove_small_from_sparse",
     "remove_from_sparse_match",
