@@ -71,10 +71,22 @@ class PCAIR:
             if (structure == "same" and self.hierarchy is not None
                     and self.options.reuse_sparsity):
                 previous = self.hierarchy
-            self.hierarchy = setup_hierarchy(
-                A, self.options, previous=previous,
-                near_nullspace=near_nullspace,
-            )
+            # Pin setup-phase arrays to the host CPU device: with a remote
+            # TPU attached, default-device jnp.asarray would push every
+            # intermediate through the tunnel.  Device upload happens
+            # lazily at first apply (the warmup phase).
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+                ctx = jax.default_device(cpu)
+            except Exception:
+                import contextlib
+
+                ctx = contextlib.nullcontext()
+            with ctx:
+                self.hierarchy = setup_hierarchy(
+                    A, self.options, previous=previous,
+                    near_nullspace=near_nullspace,
+                )
         self._build_apply()
         if self.options.print_stats_timings:
             print_stats(self.hierarchy)
