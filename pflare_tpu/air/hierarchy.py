@@ -133,15 +133,33 @@ def _diag_inverse(A: sp.csr_matrix) -> Inverse:
 
 
 def _build_aff_inverse(A_ff, opts: AIROptions, inverse_type, poly_order,
-                       sparsity_order, matrix_free, coefficients=None):
+                       sparsity_order, matrix_free, coefficients=None,
+                       patterns=None, plan_key=None):
     if _is_diagonal_only(A_ff):
         return _diag_inverse(A_ff)
     E = ELL.from_scipy(A_ff)
-    return build_inverse(
+    poly_plan = None
+    if patterns is not None and plan_key is not None:
+        poly_plan = patterns.get(plan_key)
+    inv = build_inverse(
         E, inverse_type, poly_order=poly_order, sparsity_order=sparsity_order,
         matrix_free=matrix_free, diag_scale=opts.diag_scale_polys,
         coefficients=coefficients, A_scipy=A_ff, seed=opts.seed,
+        poly_plan=poly_plan,
     )
+    # cache a numeric plan for assembled polynomial rebuilds on reuse
+    if (patterns is not None and plan_key is not None and poly_plan is None
+        and opts.reuse_sparsity and opts.reuse_amount >= 3
+            and inv.kind == "assembled" and inverse_type in (
+                InverseType.POWER, InverseType.ARNOLDI, InverseType.NEWTON,
+                InverseType.NEWTON_NO_EXTRA)):
+        from ..sparse.pattern import SparsityPattern
+        from ..sparse.spgemm import FixedSparsityPolyPlan
+
+        pa = SparsityPattern(A_ff.indptr, A_ff.indices, A_ff.shape)
+        patterns[plan_key] = FixedSparsityPolyPlan(
+            pa, min(poly_order, max(A_ff.shape[0] - 1, 0)), sparsity_order)
+    return inv
 
 
 def _coarse_solver_quality(A: sp.csr_matrix, inv: Inverse, seed: int) -> float:
@@ -221,6 +239,10 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
 
         prev_lvl = previous.levels[level_idx] if (
             reuse and level_idx < len(previous.levels)) else None
+        # reuse_amount gating (reference: AIR_Data_Type.F90:388-422):
+        # 1 keeps only the CF splitting; >=2 also the stored patterns
+        if prev_lvl is not None and opts.reuse_amount < 2:
+            prev_lvl = None
         lvl = _build_level(A, fine, coarse, opts, tol, prev_lvl,
                            left_nulls, right_nulls)
         levels.append(lvl)
@@ -290,7 +312,8 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
         inv_Aff = _build_aff_inverse(
             smooth_mat, opts, opts.inverse_type, opts.poly_order,
             opts.inverse_sparsity_order, opts.matrix_free_polys,
-            coefficients=prev_coeffs,
+            coefficients=prev_coeffs, patterns=patterns,
+            plan_key="inv_aff_poly_plan",
         )
 
         # AIRG needs an *assembled* inverse of the dropped A_ff for Z
@@ -304,6 +327,7 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                 inv_dropped = _build_aff_inverse(
                     A_ff_drop, opts, opts.inverse_type, opts.poly_order,
                     opts.inverse_sparsity_order, matrix_free=False,
+                    patterns=patterns, plan_key="inv_aff_drop_poly_plan",
                 )
             else:
                 inv_dropped = inv_Aff
@@ -353,7 +377,17 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
     # ~~~~~~~~~~ Z (restrictor component) ~~~~~~~~~~
     with timer("air_restrict"):
         if opts.z_type == ZType.PRODUCT:
-            Z = compute_z_airg(A_cf_drop, inv_Aff_host)
+            zplan = patterns.get("Z_numeric_plan")
+            if prev is not None and zplan is not None and                     zplan.pat_A.nnz == A_cf_drop.nnz and                     zplan.pat_B.nnz == inv_Aff_host.nnz:
+                # numeric-only product against the stored pattern (the
+                # reference's MAT_REUSE_MATRIX path)
+                Z = _plan_product_host(zplan, A_cf_drop, inv_Aff_host)
+                Z.data *= -1.0
+            else:
+                Z = compute_z_airg(A_cf_drop, inv_Aff_host)
+                if opts.reuse_sparsity and opts.reuse_amount >= 2:
+                    patterns["Z_numeric_plan"] = _make_product_plan(
+                        A_cf_drop, inv_Aff_host, Z)
         else:
             Z = compute_z_lair(A_ff, A_cf, A_ff_drop, A_cf_drop,
                                opts.lair_distance,
@@ -389,7 +423,17 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
 
     # ~~~~~~~~~~ RAP ~~~~~~~~~~
     with timer("air_rap"):
-        if prev is not None and "RAP_drop" in patterns:
+        ap_plan = patterns.get("AP_numeric_plan")
+        rap_plan = patterns.get("RAP_numeric_plan")
+        if (prev is not None and "RAP_drop" in patterns
+                and ap_plan is not None and not opts.symmetric
+                and ap_plan.pat_A.nnz == A.nnz
+                and ap_plan.pat_B.nnz == P.nnz):
+            AP = _plan_product_host(ap_plan, A, P)
+            RAP = _plan_product_host(rap_plan, R, AP)
+            coarse_A = remove_from_sparse_match(RAP, patterns["RAP_drop"],
+                                                lump=opts.a_lump)
+        elif prev is not None and "RAP_drop" in patterns:
             if opts.symmetric:
                 RAP = sp.csr_matrix(P.T @ (A @ P))
             else:
@@ -400,6 +444,12 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
             coarse_A, RAP = compute_coarse_matrix(A, R, P, opts.a_drop,
                                                   opts.a_lump, opts.symmetric)
             patterns["RAP_drop"] = coarse_A
+            if (opts.reuse_sparsity and opts.reuse_amount >= 2
+                    and not opts.symmetric):
+                AP = sp.csr_matrix(A @ P)
+                AP.sort_indices()
+                patterns["AP_numeric_plan"] = _make_product_plan(A, P, AP)
+                patterns["RAP_numeric_plan"] = _make_product_plan(R, AP, RAP)
     patterns["coarse_A"] = coarse_A
 
     return LevelData(
@@ -408,6 +458,34 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
         inv_Aff=inv_Aff, inv_Acc=inv_Acc, inv_Aff_host=inv_Aff_host,
         patterns=patterns,
     )
+
+
+def _make_product_plan(A: sp.csr_matrix, B: sp.csr_matrix,
+                       C: sp.csr_matrix):
+    """Numeric SpGEMM plan C = A@B against C's fixed pattern (built once on
+    the first reuse-enabled setup; numeric re-execution is a segment sum)."""
+    from ..sparse.pattern import SparsityPattern
+    from ..sparse.spgemm import build_spgemm_plan
+
+    pa = SparsityPattern(A.indptr, A.indices, A.shape)
+    pb = SparsityPattern(B.indptr, B.indices, B.shape)
+    pc_ = SparsityPattern(C.indptr, C.indices, C.shape)
+    return build_spgemm_plan(pa, pb, pc_)
+
+
+def _plan_product_host(plan, A: sp.csr_matrix, B: sp.csr_matrix
+                       ) -> sp.csr_matrix:
+    """Execute a stored numeric plan on host csr values."""
+    a_flat = np.zeros(plan.pat_A.shape[0] * plan.pat_A.K)
+    a_flat[plan.pat_A.slot_of_pos] = A.data
+    b_flat = np.zeros(plan.pat_B.shape[0] * plan.pat_B.K)
+    b_flat[plan.pat_B.slot_of_pos] = B.data
+    vals = plan.execute_host(a_flat, b_flat)
+    out = sp.csr_matrix(
+        (vals, plan.pat_C.indices.astype(np.int64), plan.pat_C.indptr),
+        shape=plan.pat_C.shape,
+    )
+    return out
 
 
 def _assembled_host(inv: Inverse) -> sp.csr_matrix:

@@ -89,7 +89,10 @@ class PCAIR:
                 )
         self._build_apply()
         if self.options.print_stats_timings:
+            from ..utils.timers import print_timers
+
             print_stats(self.hierarchy)
+            print_timers()
         return self
 
     def _build_apply(self):

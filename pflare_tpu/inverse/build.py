@@ -150,6 +150,7 @@ def build_inverse(
     seed: int = 17,
     qr_reduce=None,
     A_scipy: sp.csr_matrix | None = None,
+    poly_plan=None,
 ) -> Inverse:
     """Compute and build an approximate inverse of A.
 
@@ -291,7 +292,7 @@ def build_inverse(
         return Inverse("poly_mf", mat=A, coefficients=cj, diag=diag,
                        scaled=diag_scale, meta={"type": int(inverse_type)})
     return _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
-                          A_scipy, int(inverse_type))
+                          A_scipy, int(inverse_type), poly_plan=poly_plan)
 
 
 def _newton_monomial_coefficients(wr, wi, tol_zero):
@@ -318,7 +319,7 @@ def _newton_monomial_coefficients(wr, wi, tol_zero):
 
 
 def _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
-                   A_scipy, itype, roots=None):
+                   A_scipy, itype, roots=None, poly_plan=None):
     """Assembled polynomial inverse (fixed sparsity, reference:
     src/Gmres_Poly.F90:1522-1813)."""
     n = A.shape[0]
@@ -339,7 +340,13 @@ def _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
         return Inverse("diagonal", diag=inv_diag, meta=meta,
                        coefficients=jnp.asarray(coeffs, dtype=dtype))
 
-    M_host = _fixed_sparsity_poly_host(A_use_host, coeffs, sparsity_order)
+    if (poly_plan is not None
+            and poly_plan.pat_A.nnz == A_use_host.nnz
+            and poly_plan.order == poly_order):
+        # numeric-only re-assembly against the stored plan (reuse path)
+        M_host = poly_plan.execute_host(A_use_host, coeffs)
+    else:
+        M_host = _fixed_sparsity_poly_host(A_use_host, coeffs, sparsity_order)
     if diag_scale:
         M_host = sp.csr_matrix(M_host @ sp.diags(1.0 / np.asarray(diag)))
     M = ELL.from_scipy(M_host, dtype=dtype)

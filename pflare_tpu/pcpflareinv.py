@@ -101,6 +101,23 @@ class PCPFLAREINV:
             return None
         return self.inverse.mat if self.inverse.kind == "assembled" else None
 
+    def view(self, out=print):
+        """Pretty-print the configuration (PCView analogue)."""
+        o = self.options
+        lines = [
+            "PCPFLAREINV (one-level approximate inverse)",
+            f"  inverse type: {o.inverse_type.name}",
+            f"  polynomial order: {o.poly_order}, sparsity order "
+            f"{o.inverse_sparsity_order}",
+            f"  application: {'matrix-free' if o.matrix_free else 'assembled'}"
+            + (", diag-scaled" if o.diag_scale else ""),
+        ]
+        if self.inverse is not None:
+            lines.append(f"  built: kind={self.inverse.kind}")
+        for ln in lines:
+            out(ln)
+        return "\n".join(lines)
+
     def solve(self, b, ksp="gmres", rtol=1e-5, atol=1e-50, max_it=10000,
               side="left", restart=30, x0=None):
         from .solvers import gmres, richardson

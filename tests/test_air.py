@@ -332,3 +332,33 @@ def test_anisotropic_diffusion():
     pc.setup(A)
     res = pc.solve(rhs(A.shape[0]), rtol=1e-8, max_it=40)
     assert res.converged, res.iterations
+
+
+def test_two_concurrent_airg():
+    """Two independent PCAIR instances coexist (reference:
+    tests/ex6_two_airg.c)."""
+    A1 = adv_diff_2d(15)
+    A2 = adv_diff_2d(17, curved_velocity=True)
+    pc1 = PCAIR(jit=False).setup(A1)
+    pc2 = PCAIR(jit=False).setup(A2)
+    r1 = pc1.solve(rhs(A1.shape[0]), rtol=1e-5, max_it=8)
+    r2 = pc2.solve(rhs(A2.shape[0]), rtol=1e-5, max_it=8)
+    assert r1.converged and r2.converged
+    # applying pc1 again after pc2 was built must give identical results
+    y1 = np.asarray(pc1.apply(rhs(A1.shape[0], seed=5)))
+    y1b = np.asarray(pc1.apply(rhs(A1.shape[0], seed=5)))
+    assert np.array_equal(y1, y1b)
+
+
+def test_view_and_timers(capsys):
+    from pflare_tpu.utils.timers import reset_timers
+
+    reset_timers()
+    A = adv_diff_2d(12)
+    pc = PCAIR(AIROptions(print_stats_timings=True), jit=False)
+    pc.setup(A)
+    out = capsys.readouterr().out
+    assert "Grid complexity" in out
+    assert "CF splitting time" in out
+    txt = pc.view(out=lambda s: None)
+    assert "PCAIR" in txt and "ARNOLDI" in txt
