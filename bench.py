@@ -47,15 +47,6 @@ MAX_IT = int(os.environ.get("PFLARE_BENCH_MAXIT", "10"))
 BASELINE_DOF_PER_S = 1.0e6
 
 
-def _cast_tree(tree, dtype):
-    return jax.tree_util.tree_map(
-        lambda x: x.astype(dtype)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        tree,
-    )
-
-
 def main():
     dtype = jnp.float64 if X64 else jnp.float32
     A = adv_diff_2d(N_GRID)
@@ -71,7 +62,8 @@ def main():
             coarsest_inverse_type=InverseType.NEWTON,
             coarsest_poly_order=16,
             coarsest_matrix_free_polys=True,
-        )
+        ),
+        dtype=dtype,
     )
     pc.setup(A)
     t_setup = time.perf_counter() - t0
@@ -79,11 +71,6 @@ def main():
     E = ELL.from_scipy(A, dtype=dtype)
     rng = np.random.default_rng(1)
     b = jnp.asarray(rng.standard_normal(n), dtype=dtype)
-
-    if not X64:
-        pc.hierarchy.device_levels = _cast_tree(pc.hierarchy.device_levels, dtype)
-        pc.hierarchy.coarse_inv = _cast_tree(pc.hierarchy.coarse_inv, dtype)
-        pc._build_apply()
 
     # Fully-jitted preconditioned Richardson via lax.scan: the cycle body
     # compiles ONCE (no per-iteration unrolling), and AIR's V-cycle is a

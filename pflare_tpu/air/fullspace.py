@@ -67,7 +67,7 @@ def _map_both(M: sp.csr_matrix, row_map, col_map, n: int):
 
 
 def inverse_to_fullspace(inv: Inverse, fine: np.ndarray, n: int,
-                         A_ff_ext_op) -> Inverse:
+                         A_ff_ext_op, dtype=None) -> Inverse:
     """Re-express a compressed-F-space approximate inverse in the level's
     full index space.  Applied vectors are F-supported throughout, so the
     matrix-free chains work unchanged over the masked operator."""
@@ -75,11 +75,12 @@ def inverse_to_fullspace(inv: Inverse, fine: np.ndarray, n: int,
         d = np.zeros(n)
         host = getattr(inv, "host_diag", None)
         d[fine] = host if host is not None else np.asarray(inv.diag)
-        return Inverse("diagonal", diag=jnp.asarray(d), meta=inv.meta)
+        return Inverse("diagonal", diag=jnp.asarray(d, dtype=dtype),
+                       meta=inv.meta)
     if inv.kind == "assembled":
         M = inv.host_csr if inv.host_csr is not None else inv.mat.to_scipy()
         M_ext = _map_both(M, fine, fine, n)
-        return Inverse("assembled", mat=make_op(M_ext), meta=inv.meta,
+        return Inverse("assembled", mat=make_op(M_ext, dtype), meta=inv.meta,
                        host_csr=M_ext, coefficients=inv.coefficients)
     # matrix-free kinds: swap the operator; extend the diagonal with ones
     # outside F so the divisions are harmless (inputs are F-supported)
@@ -87,8 +88,11 @@ def inverse_to_fullspace(inv: Inverse, fine: np.ndarray, n: int,
     if inv.diag is not None:
         d = np.ones(n)
         d[fine] = np.asarray(inv.diag)
-        diag_ext = jnp.asarray(d)
-    return Inverse(inv.kind, mat=A_ff_ext_op, coefficients=inv.coefficients,
+        diag_ext = jnp.asarray(d, dtype=dtype)
+    coeffs = inv.coefficients
+    if coeffs is not None and dtype is not None:
+        coeffs = coeffs.astype(dtype)
+    return Inverse(inv.kind, mat=A_ff_ext_op, coefficients=coeffs,
                    steps=inv.steps, diag=diag_ext, scaled=inv.scaled,
                    meta=inv.meta)
 
@@ -101,7 +105,7 @@ def build_fullspace_level(lvl, opts, dtype=None) -> dict:
     n = lvl.n
     fine = np.asarray(lvl.fine)
     coarse = np.asarray(lvl.coarse)
-    mask_f = np.zeros(n)
+    mask_f = np.zeros(n, dtype=np.dtype(dtype) if dtype is not None else np.float64)
     mask_f[fine] = 1.0
 
     A_ff_ext = _map_both(lvl.A_ff, fine, fine, n)
@@ -118,12 +122,13 @@ def build_fullspace_level(lvl, opts, dtype=None) -> dict:
         "coarse": jnp.asarray(coarse, dtype=jnp.int32),
         "A_ff": A_ff_op,
         "A_fc": make_op(A_fc_ext, dtype),
-        "inv_Aff": inverse_to_fullspace(lvl.inv_Aff, fine, n, A_ff_op),
+        "inv_Aff": inverse_to_fullspace(lvl.inv_Aff, fine, n, A_ff_op,
+                                        dtype=dtype),
         "R": make_op(R_ext, dtype),
         "P": make_op(P_ext, dtype),
     }
     if opts.any_c_smooths and lvl.A_cc is not None:
-        mask_c = np.zeros(n)
+        mask_c = np.zeros(n, dtype=mask_f.dtype)
         mask_c[coarse] = 1.0
         A_cc_ext = _map_both(lvl.A_cc, coarse, coarse, n)
         A_cf_ext = _map_both(lvl.A_cf, coarse, fine, n)
@@ -131,5 +136,6 @@ def build_fullspace_level(lvl, opts, dtype=None) -> dict:
         d["mask_c"] = jnp.asarray(mask_c)
         d["A_cc"] = A_cc_op
         d["A_cf"] = make_op(A_cf_ext, dtype)
-        d["inv_Acc"] = inverse_to_fullspace(lvl.inv_Acc, coarse, n, A_cc_op)
+        d["inv_Acc"] = inverse_to_fullspace(lvl.inv_Acc, coarse, n, A_cc_op,
+                                            dtype=dtype)
     return d

@@ -63,11 +63,11 @@ class LevelData:
     patterns: dict = field(default_factory=dict)
     device: dict | None = None
 
-    def to_device(self, opts: AIROptions):
+    def to_device(self, opts: AIROptions, dtype=None):
         if not opts.full_smoothing_up_and_down:
             from .fullspace import build_fullspace_level
 
-            d = build_fullspace_level(self, opts)
+            d = build_fullspace_level(self, opts, dtype=dtype)
             self.device = d
             return d
         d = {
@@ -102,6 +102,8 @@ class Hierarchy:
     def n_levels(self):
         return len(self.levels) + 1
 
+    device_dtype = None  # set by PCAIR(dtype=...) for f32/bf16 solves
+
     @property
     def device_levels(self):
         """Device pytree of the hierarchy, uploaded lazily on first use
@@ -109,7 +111,8 @@ class Hierarchy:
         prelim-solve "gpu copy stage", reference: tests/adv_diff_fd.c:327)."""
         if self._device_levels is None:
             self._device_levels = [
-                lvl.to_device(self.options) for lvl in self.levels
+                lvl.to_device(self.options, dtype=self.device_dtype)
+                for lvl in self.levels
             ]
         return self._device_levels
 

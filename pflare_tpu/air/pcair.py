@@ -35,12 +35,13 @@ class PCAIR:
     """
 
     def __init__(self, options: AIROptions | None = None, jit: bool = True,
-                 **kw):
+                 dtype=None, **kw):
         opts = options or AIROptions()
         if kw:
             opts = opts.replace(**kw)
         self.options = opts
         self.jit = jit  # jit=False runs the cycle eagerly (cheap for tests)
+        self.dtype = dtype  # device dtype for the solve phase (e.g. f32)
         self.hierarchy: Hierarchy | None = None
         self._apply_jit = None
         self._frozen = False  # KSPSetReusePreconditioner analogue
@@ -86,6 +87,14 @@ class PCAIR:
                 self.hierarchy = setup_hierarchy(
                     A, self.options, previous=previous,
                     near_nullspace=near_nullspace,
+                )
+            self.hierarchy.device_dtype = self.dtype
+            if self.dtype is not None:
+                self.hierarchy.coarse_inv = jax.tree_util.tree_map(
+                    lambda x: x.astype(self.dtype)
+                    if hasattr(x, "dtype")
+                    and jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    self.hierarchy.coarse_inv,
                 )
         self._build_apply()
         if self.options.print_stats_timings:
