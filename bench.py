@@ -83,18 +83,21 @@ def main():
     coarse_inv = pc.hierarchy.coarse_inv
     smooth_order = pc.options.smooth_order
 
+    # NOTE: the operator must be a jit ARGUMENT, not a closure constant --
+    # closure-captured arrays are baked into the executable and this
+    # backend re-streams program constants on every dispatch
     @jax.jit
-    def solve(levels, coarse_inv, b):
+    def solve(E_arg, levels, coarse_inv, b):
         precond = lambda r: vcycle_kaskade(levels, coarse_inv, r, smooth_order)
-        return richardson_fixed(E.matvec, precond, b, MAX_IT)
+        return richardson_fixed(E_arg.matvec, precond, b, MAX_IT)
 
     # compile + device warmup (excluded like the reference's prelim solve,
     # reference: tests/adv_diff_fd.c:327-331 "gpu copy stage")
-    xw, _ = solve(levels, coarse_inv, b)
+    xw, _ = solve(E, levels, coarse_inv, b)
     xw.block_until_ready()
 
     t1 = time.perf_counter()
-    x_dev, norms_dev = solve(levels, coarse_inv, b)
+    x_dev, norms_dev = solve(E, levels, coarse_inv, b)
     x_dev.block_until_ready()
     t_solve = time.perf_counter() - t1
 

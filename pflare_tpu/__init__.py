@@ -29,7 +29,6 @@ from .options import AIROptions, PFLAREINVOptions, parse_smooth_order
 from .air import PCAIR
 from .pcpflareinv import PCPFLAREINV
 from .cf import compute_cf_splitting, compute_diag_dom_submatrix
-from .sparse.ops import remove_from_sparse_match as _rfsm  # public C API parity
 
 __version__ = "0.1.0"
 

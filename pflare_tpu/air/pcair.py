@@ -139,8 +139,8 @@ class PCAIR:
             self.hierarchy.coarse_matrix
         from ..sparse import ELL
 
-        E = ELL.from_scipy(A)
-        b = jnp.asarray(b)
+        E = ELL.from_scipy(A, dtype=self.dtype)
+        b = jnp.asarray(b, dtype=self.dtype) if self.dtype else jnp.asarray(b)
         if ksp == "gmres":
             return gmres(E, b, x0=x0, M=self.apply, side=side, rtol=rtol,
                          atol=atol, max_it=max_it, restart=restart)

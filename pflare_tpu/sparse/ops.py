@@ -180,13 +180,10 @@ def one_point_strongest(A_fc) -> sp.csr_matrix:
         return sp.csr_matrix(A.shape)
     row_max = np.full(n_rows, -1.0)
     np.maximum.at(row_max, rows, absval)
-    # First position achieving the row max (deterministic tie-break: lowest col)
+    # First position achieving the row max (deterministic tie-break: the
+    # lowest column index, since CSR entries are column-sorted)
     is_max = absval == row_max[rows]
-    # take the first max in each row
-    first = np.zeros(A.nnz, dtype=bool)
-    seen = np.full(n_rows, False)
     order = np.arange(A.nnz)
-    # vectorised "first true per row": positions of is_max, keep first per row
     cand = order[is_max]
     cand_rows = rows[is_max]
     _, first_idx = np.unique(cand_rows, return_index=True)

@@ -105,11 +105,10 @@ class SparsityPattern:
         q = np.asarray(rows, dtype=np.int64) * np.int64(self.shape[1]) + np.asarray(
             cols, dtype=np.int64
         )
-        pos = np.searchsorted(keys, q)
-        pos = np.minimum(pos, max(self.nnz - 1, 0))
-        ok = self.nnz > 0 and True
         if self.nnz == 0:
-            return np.full(q.shape, -1, dtype=np.int64)
+            return np.full(np.shape(q), -1, dtype=np.int64)
+        pos = np.searchsorted(keys, q)
+        pos = np.minimum(pos, self.nnz - 1)
         good = keys[pos] == q
         return np.where(good, pos, -1)
 

@@ -362,3 +362,23 @@ def test_view_and_timers(capsys):
     assert "CF splitting time" in out
     txt = pc.view(out=lambda s: None)
     assert "PCAIR" in txt and "ARNOLDI" in txt
+
+
+def test_cr_splitting_in_air():
+    """CR-based CF splitting driving a full AIR solve
+    (reference: -pc_air_cf_splitting_type 6 family)."""
+    A = random_diag_dominant(250, 0.03, seed=13)
+    pc = PCAIR(AIROptions(cf_splitting_type=CFSplittingType.CR,
+                          strong_threshold=0.4), jit=False)
+    pc.setup(A)
+    res = pc.solve(rhs(250), rtol=1e-6, max_it=20)
+    assert res.converged, res.iterations
+
+
+def test_dtype_f32_solve():
+    A = adv_diff_2d(20)
+    pc = PCAIR(jit=False, dtype=jnp.float32).setup(A)
+    y = pc.apply(jnp.ones(400, dtype=jnp.float32))
+    assert y.dtype == jnp.float32
+    res = pc.solve(rhs(400), rtol=1e-4, max_it=8)
+    assert res.converged
