@@ -21,6 +21,17 @@ from ..inverse.sai import sai_z
 from ..sparse.ops import symbolic_matmat
 
 
+def _matmat(A, B) -> sp.csr_matrix:
+    """Host SpGEMM: native C++ kernel when available, scipy fallback."""
+    from ..native import spgemm_native
+
+    C = spgemm_native(A, B)
+    if C is None:
+        C = sp.csr_matrix(A @ B)
+        C.sort_indices()
+    return C
+
+
 def extract_submatrices(A: sp.csr_matrix, fine, coarse, need_acc=False):
     """A_ff, A_fc, A_cf (and A_cc) by CF masks (reference:
     src/AIR_Operators_Setup.F90:196-227)."""
@@ -56,9 +67,8 @@ def strong_r_drop(A: sp.csr_matrix, fine, coarse, strong_r_threshold: float,
 def compute_z_airg(A_cf_drop: sp.csr_matrix, inv_Aff: sp.csr_matrix):
     """AIRG: Z = -A_cf_drop @ inv(A_ff_drop) (reference:
     src/AIR_Operators_Setup.F90:784-795)."""
-    Z = sp.csr_matrix(A_cf_drop @ inv_Aff)
+    Z = _matmat(A_cf_drop, inv_Aff)
     Z.data *= -1.0
-    Z.sort_indices()
     return Z
 
 
@@ -134,11 +144,10 @@ def compute_coarse_matrix(A, R, P, a_drop: float, a_lump: bool,
     """RAP via two SpGEMMs (or PtAP) + relative drop/lump (reference:
     src/AIR_Operators_Setup.F90:960-1082)."""
     if symmetric:
-        RAP = sp.csr_matrix(P.T @ (A @ P))
+        RAP = _matmat(sp.csr_matrix(P.T).tocsr(), _matmat(A, P))
     else:
-        AP = sp.csr_matrix(A @ P)
-        RAP = sp.csr_matrix(R @ AP)
-    RAP.sort_indices()
+        AP = _matmat(A, P)
+        RAP = _matmat(R, AP)
     if a_drop != 0.0 or True:
         # tol 0 still drops explicit zeros (reference drops zeros always)
         coarse = remove_small_from_sparse(RAP, a_drop,

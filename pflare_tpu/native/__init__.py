@@ -63,6 +63,13 @@ def get_lib():
                                    ctypes.c_int, ctypes.c_int, u8p, f64p]
         lib.dd_ratio.restype = None
         lib.dd_ratio.argtypes = [i64p, i64p, f64p, u8p, ctypes.c_int64, f64p]
+        lib.spgemm_count.restype = None
+        lib.spgemm_count.argtypes = [i64p, i64p, i64p, i64p,
+                                     ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.spgemm_fill.restype = None
+        lib.spgemm_fill.argtypes = [i64p, i64p, f64p, i64p, i64p, f64p,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    i64p, i64p, f64p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -142,3 +149,40 @@ def dd_ratio_native(indptr, indices, data, f_mask):
     lib.dd_ratio(_p(indptr, i64p), _p(indices, i64p), _p(data, f64p),
                  _p(fm, u8p), n, _p(out, f64p))
     return out
+
+
+def spgemm_native(A, B):
+    """C = A @ B for scipy CSR inputs via the native kernels; None if
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    B = sp.csr_matrix(B)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    a_indptr = _i64(A.indptr)
+    a_indices = _i64(A.indices)
+    a_data = _f64(A.data)
+    b_indptr = _i64(B.indptr)
+    b_indices = _i64(B.indices)
+    b_data = _f64(B.data)
+    n_rows, n_cols = A.shape[0], B.shape[1]
+    c_indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    lib.spgemm_count(_p(a_indptr, i64p), _p(a_indices, i64p),
+                     _p(b_indptr, i64p), _p(b_indices, i64p),
+                     n_rows, n_cols, _p(c_indptr, i64p))
+    nnz = int(c_indptr[-1])
+    c_indices = np.empty(nnz, dtype=np.int64)
+    c_data = np.empty(nnz, dtype=np.float64)
+    lib.spgemm_fill(_p(a_indptr, i64p), _p(a_indices, i64p), _p(a_data, f64p),
+                    _p(b_indptr, i64p), _p(b_indices, i64p), _p(b_data, f64p),
+                    n_rows, n_cols, _p(c_indptr, i64p), _p(c_indices, i64p),
+                    _p(c_data, f64p))
+    C = sp.csr_matrix((c_data, c_indices, c_indptr),
+                      shape=(n_rows, n_cols))
+    # rows are already column-sorted
+    C.has_sorted_indices = True
+    return C

@@ -14,6 +14,7 @@
 #include <cstdlib>
 #include <cmath>
 #include <cstring>
+#include <algorithm>
 #include <vector>
 
 extern "C" {
@@ -156,6 +157,71 @@ void dd_ratio(const int64_t* indptr, const int64_t* indices,
         }
         if (diag > 0.0) ratio[i] = offsum / diag;
         else if (offsum > 0.0) ratio[i] = INFINITY;
+    }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// ~~~~~~~~~~~~~~~~ CSR SpGEMM (host setup path) ~~~~~~~~~~~~~~~~
+// Row-wise sparse product with a stamped dense accumulator -- the host
+// analogue of PETSc's MatMatMult, used for the RAP triple products which
+// dominate first-time setup.  Symbolic pass fills c_indptr; numeric pass
+// fills sorted (c_indices, c_data).
+
+void spgemm_count(const int64_t* a_indptr, const int64_t* a_indices,
+                  const int64_t* b_indptr, const int64_t* b_indices,
+                  int64_t n_rows, int64_t n_cols, int64_t* c_indptr) {
+    std::vector<int64_t> marker(n_cols, -1);
+    c_indptr[0] = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        int64_t count = 0;
+        for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+            const int64_t k = a_indices[p];
+            for (int64_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+                const int64_t j = b_indices[q];
+                if (marker[j] != i) { marker[j] = i; ++count; }
+            }
+        }
+        c_indptr[i + 1] = c_indptr[i] + count;
+    }
+}
+
+void spgemm_fill(const int64_t* a_indptr, const int64_t* a_indices,
+                 const double* a_data,
+                 const int64_t* b_indptr, const int64_t* b_indices,
+                 const double* b_data,
+                 int64_t n_rows, int64_t n_cols,
+                 const int64_t* c_indptr, int64_t* c_indices,
+                 double* c_data) {
+    std::vector<int64_t> marker(n_cols, -1);
+    std::vector<double> acc(n_cols, 0.0);
+    std::vector<int64_t> cols;
+    cols.reserve(256);
+    for (int64_t i = 0; i < n_rows; ++i) {
+        cols.clear();
+        for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+            const int64_t k = a_indices[p];
+            const double av = a_data[p];
+            for (int64_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+                const int64_t j = b_indices[q];
+                if (marker[j] != i) {
+                    marker[j] = i;
+                    acc[j] = av * b_data[q];
+                    cols.push_back(j);
+                } else {
+                    acc[j] += av * b_data[q];
+                }
+            }
+        }
+        std::sort(cols.begin(), cols.end());
+        int64_t out = c_indptr[i];
+        for (const int64_t j : cols) {
+            c_indices[out] = j;
+            c_data[out] = acc[j];
+            ++out;
+        }
     }
 }
 
