@@ -152,6 +152,36 @@ class PCAIR:
                               atol=atol, max_it=max_it)
         raise ValueError(ksp)
 
+    def solve_device(self, b, max_it: int = 10, ksp: str = "richardson",
+                     x0=None):
+        """Fully-jitted device solve: one XLA program, no host round trips
+        (the TPU production path; see solvers/jitted.py).
+
+        Returns (x, residual_norms) as device arrays.  Every operator is
+        passed as a pytree ARGUMENT -- closure-captured arrays become
+        re-streamed program constants on some backends."""
+        from ..solvers.jitted import gmres_right_fixed, richardson_fixed
+        from ..sparse import ELL
+
+        A = self.hierarchy.levels[0].A if self.hierarchy.levels else \
+            self.hierarchy.coarse_matrix
+        E = ELL.from_scipy(A, dtype=self.dtype)
+        b = jnp.asarray(b, dtype=self.dtype) if self.dtype else jnp.asarray(b)
+        smooth_order = self.options.smooth_order
+        solver = richardson_fixed if ksp == "richardson" else gmres_right_fixed
+        if not self.hierarchy.levels:
+            precond_of = lambda levels, ci: ci.apply
+        else:
+            def precond_of(levels, ci):
+                return lambda r: vcycle_kaskade(levels, ci, r, smooth_order)
+
+        @jax.jit
+        def run(E, levels, ci, b):
+            return solver(E.matvec, precond_of(levels, ci), b, max_it, x0=x0)
+
+        return run(E, self.hierarchy.device_levels,
+                   self.hierarchy.coarse_inv, b)
+
     # ~~~~~~~~~~ introspection ~~~~~~~~~~
     @property
     def n_levels(self):
