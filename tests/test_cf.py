@@ -162,3 +162,20 @@ def test_exact_independent_set_zero_threshold():
     Aff = A[fine][:, fine]
     off = Aff - sp.diags(Aff.diagonal())
     assert abs(off).max() == 0.0
+
+
+def test_device_pmisr_matches_host():
+    """Jitted device PMISR (fixed steps) == host implementation given the
+    same measure (the Kokkos-device-splitting parity item)."""
+    from pflare_tpu.cf import pmisr_on_device
+
+    A = adv_diff_2d(30, curved_velocity=True)
+    S = strength_matrix(A, 0.5, symmetrize=True)
+    for steps in (2, 3, 5):
+        cf_host = pmisr(S, max_luby_steps=steps, seed=5)
+        cf_dev = pmisr_on_device(S, max_luby_steps=steps, seed=5)
+        assert np.array_equal(cf_host, cf_dev), steps
+    # PMIS variant
+    cf_host = pmisr(S, max_luby_steps=3, pmis=True, seed=5)
+    cf_dev = pmisr_on_device(S, max_luby_steps=3, pmis=True, seed=5)
+    assert np.array_equal(cf_host, cf_dev)
