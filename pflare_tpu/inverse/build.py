@@ -266,14 +266,26 @@ def build_inverse(
                            meta={"type": int(inverse_type)},
                            coefficients=jnp.asarray(
                                np.stack([wr, wi]), dtype=dtype))
-        # Assembled Newton: expand the factored inverse polynomial into
-        # monomials in f64 (stable at the low orders used assembled;
-        # device fixed-sparsity accumulation mirrors
-        # reference: src/Gmres_Poly_Newtonk.kokkos.cxx:15).
-        mono = _newton_monomial_coefficients(wr, wi, tol.zero)
-        return _assemble_poly(A, mono, sparsity_order, dtype, diag_scale,
-                              diag, A_scipy, int(inverse_type),
-                              roots=(wr, wi))
+        # Assembled Newton: accumulate the factored polynomial directly in
+        # the Newton basis with every product restricted to the fixed
+        # sparsity (stable at high order, unlike monomial expansion;
+        # reference: src/Gmres_Poly_Newtonk.kokkos.cxx:15)
+        A_host = A_scipy if A_scipy is not None else A.to_scipy()
+        if diag_scale:
+            d_np = np.asarray(diag)
+            A_use = sp.csr_matrix(sp.diags(1.0 / d_np) @ A_host)
+            A_use.sort_indices()
+        else:
+            A_use = A_host
+        M_host = _newton_fixed_sparsity_host(A_use, wr, wi, sparsity_order,
+                                             poly_order, tol.zero)
+        if diag_scale:
+            M_host = sp.csr_matrix(M_host @ sp.diags(1.0 / d_np))
+        inv = Inverse("assembled", mat=ELL.from_scipy(M_host, dtype=dtype),
+                      meta={"type": int(inverse_type)}, host_csr=M_host,
+                      coefficients=jnp.asarray(np.stack([wr, wi]),
+                                               dtype=dtype))
+        return inv
 
     # power / arnoldi
     if coefficients is not None:
@@ -293,6 +305,60 @@ def build_inverse(
                        scaled=diag_scale, meta={"type": int(inverse_type)})
     return _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
                           A_scipy, int(inverse_type), poly_plan=poly_plan)
+
+
+def _newton_fixed_sparsity_host(A: sp.csr_matrix, wr, wi, sparsity_order,
+                                poly_order, tol_zero) -> sp.csr_matrix:
+    """Assembled Newton-basis inverse with fixed sparsity.
+
+    Accumulates M = sum_i T_i / theta_i where T_i is the running product of
+    (I - A/theta_j) factors, every product restricted onto
+    S = union(diag, A, ..., A^sparsity_order) -- the Newton-basis analogue
+    of mat_mult_powers_share_sparsity (complex-conjugate pairs combined in
+    real arithmetic as in the matrix-free applier, Loe 2021 Alg. 3)."""
+    n = A.shape[0]
+    so = max(1, min(sparsity_order, poly_order))
+    S = A.copy()
+    power = A
+    for _ in range(so - 1):
+        power = (power @ A).tocsr()
+        S = (S + power).tocsr()
+    eye = sp.csr_matrix((np.ones(n), (np.arange(n), np.arange(n))),
+                        shape=A.shape)
+    S_mask = sp.csr_matrix(S + eye)
+    S_mask.data[:] = 1.0
+
+    def restrict(X):
+        return sp.csr_matrix(X.multiply(S_mask))
+
+    T = eye.copy()
+    M = sp.csr_matrix(A.shape)
+    k = len(wr)
+    i = 0
+    while i <= k - 2:
+        if wi[i] == 0.0:
+            if abs(wr[i]) < tol_zero:
+                i += 1
+                continue
+            M = M + T / wr[i]
+            T = restrict(T - restrict(T @ A) / wr[i])
+            i += 1
+        else:
+            s = wr[i] ** 2 + wi[i] ** 2
+            if s < tol_zero:
+                i += 2
+                continue
+            TA = restrict(T @ A)
+            T2 = 2.0 * wr[i] * T - TA
+            M = M + T2 / s
+            if i <= k - 3:
+                T = restrict(T - restrict(T2 @ A) / s)
+            i += 2
+    if k >= 1 and wi[k - 1] == 0.0 and abs(wr[k - 1]) > tol_zero:
+        M = M + T / wr[k - 1]
+    M = sp.csr_matrix(M)
+    M.sort_indices()
+    return M
 
 
 def _newton_monomial_coefficients(wr, wi, tol_zero):

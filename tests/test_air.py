@@ -382,3 +382,18 @@ def test_dtype_f32_solve():
     assert y.dtype == jnp.float32
     res = pc.solve(rhs(400), rtol=1e-4, max_it=8)
     assert res.converged
+
+
+E05 = os.path.join(DATA_DIR, "e05r0100_petsc")
+
+
+@pytest.mark.skipif(not os.path.exists(E05), reason="data not available")
+def test_e05_airg_power():
+    """reference: tests/Makefile:157 -- e05r0100 (driven-cavity), AIRG
+    power a_drop 1e-3, <= 26 its."""
+    A = read_petsc_matrix(E05)
+    pc = PCAIR(AIROptions(a_drop=1e-3, inverse_type=InverseType.POWER),
+               jit=False)
+    pc.setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=26)
+    assert res.converged, res.iterations

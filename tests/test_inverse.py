@@ -237,3 +237,32 @@ def test_coefficient_reuse_protocol():
     x = make_rhs(80)
     assert np.allclose(np.asarray(inv1.apply(x)), np.asarray(inv2.apply(x)),
                        atol=1e-14)
+
+
+BUS = os.path.join(DATA_DIR, "1138_bus")
+E05 = os.path.join(DATA_DIR, "e05r0100_petsc")
+
+
+@pytest.mark.skipif(not os.path.exists(BUS), reason="data not available")
+def test_bus_newton_order60_mf():
+    """reference: tests/Makefile:199 -- Newton order 60 matrix-free on
+    1138_bus, unpreconditioned norm (right PC here), <= 6 its."""
+    A = read_petsc_matrix(BUS)
+    b = jnp.asarray(A @ np.ones(A.shape[0]))
+    E = ELL.from_scipy(A)
+    inv = build_inverse(E, InverseType.NEWTON, poly_order=60,
+                        matrix_free=True, A_scipy=A)
+    res = gmres(E, b, M=inv.apply, rtol=1e-5, max_it=6, side="right")
+    assert res.converged, res.iterations
+
+
+@pytest.mark.skipif(not os.path.exists(BUS), reason="data not available")
+def test_bus_newton_order60_assembled():
+    """reference: tests/Makefile:201 -- Newton order 60 assembled
+    (Newton-basis fixed-sparsity accumulation)."""
+    A = read_petsc_matrix(BUS)
+    b = jnp.asarray(A @ np.ones(A.shape[0]))
+    E = ELL.from_scipy(A)
+    inv = build_inverse(E, InverseType.NEWTON, poly_order=60, A_scipy=A)
+    res = gmres(E, b, M=inv.apply, rtol=1e-5, max_it=6, side="right")
+    assert res.converged, res.iterations
