@@ -20,6 +20,8 @@ def _inv_nnz(inv, fallback_mat):
         return 0
     if inv.kind == "assembled":
         return inv.mat.nnz
+    if inv.kind == "dense":
+        return int(inv.mat.shape[0]) ** 2
     if inv.kind == "diagonal":
         return int(inv.diag.shape[0])
     # matrix-free: matvecs * nnz of the operator
@@ -94,6 +96,8 @@ def _inv_storage(inv):
         return 0
     if inv.kind == "assembled":
         return inv.mat.nnz
+    if inv.kind == "dense":
+        return int(inv.mat.shape[0]) ** 2
     if inv.kind == "diagonal":
         return int(inv.diag.shape[0])
     return 0  # matrix-free stores only coefficients

@@ -68,9 +68,11 @@ def ddc(A, cf_markers: np.ndarray, fraction_swap: float,
         search_size = int(fine_size * fraction_swap)
         if search_size <= 0:
             return cf_markers, max_achieved
-        # bin ratios in [0,1); everything >= (N-1)/N lands in the top bin
+        # bin ratios in [0,1); everything >= (N-1)/N (incl. inf from zero
+        # diagonals) lands in the top bin
+        capped = np.where(np.isfinite(ratio), ratio, np.float64(N_BINS))
         bins = np.minimum(
-            np.floor(ratio * N_BINS).astype(np.int64), N_BINS - 1
+            np.floor(capped * N_BINS).astype(np.int64), N_BINS - 1
         )
         bins[bins < 0] = N_BINS - 1  # overflowed huge ratios
         counts = np.bincount(bins, minlength=N_BINS)

@@ -78,6 +78,8 @@ class Inverse:
         return mv
 
     def apply(self, x):
+        if self.kind == "dense":
+            return self.mat @ x
         if self.kind == "assembled":
             return self.mat.matvec(x)
         if self.kind == "diagonal":
@@ -110,7 +112,7 @@ class Inverse:
     @property
     def num_matvecs(self):
         """Matvecs per application (for stats/cycle complexity)."""
-        if self.kind in ("assembled", "diagonal"):
+        if self.kind in ("assembled", "diagonal", "dense"):
             return 1
         if self.kind in ("poly_mf", "neumann_mf"):
             return int(self.coefficients.shape[0]) - 1
@@ -162,6 +164,17 @@ def build_inverse(
     dtype = A.dtype
     poly_order, sparsity_order = _clamp_orders(n, poly_order, sparsity_order)
     tol = tolerances(dtype)
+
+    # ~~~~~~~~~~ LU: exact dense inverse (coarse grids) ~~~~~~~~~~
+    if inverse_type == InverseType.LU:
+        import scipy.linalg as sla
+
+        A_host = A_scipy if A_scipy is not None else A.to_scipy()
+        Minv = sla.inv(A_host.toarray())
+        inv = Inverse("dense", mat=jnp.asarray(Minv, dtype=dtype),
+                      meta={"type": int(inverse_type)})
+        inv.host_csr = sp.csr_matrix(Minv)
+        return inv
 
     # ~~~~~~~~~~ Jacobi family: assembled diagonal ~~~~~~~~~~
     if inverse_type in (InverseType.JACOBI, InverseType.WJACOBI):

@@ -25,6 +25,8 @@ class InverseType(enum.IntEnum):
     ISAI = 6        # Incomplete SAI (one-level restricted additive Schwarz)
     WJACOBI = 7     # Weighted Jacobi
     JACOBI = 8      # Unweighted Jacobi
+    LU = 9          # Exact dense inverse (the -mg_coarse_pc_type lu analogue;
+                    # small dense solves are MXU-native on TPU)
 
 
 class CFSplittingType(enum.IntEnum):

@@ -389,10 +389,16 @@ E05 = os.path.join(DATA_DIR, "e05r0100_petsc")
 
 @pytest.mark.skipif(not os.path.exists(E05), reason="data not available")
 def test_e05_airg_power():
-    """reference: tests/Makefile:157 -- e05r0100 (driven-cavity), AIRG
-    power a_drop 1e-3, <= 26 its."""
+    """reference: tests/Makefile:157 -- e05r0100 (driven-cavity, 74
+    zero-diagonal saddle rows), AIRG power a_drop 1e-3, <= 26 its.
+
+    The indefinite coarsest grid needs the exact coarse solve (the
+    reference's -mg_coarse_pc_type lu, tests/Makefile:149): a degree-6
+    polynomial cannot invert a spectrum surrounding zero.  Converges in
+    ~6 its."""
     A = read_petsc_matrix(E05)
-    pc = PCAIR(AIROptions(a_drop=1e-3, inverse_type=InverseType.POWER),
+    pc = PCAIR(AIROptions(a_drop=1e-3, inverse_type=InverseType.POWER,
+                          coarsest_inverse_type=InverseType.LU),
                jit=False)
     pc.setup(A)
     res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=26)
