@@ -61,14 +61,24 @@ class PCPFLAREINV:
                     and self.inverse.coefficients is not None:
                 c = np.asarray(self.inverse.coefficients)
                 coeffs = c if c.ndim == 1 else (c[0], c[1])
-        self._ell = ELL.from_scipy(A, pattern=pattern)
-        o = self.options
-        self.inverse = build_inverse(
-            self._ell, o.inverse_type, poly_order=o.poly_order,
-            sparsity_order=o.inverse_sparsity_order,
-            matrix_free=o.matrix_free, diag_scale=o.diag_scale,
-            coefficients=coeffs, A_scipy=A, seed=o.seed,
-        )
+        # pin setup-phase arrays to the host CPU (remote-TPU tunnel cost)
+        import jax
+
+        try:
+            ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except Exception:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            self._ell = ELL.from_scipy(A, pattern=pattern)
+            o = self.options
+            self.inverse = build_inverse(
+                self._ell, o.inverse_type, poly_order=o.poly_order,
+                sparsity_order=o.inverse_sparsity_order,
+                matrix_free=o.matrix_free, diag_scale=o.diag_scale,
+                coefficients=coeffs, A_scipy=A, seed=o.seed,
+            )
         return self
 
     def apply(self, r):

@@ -96,3 +96,37 @@ def test_ilu_triangle_factors_airg():
         b = jnp.asarray(rng.standard_normal(factor.shape[0]))
         res = pc.solve(b, ksp="richardson", rtol=1e-6, max_it=100)
         assert res.converged, res.iterations
+
+
+def test_option_reset_correctness():
+    """matrandom_check_reset analogue (reference:
+    tests/matrandom_check_reset.F90): mutating an option resets the PC and
+    the rebuilt preconditioner reflects the new option."""
+    A = random_diag_dominant(120, 0.05, seed=11)
+    pc = PCPFLAREINV(poly_order=2)
+    pc.setup(A)
+    c2 = pc.get_poly_coeffs()
+    assert len(c2) == 3
+    pc.set_options(poly_order=5)
+    assert pc.inverse is None  # reset
+    pc.setup(A)
+    c5 = pc.get_poly_coeffs()
+    assert len(c5) == 6
+
+
+SPRING = os.path.join(DATA_DIR, "spring_chain_40")
+
+
+@pytest.mark.skipif(not os.path.exists(SPRING), reason="data not available")
+def test_spring_chain_load():
+    """reference load-test data: spring chain system solves with AIR."""
+    import jax.numpy as jnp
+    from pflare_tpu.problems import read_petsc_matrix
+
+    A, vecs = read_petsc_matrix(SPRING, return_vecs=True)
+    b = jnp.asarray(vecs[0]) if vecs else jnp.asarray(
+        A @ np.ones(A.shape[0]))
+    pc = PCAIR(AIROptions(coarsest_inverse_type=InverseType.LU), jit=False)
+    pc.setup(A)
+    res = pc.solve(b, rtol=1e-5, max_it=30)
+    assert res.converged, res.iterations
