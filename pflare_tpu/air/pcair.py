@@ -135,6 +135,8 @@ class PCAIR:
               max_it=10000, side="left", restart=30):
         from ..solvers import gmres, richardson, fgmres
 
+        if self.hierarchy is None:
+            raise RuntimeError("PCAIR not set up")
         A = self.hierarchy.levels[0].A if self.hierarchy.levels else \
             self.hierarchy.coarse_matrix
         from ..sparse import ELL
@@ -163,6 +165,8 @@ class PCAIR:
         from ..solvers.jitted import gmres_right_fixed, richardson_fixed
         from ..sparse import ELL
 
+        if self.hierarchy is None:
+            raise RuntimeError("PCAIR not set up")
         A = self.hierarchy.levels[0].A if self.hierarchy.levels else \
             self.hierarchy.coarse_matrix
         E = ELL.from_scipy(A, dtype=self.dtype)

@@ -10,9 +10,14 @@ I = J, square solve.  SAI: I = shadow(J) (all columns reachable from rows J),
 rectangular least squares.  A square approximate inverse (reference:
 src/SAI_Z.F90:781) is the same with A_cf = -I.
 
-The host builds padded gathered blocks; the dense solves are batched --
-on TPU this is MXU work (jnp.linalg.lstsq over [rows, max_I, max_J] blocks).
-This round ships the vectorised host/numpy path with a batched-device hook.
+TPU-native form: instead of the reference's per-row Kokkos team solves
+(src/SAI_Zk.kokkos), all rows are padded to a common block size and solved
+as ONE batched dense QR least-squares, chunked to bound memory.  Padded
+columns are given disjoint unit rows in an augmentation block, so the
+normal equations decouple exactly and padded unknowns come out 0 -- no
+masking of the factorization itself is needed.  The batch is numpy on the
+host during setup (patterns are host-symbolic); the identical einsum/QR
+shape maps directly onto the MXU if run under jit.
 """
 
 from __future__ import annotations
@@ -20,12 +25,51 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
+# Cap on the number of f64 scalars materialised per gathered chunk
+# (blocks + rhs); keeps peak memory ~a few hundred MB.
+_CHUNK_SCALARS = 1 << 24
+
 
 def _rows_of(A):
     return np.repeat(np.arange(A.shape[0], dtype=np.int64), np.diff(A.indptr))
 
 
-def sai_z(A_ff, A_cf, sparsity_cf, incomplete: bool) -> sp.csr_matrix:
+def _csr_lookup(A, rows, cols):
+    """Vectorised A[rows, cols] with 0 for entries outside the pattern.
+
+    ``rows``/``cols`` may be any (equal) shape.  A must have sorted indices.
+    """
+    n_cols = A.shape[1]
+    keys = _rows_of(A) * np.int64(n_cols) + A.indices
+    q = rows.astype(np.int64) * np.int64(n_cols) + cols.astype(np.int64)
+    pos = np.searchsorted(keys, q.ravel())
+    pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+    ok = (len(keys) > 0) & (keys[pos_c] == q.ravel())
+    out = np.where(ok, A.data[pos_c], 0.0)
+    return out.reshape(q.shape)
+
+
+def _pad_indices(M: sp.csr_matrix):
+    """Row-padded index table of a CSR pattern.
+
+    Returns (idx [n, kmax], mask [n, kmax], counts [n]); padded slots hold 0
+    and mask False.
+    """
+    counts = np.diff(M.indptr)
+    n = M.shape[0]
+    kmax = int(counts.max()) if n and M.nnz else 0
+    idx = np.zeros((n, kmax), dtype=np.int64)
+    mask = np.zeros((n, kmax), dtype=bool)
+    if kmax:
+        slot = np.arange(M.nnz, dtype=np.int64) - np.repeat(M.indptr[:-1], counts)
+        rr = _rows_of(M)
+        idx[rr, slot] = M.indices
+        mask[rr, slot] = True
+    return idx, mask, counts
+
+
+def sai_z(A_ff, A_cf, sparsity_cf, incomplete: bool,
+          batched: bool = True) -> sp.csr_matrix:
     """Compute Z ~= -A_cf @ inv(A_ff) with the sparsity of ``sparsity_cf``."""
     A_ff = sp.csr_matrix(A_ff)
     A_ff.sort_indices()
@@ -33,9 +77,94 @@ def sai_z(A_ff, A_cf, sparsity_cf, incomplete: bool) -> sp.csr_matrix:
     A_cf.sort_indices()
     S = sp.csr_matrix(sparsity_cf)
     S.sort_indices()
-    n_rows = S.shape[0]
-    A_ff_csc = A_ff.tocsc()
+    if batched and S.nnz:
+        return _sai_z_batched(A_ff, A_cf, S, incomplete)
+    return _sai_z_loop(A_ff, A_cf, S, incomplete)
 
+
+def _sai_z_batched(A_ff, A_cf, S, incomplete: bool) -> sp.csr_matrix:
+    n_rows = S.shape[0]
+    J_idx, J_mask, kJ = _pad_indices(S)
+    kmax = J_idx.shape[1]
+
+    if incomplete:
+        I_idx, I_mask, kI = J_idx, J_mask, kJ
+    else:
+        # shadow(J): the pattern of row j of S @ A_ff (cheap symbolic SpGEMM)
+        Sh = sp.csr_matrix(
+            (np.ones(S.nnz), S.indices, S.indptr), shape=S.shape
+        ) @ sp.csr_matrix(
+            (np.ones(A_ff.nnz), A_ff.indices, A_ff.indptr), shape=A_ff.shape
+        )
+        Sh.sort_indices()
+        I_idx, I_mask, kI = _pad_indices(Sh)
+    imax = I_idx.shape[1]
+
+    out_data = np.zeros((n_rows, kmax))
+    rows_per_chunk = max(1, _CHUNK_SCALARS // max(1, kmax * (imax + kmax)))
+    bad_rows: list[int] = []
+
+    # Bucket rows by descending block height so each chunk pads only to its
+    # own max sizes (row block sizes vary a lot for the SAI shadow).
+    order = np.argsort(-kI, kind="stable")
+    order = order[kJ[order] > 0]
+
+    for lo in range(0, len(order), rows_per_chunk):
+        sel = order[lo : lo + rows_per_chunk]
+        if len(sel) == 0:
+            continue
+        kc = int(kJ[sel].max())
+        ic = int(kI[sel].max())
+        pad_eye = np.eye(kc)
+        Jc, Jm = J_idx[sel][:, :kc], J_mask[sel][:, :kc]   # [b, kc]
+        Ic, Im = I_idx[sel][:, :ic], I_mask[sel][:, :ic]   # [b, ic]
+        b = len(sel)
+        # M[r, a, c] = A_ff[J_c, I_a]  (the transposed local block), plus a
+        # unit row per padded column so the LS decouples and z_pad == 0.
+        M = _csr_lookup(A_ff, Jc[:, None, :], Ic[:, :, None])  # [b, ic, kc]
+        M *= (Im[:, :, None] & Jm[:, None, :])
+        aug = np.broadcast_to(pad_eye, (b, kc, kc)) * ~Jm[:, None, :]
+        M_ext = np.concatenate([M, aug], axis=1)    # [b, ic+kc, kc]
+        rhs = -_csr_lookup(A_cf, np.broadcast_to(sel[:, None], Ic.shape), Ic)
+        rhs *= Im
+        rhs_ext = np.concatenate([rhs, np.zeros((b, kc))], axis=1)
+
+        Q, R = np.linalg.qr(M_ext)                  # batched reduced QR
+        qtb = np.einsum("bij,bi->bj", Q, rhs_ext)
+        rdiag = np.abs(np.diagonal(R, axis1=1, axis2=2))
+        good = rdiag.min(axis=1) > 1e-12 * np.maximum(rdiag.max(axis=1), 1e-300)
+        with np.errstate(all="ignore"):
+            z = np.linalg.solve(
+                R + 1e-300 * np.broadcast_to(pad_eye, R.shape), qtb[..., None]
+            )[..., 0]
+        good &= np.isfinite(z).all(axis=1)
+        out_data[sel, :kc] = np.where(good[:, None], z, 0.0)
+        bad_rows.extend(int(r) for r in sel[~good])
+
+    if bad_rows:
+        # Rank-deficient local blocks: redo those rows with the SVD
+        # (min-norm) host solve, matching the reference's lstsq fallback.
+        bad = np.asarray(bad_rows)
+        Zf = _sai_z_loop(A_ff, sp.csr_matrix(A_cf[bad]), S[bad], incomplete)
+        Zf.sort_indices()
+        for k, j in enumerate(bad):
+            vals = Zf.data[Zf.indptr[k]:Zf.indptr[k + 1]]
+            out_data[j, : len(vals)] = vals
+
+    rows_coo = np.repeat(np.arange(n_rows), kJ)
+    slot = np.arange(S.nnz, dtype=np.int64) - np.repeat(S.indptr[:-1], kJ)
+    Z = sp.csr_matrix(
+        (out_data[rows_coo, slot], S.indices.copy(), S.indptr.copy()),
+        shape=S.shape,
+    )
+    Z.sort_indices()
+    return Z
+
+
+def _sai_z_loop(A_ff, A_cf, S, incomplete: bool) -> sp.csr_matrix:
+    """Per-row reference solve (kept as the rank-deficient fallback and the
+    oracle for the batched path)."""
+    n_rows = S.shape[0]
     out_rows, out_cols, out_vals = [], [], []
     for j in range(n_rows):
         J = S.indices[S.indptr[j] : S.indptr[j + 1]]

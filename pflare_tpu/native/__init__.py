@@ -61,6 +61,16 @@ def get_lib():
         lib.drop_small.restype = None
         lib.drop_small.argtypes = [i64p, i64p, f64p, f64p, ctypes.c_int64,
                                    ctypes.c_int, ctypes.c_int, u8p, f64p]
+        lib.drop_small_count.restype = ctypes.c_int64
+        lib.drop_small_count.argtypes = [i64p, i64p, f64p, ctypes.c_int64,
+                                         ctypes.c_double, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_int, i64p]
+        lib.drop_small_fill.restype = None
+        lib.drop_small_fill.argtypes = [i64p, i64p, f64p, ctypes.c_int64,
+                                        ctypes.c_double, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int, i64p, f64p]
         lib.dd_ratio.restype = None
         lib.dd_ratio.argtypes = [i64p, i64p, f64p, u8p, ctypes.c_int64, f64p]
         lib.spgemm_count.restype = None
@@ -131,6 +141,40 @@ def plan_triples_native(a_indptr, a_indices, b_indptr, b_indices,
                          _p(c_indptr, i64p), _p(c_indices, i64p), n_rows,
                          _p(a_pos, i64p), _p(b_pos, i64p), _p(c_pos, i64p))
     return a_pos[:kept], b_pos[:kept], c_pos[:kept]
+
+
+def drop_small_native(A, tol, rel_mode, diag_strength, drop_diag_mode, lump):
+    """Compact threshold-drop of a (sorted) scipy CSR matrix in one native
+    count+fill sweep.  Returns the new csr_matrix, or None when native is
+    unavailable or lumping would need to insert a missing diagonal (the
+    caller's COO path handles that case)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    indptr = _i64(A.indptr)
+    indices = _i64(A.indices)
+    data = _f64(A.data)
+    n_rows = A.shape[0]
+    out_indptr = np.empty(n_rows + 1, dtype=np.int64)
+    nnz = lib.drop_small_count(
+        _p(indptr, i64p), _p(indices, i64p), _p(data, f64p), n_rows,
+        float(tol), int(rel_mode), int(diag_strength), int(drop_diag_mode),
+        int(lump), _p(out_indptr, i64p))
+    if nnz < 0:
+        return None
+    out_cols = np.empty(nnz, dtype=np.int64)
+    out_data = np.empty(nnz, dtype=np.float64)
+    lib.drop_small_fill(
+        _p(indptr, i64p), _p(indices, i64p), _p(data, f64p), n_rows,
+        float(tol), int(rel_mode), int(diag_strength), int(drop_diag_mode),
+        int(lump), _p(out_cols, i64p), _p(out_data, f64p))
+    out = sp.csr_matrix((out_data, out_cols, out_indptr), shape=A.shape)
+    out.has_sorted_indices = True
+    return out
 
 
 def dd_ratio_native(indptr, indices, data, f_mask):

@@ -226,3 +226,101 @@ void spgemm_fill(const int64_t* a_indptr, const int64_t* a_indices,
 }
 
 }  // extern "C"
+
+// ~~~~~~~~~~~~~~~~ one-pass drop + compact + lump ~~~~~~~~~~~~~~~~
+// Threshold-and-compact in CSR order (reference: src/PETSc_Helper.F90:
+// 207-412) without materialising any nnz-sized temporaries on the Python
+// side.  Two passes (count, then fill) so the output arrays are allocated
+// exactly once at their final size -- page-touch economy matters more than
+// the extra read pass on this host.
+//   rel_mode: 0 = absolute tol, 1 = relative to max|row| incl. diagonal,
+//             -1 = relative excluding the diagonal.
+//   diag_strength: tol measured against |a_ii| (active when rel_mode != 0).
+//   drop_diag_mode: 0 never drop the diagonal, 1 allow, -1 always drop.
+//   lump: dropped values accumulate onto the kept diagonal entry.
+
+static double row_drop_tol(const int64_t* indptr, const int64_t* indices,
+                           const double* data, int64_t i, double tol,
+                           int rel_mode, int diag_strength) {
+    if (rel_mode == 0) return tol;
+    double m = 0.0;
+    if (diag_strength) {
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+            if (indices[p] == i) { m = std::fabs(data[p]); break; }
+    } else {
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            if (rel_mode == -1 && indices[p] == i) continue;
+            m = std::max(m, std::fabs(data[p]));
+        }
+    }
+    return tol * m;
+}
+
+static inline bool keep_entry(int64_t i, int64_t j, double v, double row_tol,
+                              int drop_diag_mode) {
+    bool k = std::fabs(v) >= row_tol;
+    if (j == i) {
+        if (drop_diag_mode == -1) k = false;
+        else if (drop_diag_mode == 0) k = true;
+    }
+    if (v == 0.0) k = false;  // MAT_IGNORE_ZERO_ENTRIES
+    return k;
+}
+
+extern "C" {
+
+// Counts kept entries per row into out_indptr (cumulative).  Returns the
+// output nnz, or -1 when lumping needs a diagonal a row doesn't keep
+// (caller falls back to the COO insertion path).
+int64_t drop_small_count(const int64_t* indptr, const int64_t* indices,
+                         const double* data, int64_t n_rows, double tol,
+                         int rel_mode, int diag_strength, int drop_diag_mode,
+                         int lump, int64_t* out_indptr) {
+    int64_t out = 0;
+    out_indptr[0] = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const double rt =
+            row_drop_tol(indptr, indices, data, i, tol, rel_mode, diag_strength);
+        bool diag_kept = false, dropped_any = false;
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            if (keep_entry(i, indices[p], data[p], rt, drop_diag_mode)) {
+                if (indices[p] == i) diag_kept = true;
+                ++out;
+            } else if (data[p] != 0.0) {
+                dropped_any = true;
+            }
+        }
+        if (lump && dropped_any && !diag_kept) return -1;
+        out_indptr[i + 1] = out;
+    }
+    return out;
+}
+
+void drop_small_fill(const int64_t* indptr, const int64_t* indices,
+                     const double* data, int64_t n_rows, double tol,
+                     int rel_mode, int diag_strength, int drop_diag_mode,
+                     int lump, int64_t* out_cols, double* out_data) {
+    int64_t out = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const double rt =
+            row_drop_tol(indptr, indices, data, i, tol, rel_mode, diag_strength);
+        int64_t diag_out = -1;
+        double lump_acc = 0.0;
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int64_t j = indices[p];
+            const double v = data[p];
+            if (keep_entry(i, j, v, rt, drop_diag_mode)) {
+                if (j == i) diag_out = out;
+                out_cols[out] = j;
+                out_data[out] = v;
+                ++out;
+            } else if (lump && v != 0.0) {
+                lump_acc += v;
+            }
+        }
+        if (lump && lump_acc != 0.0 && diag_out >= 0)
+            out_data[diag_out] += lump_acc;
+    }
+}
+
+}  // extern "C"

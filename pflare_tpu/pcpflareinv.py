@@ -132,6 +132,8 @@ class PCPFLAREINV:
               side="left", restart=30, x0=None):
         from .solvers import gmres, richardson
 
+        if self.inverse is None:
+            raise RuntimeError("PCPFLAREINV not set up")
         b = jnp.asarray(b)
         if ksp == "gmres":
             return gmres(self._ell, b, x0=x0, M=self.apply, side=side,

@@ -45,6 +45,13 @@ def remove_small_from_sparse(
     A = _canon(A)
     if lump and drop_diagonal == 1:
         raise ValueError("cannot lump and drop the diagonal")
+    from ..native import drop_small_native
+
+    nat = drop_small_native(
+        A, tol, relative_max_row_tol, diag_strength, drop_diagonal, lump
+    )
+    if nat is not None:
+        return nat
     n_rows, n_cols = A.shape
     data = A.data
     rows = row_of_entries(A)
@@ -81,18 +88,28 @@ def remove_small_from_sparse(
     # Drop exact zeros regardless
     keep = keep & (data != 0)
 
+    if not lump:
+        # CSR-structure-preserving compression: no COO round trip.
+        # Per-row kept counts via a prefix sum over the keep mask.
+        csum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        counts = csum[A.indptr[1:]] - csum[A.indptr[:-1]]
+        indptr = np.concatenate([[0], np.cumsum(counts)]).astype(A.indptr.dtype)
+        out = sp.csr_matrix(
+            (data[keep], cols[keep], indptr), shape=(n_rows, n_cols)
+        )
+        out.has_sorted_indices = True
+        return out
+
     out_rows = rows[keep]
     out_cols = cols[keep]
     out_vals = data[keep]
-
-    if lump:
-        dropped = ~keep & (data != 0)
-        if np.any(dropped):
-            lump_rows = rows[dropped]
-            lump_vals = data[dropped]
-            out_rows = np.concatenate([out_rows, lump_rows])
-            out_cols = np.concatenate([out_cols, lump_rows])
-            out_vals = np.concatenate([out_vals, lump_vals])
+    dropped = ~keep & (data != 0)
+    if np.any(dropped):
+        lump_rows = rows[dropped]
+        lump_vals = data[dropped]
+        out_rows = np.concatenate([out_rows, lump_rows])
+        out_cols = np.concatenate([out_cols, lump_rows])
+        out_vals = np.concatenate([out_vals, lump_vals])
 
     out = sp.csr_matrix(
         (out_vals, (out_rows, out_cols)), shape=(n_rows, n_cols)

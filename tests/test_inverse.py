@@ -266,3 +266,40 @@ def test_bus_newton_order60_assembled():
     inv = build_inverse(E, InverseType.NEWTON, poly_order=60, A_scipy=A)
     res = gmres(E, b, M=inv.apply, rtol=1e-5, max_it=6, side="right")
     assert res.converged, res.iterations
+
+
+def test_sai_batched_matches_loop_oracle():
+    """Batched padded-QR SAI/ISAI == per-row solves, incl. empty rows and
+    the rank-deficient min-norm fallback (reference: src/SAI_Z.F90)."""
+    from pflare_tpu.inverse.sai import sai_z, _sai_z_loop
+
+    rng = np.random.RandomState(21)
+    n_f, n_c = 90, 30
+    A_ff = sp.csr_matrix(
+        sp.random(n_f, n_f, density=0.07, random_state=rng)
+        + sp.diags(2.0 + rng.rand(n_f))
+    )
+    A_ff.sort_indices()
+    A_cf = sp.csr_matrix(sp.random(n_c, n_f, density=0.1, random_state=rng))
+    A_cf = sp.vstack([A_cf[: n_c - 1], sp.csr_matrix((1, n_f))]).tocsr()
+    A_cf.sort_indices()
+    S = sp.csr_matrix(
+        (np.ones(A_cf.nnz), A_cf.indices, A_cf.indptr), shape=A_cf.shape
+    )
+    for inc in (True, False):
+        Zb = sai_z(A_ff, A_cf, S, inc, batched=True)
+        Zl = _sai_z_loop(A_ff, A_cf, S, inc)
+        assert (Zb.indptr == Zl.indptr).all()
+        assert (Zb.indices == Zl.indices).all()
+        assert np.allclose(Zb.data, Zl.data, atol=1e-9)
+
+    # force a rank-deficient local block via an empty A_ff row
+    A2 = A_ff.tolil()
+    A2[3, :] = 0
+    A2 = A2.tocsr()
+    A2.eliminate_zeros()
+    A2.sort_indices()
+    Zb = sai_z(A2, A_cf, S, True, batched=True)
+    Zl = _sai_z_loop(A2, A_cf, S, True)
+    assert (Zb.indices == Zl.indices).all()
+    assert np.allclose(Zb.data, Zl.data, atol=1e-8)
