@@ -1,0 +1,857 @@
+"""Fully-jitted device numeric re-setup: the TPU-native reuse path.
+
+The reference's reuse story re-runs the numeric half of setup on the CPU
+(or with Kokkos kernels) against stored symbolic state (reference:
+src/AIR_MG_Setup.F90 reuse branches, docs/reuse.md).  On TPU the natural
+form is stronger: with ``reuse_sparsity`` every pattern, product plan and
+layout in the hierarchy is static, so the WHOLE numeric re-setup --
+submatrix extraction, approximate-inverse assembly, Z = -A_cf A_ff^-1,
+R assembly, AP/RAP, coarse drop/lump, level after level -- is one pure
+function from the new matrix values to the new device hierarchy.  Compiled
+once by XLA, it runs entirely on the accelerator: re-setup for a
+time-dependent operator costs one h2d value upload and one program launch.
+
+Polynomial coefficients are carried over from the previous setup (the
+reference's ``-pc_air_reuse_poly_coeffs``; with unchanged patterns and
+mildly drifting values this is the standard regime, docs/reuse.md).
+
+Every static index array is passed to the jitted function as an ARGUMENT
+pytree: on backends that re-stream program constants per dispatch (see
+axon notes) closure-captured arrays would dominate the launch cost.
+
+Supported configuration (others raise ValueError at plan build):
+one-point classical prolongation, AIRG product Z, no strong-R dropping,
+no improve/constrain, non-symmetric, F/C (not full) smoothing, setup done
+with ``reuse_sparsity=True`` and ``reuse_amount >= 3``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..inverse.build import Inverse
+from ..options import AIROptions
+from ..params import InverseType
+from ..sparse import ELL
+from ..sparse.dia import DIA
+from ..sparse.pattern import SparsityPattern
+
+
+# ~~~~~~~~~~~~~~~~~~~~~ host-side map helpers ~~~~~~~~~~~~~~~~~~~~~
+
+
+def _keys(indptr, indices, n_cols):
+    rows = np.repeat(np.arange(len(indptr) - 1, dtype=np.int64),
+                     np.diff(indptr))
+    return rows * np.int64(n_cols) + indices.astype(np.int64)
+
+
+def _pos_in(src: sp.csr_matrix, dst_keys: np.ndarray) -> np.ndarray:
+    """Position of each dst key inside src's (sorted) entry list; -1 when
+    absent."""
+    skeys = _keys(src.indptr, src.indices, src.shape[1])
+    pos = np.searchsorted(skeys, dst_keys)
+    pos_c = np.minimum(pos, max(len(skeys) - 1, 0))
+    ok = (len(skeys) > 0) & (skeys[pos_c] == dst_keys)
+    return np.where(ok, pos_c, -1)
+
+
+def _submatrix_map(A: sp.csr_matrix, sub: sp.csr_matrix,
+                   row_sel: np.ndarray, col_sel: np.ndarray) -> np.ndarray:
+    """For each entry (i,j) of ``sub``, its position in A's values, where
+    sub was extracted as A[row_sel][:, col_sel]."""
+    rows = np.repeat(row_sel[np.arange(sub.shape[0])], np.diff(sub.indptr))
+    cols = col_sel[sub.indices]
+    m = _pos_in(A, rows.astype(np.int64) * np.int64(A.shape[1]) + cols)
+    if np.any(m < 0):
+        raise ValueError("submatrix entry missing from parent pattern")
+    return m
+
+
+def _slot_to_pos(pat: SparsityPattern) -> np.ndarray:
+    """Inverse of slot_of_pos: ELL flat slot -> CSR position (valid slots)."""
+    inv = np.zeros(pat.shape[0] * pat.K, dtype=np.int64)
+    inv[pat.slot_of_pos] = np.arange(pat.nnz, dtype=np.int64)
+    return inv
+
+
+def _product_arrays(plan) -> dict:
+    """SpGEMM plan triples re-expressed in CSR-position space, sorted by
+    output position (lets XLA use the sorted-scatter path)."""
+    a_pos = _slot_to_pos(plan.pat_A)[plan.a_slot_np]
+    b_pos = _slot_to_pos(plan.pat_B)[plan.b_slot_np]
+    order = np.argsort(plan.out_pos_np, kind="stable")
+    return {
+        "a_pos": jnp.asarray(a_pos[order]),
+        "b_pos": jnp.asarray(b_pos[order]),
+        "out_pos": jnp.asarray(plan.out_pos_np[order]),
+    }
+
+
+def _exec_product(arrs: dict, a_flat, b_flat, nnz_out: int):
+    prod = a_flat[arrs["a_pos"]] * b_flat[arrs["b_pos"]]
+    return jax.ops.segment_sum(prod, arrs["out_pos"], num_segments=nnz_out,
+                               indices_are_sorted=True)
+
+
+def _invert_scatter(targets: np.ndarray, out_size: int):
+    """Turn a static injective scatter out[targets[i]] = vals[i] into the
+    gather out[j] = vals[src[j]] * mask[j].  TPU scatters run ~400x slower
+    than gathers, and every layout map here is static, so all value
+    placement is done in gather form."""
+    src = np.zeros(out_size, dtype=np.int64)
+    mask = np.zeros(out_size, dtype=np.float32)
+    src[targets] = np.arange(len(targets), dtype=np.int64)
+    mask[targets] = 1.0
+    return {"gsrc": jnp.asarray(src), "gmask": jnp.asarray(mask)}
+
+
+def _gather_place(arrs: dict, vals, dtype):
+    return (vals[arrs["gsrc"]] * arrs["gmask"].astype(vals.dtype)).astype(
+        dtype)
+
+
+def _op_layout(op, M_host: sp.csr_matrix | None = None):
+    """(kind, gather-placement arrays, static aux) for a device DIA/ELL op.
+    CSR-ordered values -> op data layout, as a gather (see above).
+
+    ``M_host``: the host CSR the op was built from.  Required for DIA ops
+    -- reading entries back off the device (op.to_scipy) would be a d2h
+    transfer, and on the tunneled backend ANY d2h permanently degrades
+    every later dispatch (~0.1ms -> 250ms), so plan building must stay
+    d2h-free."""
+    if isinstance(op, DIA):
+        if M_host is None:
+            raise ValueError("DIA layout needs the host matrix (no d2h)")
+        M = sp.csr_matrix(M_host)
+        M.sort_indices()
+        rows = np.repeat(np.arange(M.shape[0], dtype=np.int64),
+                         np.diff(M.indptr))
+        offs = M.indices - rows
+        slot = np.searchsorted(np.asarray(op.offsets), offs)
+        d = len(op.offsets)
+        n = op.data.shape[1]
+        arrs = _invert_scatter(slot * np.int64(n) + rows, d * n)
+        return "dia", arrs, (op.offsets, op.shape, op.data.shape)
+    # ELL
+    pat = op.pattern
+    arrs = _invert_scatter(pat.slot_of_pos, op.data.shape[0] * op.data.shape[1])
+    arrs["cols"] = op.cols
+    return "ell", arrs, (pat, op.data.shape)
+
+
+def _build_op(kind: str, arrs: dict, aux, vals, dtype):
+    if kind == "dia":
+        offsets, shape, dshape = aux
+        data = _gather_place(arrs, vals, dtype).reshape(dshape)
+        return DIA(offsets, data, shape)
+    pat, dshape = aux
+    flat = _gather_place(arrs, vals, dtype)
+    return ELL(pat, flat.reshape(dshape), arrs["cols"])
+
+
+def _perm_between(src: sp.csr_matrix, dst: sp.csr_matrix,
+                  row_map=None, col_map=None) -> np.ndarray:
+    """dst entry -> src entry index when dst is src relabeled by
+    (row_map, col_map) (bijective on entries)."""
+    rows = np.repeat(np.arange(dst.shape[0], dtype=np.int64),
+                     np.diff(dst.indptr))
+    cols = dst.indices.astype(np.int64)
+    # invert the relabeling: find src coords for each dst coord
+    if row_map is not None:
+        inv_r = -np.ones(dst.shape[0], dtype=np.int64)
+        inv_r[row_map] = np.arange(len(row_map))
+        rows = inv_r[rows]
+    if col_map is not None:
+        inv_c = -np.ones(dst.shape[1], dtype=np.int64)
+        inv_c[col_map] = np.arange(len(col_map))
+        cols = inv_c[cols]
+    m = _pos_in(src, rows * np.int64(src.shape[1]) + cols)
+    if np.any(m < 0):
+        raise ValueError("relabel map is not a bijection on entries")
+    return m
+
+
+# ~~~~~~~~~~~~~~~~~~~~~ poly-plan arrays ~~~~~~~~~~~~~~~~~~~~~
+
+
+def _poly_plan_arrays(plan) -> dict:
+    """FixedSparsityPolyPlan re-expressed in CSR-position space.  The A->S
+    injection is injective (gather form); the diagonal add is a one-hot
+    mask multiply -- no scatters."""
+    nnz_s = plan.pat_S.nnz
+    diag_mask = np.zeros(nnz_s, dtype=np.float32)
+    dp = plan.diag_pos_np
+    diag_mask[dp[dp >= 0]] = 1.0
+    return {
+        "inject": _invert_scatter(plan.inject_pos_np, nnz_s),
+        "diag_mask": jnp.asarray(diag_mask),
+        "step": _product_arrays(plan.step_plan),
+    }
+
+
+def _diag_gather(diag_pos, flat):
+    """flat[diag_pos] with 0 where the diagonal entry is absent (-1)."""
+    safe = jnp.maximum(diag_pos, 0)
+    return jnp.where(diag_pos >= 0, flat[safe], 0.0)
+
+
+def _exec_poly(arrs: dict, order: int, nnz_s: int, a_flat, coeffs):
+    """p(A) values on the plan's S pattern, CSR order (device)."""
+    a_on_s = _gather_place(arrs["inject"], a_flat, a_flat.dtype)
+    acc = coeffs[1] * a_on_s
+    power = a_on_s
+    for k in range(2, order + 1):
+        power = _exec_product(arrs["step"], power, a_flat, nnz_s)
+        acc = acc + coeffs[k] * power
+    acc = acc + coeffs[0] * arrs["diag_mask"].astype(acc.dtype)
+    return acc
+
+
+# ~~~~~~~~~~~~~~~~~~~~~ inverse re-assembly ~~~~~~~~~~~~~~~~~~~~~
+
+
+@dataclass
+class _InvMeta:
+    kind: str                       # Inverse.kind
+    steps: tuple = ()
+    scaled: bool = False
+    meta: dict = field(default_factory=dict)
+    order: int = 0
+    nnz_s: int = 0                  # assembled: nnz of the plan S pattern
+    op_kind: str = ""               # device op layout kind
+    op_aux: object = None
+
+
+def _inverse_plan(inv: Inverse, A_ff: sp.csr_matrix, patterns: dict,
+                  plan_key: str, fine: np.ndarray, n: int,
+                  ext_op, opts: AIROptions):
+    """(meta, arrays) to rebuild the full-space form of ``inv`` from the
+    compressed A_ff CSR values.  ``ext_op`` is the existing full-space
+    device operator for the matrix-free kinds."""
+    arrs: dict = {}
+    meta = _InvMeta(kind=inv.kind, steps=inv.steps, scaled=inv.scaled,
+                    meta=dict(inv.meta))
+    diag_pos = SparsityPattern(A_ff.indptr, A_ff.indices,
+                               A_ff.shape).diag_positions()
+    if inv.kind == "diagonal":
+        arrs["diag_pos"] = jnp.asarray(diag_pos)
+        arrs["fine_g"] = _invert_scatter(fine, n)
+        # weighted-Jacobi carries a weight: recover it so the rebuilt
+        # diagonal is w / d_new (plain 1/d has w == 1)
+        d_old = A_ff.diagonal()
+        host_diag = getattr(inv, "host_diag", None)
+        dvals = (np.asarray(host_diag) if host_diag is not None
+                 else np.asarray(inv.diag))
+        if len(dvals) == n:          # already full-space
+            dvals = dvals[fine]
+        w = np.where(d_old != 0, dvals * d_old, 0.0)
+        arrs["w"] = jnp.asarray(w)
+        meta.order = n
+        return meta, arrs
+    if inv.kind == "assembled":
+        plan = patterns.get(plan_key)
+        if plan is None:
+            raise ValueError(
+                f"device re-setup needs the '{plan_key}' numeric plan; "
+                "run setup with reuse_sparsity=True, reuse_amount>=3 "
+                "(assembled power/arnoldi only)")
+        if inv.coefficients is None:
+            raise ValueError("assembled inverse without stored coefficients "
+                             "(newton/sai assembled) is not supported by "
+                             "device re-setup")
+        arrs["poly"] = _poly_plan_arrays(plan)
+        arrs["coeffs"] = jnp.asarray(np.asarray(inv.coefficients))
+        meta.order = plan.order
+        meta.nnz_s = plan.pat_S.nnz
+        # full-space layout: the rebuilt inverse lives exactly on the
+        # plan's S pattern (the stored host matrix may have dropped
+        # explicit zeros, so don't reuse its pattern)
+        M_S = sp.csr_matrix(
+            (np.ones(plan.pat_S.nnz), plan.pat_S.indices,
+             plan.pat_S.indptr), shape=plan.pat_S.shape)
+        from .fullspace import _map_both
+        M_ext = _map_both(M_S, fine, fine, n)
+        kind, oarrs, oaux = _op_layout(_ext_like(ext_op, M_ext), M_ext)
+        meta.op_kind, meta.op_aux = kind, oaux
+        arrs["op"] = oarrs
+        # S-pattern entry -> ext entry permutation
+        arrs["ext_perm"] = jnp.asarray(_perm_between(M_S, M_ext,
+                                                     row_map=fine,
+                                                     col_map=fine))
+        return meta, arrs
+    # matrix-free kinds: new operator values + carried coefficients
+    if inv.coefficients is not None:
+        arrs["coeffs"] = jnp.asarray(np.asarray(inv.coefficients))
+    if inv.diag is not None:
+        arrs["diag_pos"] = jnp.asarray(diag_pos)
+        arrs["fine_g"] = _invert_scatter(fine, n)
+    return meta, arrs
+
+
+def _ext_like(ext_op, M_ext):
+    """Choose the device layout for a rebuilt full-space matrix: keep the
+    kind of the existing op when shapes line up, else decide fresh."""
+    from .fullspace import make_op
+
+    return make_op(M_ext)
+
+
+def _exec_inverse(meta: _InvMeta, arrs: dict, aff_flat, ext_A_op, n: int,
+                  dtype):
+    if meta.kind == "diagonal":
+        dvals = _diag_gather(arrs["diag_pos"], aff_flat)
+        dinv = jnp.where(dvals != 0, arrs["w"] / dvals, 0.0)
+        d = _gather_place(arrs["fine_g"], dinv, dtype)
+        return Inverse("diagonal", diag=d, meta=meta.meta)
+    if meta.kind == "assembled":
+        m_flat = _exec_poly(arrs["poly"], meta.order, meta.nnz_s,
+                            aff_flat, arrs["coeffs"])
+        ext_vals = m_flat[arrs["ext_perm"]]
+        op = _build_op(meta.op_kind, arrs["op"], meta.op_aux, ext_vals,
+                       dtype)
+        return Inverse("assembled", mat=op, meta=meta.meta,
+                       coefficients=arrs["coeffs"].astype(dtype))
+    # matrix-free kinds run against the full-space A_ff operator
+    diag = None
+    if "diag_pos" in arrs:
+        dvals = _diag_gather(arrs["diag_pos"], aff_flat)
+        dvals = jnp.where(dvals != 0, dvals, 1.0)
+        fg = arrs["fine_g"]
+        diag = jnp.where(fg["gmask"] > 0,
+                         dvals[fg["gsrc"]], 1.0).astype(dtype)
+    coeffs = arrs.get("coeffs")
+    if coeffs is not None:
+        coeffs = coeffs.astype(dtype)
+    return Inverse(meta.kind, mat=ext_A_op, coefficients=coeffs,
+                   steps=meta.steps, diag=diag, scaled=meta.scaled,
+                   meta=meta.meta)
+
+
+# ~~~~~~~~~~~~~~~~~~~~~ the per-level plan ~~~~~~~~~~~~~~~~~~~~~
+
+
+@dataclass
+class _LevelMeta:
+    n: int
+    nnz_inv_host: int
+    nnz_z: int
+    nnz_zdrop: int
+    nnz_ap: int
+    nnz_rap: int
+    nnz_coarse: int
+    inv_meta: _InvMeta = None
+    z_src: str = "same"               # diag-same | diag-own | same | sep
+    invh_meta: _InvMeta = None        # when a separate dropped inverse
+    op_kinds: dict = field(default_factory=dict)
+    op_aux: dict = field(default_factory=dict)
+    lump: bool = False
+    has_c: bool = False
+    invc_meta: _InvMeta = None
+
+
+def _match_arrays(src: sp.csr_matrix, dst: sp.csr_matrix, lump: bool):
+    """remove_from_sparse_match as static maps: dst values from src values
+    (absent -> 0), plus lump segments (src entries outside dst added onto
+    the dst diagonal of their row)."""
+    dkeys = _keys(dst.indptr, dst.indices, dst.shape[1])
+    src_pos_for_dst = _pos_in(src, dkeys)       # -1 -> 0 value
+    out = {
+        "src": jnp.asarray(np.maximum(src_pos_for_dst, 0)),
+        "ok": jnp.asarray((src_pos_for_dst >= 0).astype(np.float64)),
+    }
+    if lump:
+        skeys = _keys(src.indptr, src.indices, src.shape[1])
+        in_dst = np.isin(skeys, dkeys, assume_unique=True)
+        outside = np.nonzero(~in_dst)[0]
+        srows = np.repeat(np.arange(src.shape[0], dtype=np.int64),
+                          np.diff(src.indptr))[outside]
+        dpat = SparsityPattern(dst.indptr, dst.indices, dst.shape)
+        dpos = dpat.diag_positions()
+        ok = dpos[srows] >= 0
+        lsrc, ldst = outside[ok], dpos[srows[ok]]
+        order = np.argsort(ldst, kind="stable")
+        out["lump_src"] = jnp.asarray(lsrc[order])
+        out["lump_dst"] = jnp.asarray(ldst[order])
+    return out
+
+
+# ~~~~~~~~~~~~~~~~~~~~~ the public plan ~~~~~~~~~~~~~~~~~~~~~
+
+
+class DeviceResetup:
+    """Callable device re-setup for a PCAIR hierarchy.
+
+    ``plan = DeviceResetup(hierarchy, dtype)`` validates and builds the
+    static maps; ``plan(A_new)`` returns ``(device_levels, coarse_inv)``
+    computed entirely on device (jitted on first call).
+    """
+
+    def __init__(self, hierarchy, dtype=None):
+        opts: AIROptions = hierarchy.options
+        self.dtype = dtype or jnp.float64
+        _validate(opts, hierarchy)
+        self.meta: list[_LevelMeta] = []
+        self.arrays: list[dict] = []
+        self.hierarchy = hierarchy
+        dev_levels = hierarchy.device_levels  # materialise layouts
+        for lvl, dev in zip(hierarchy.levels, dev_levels):
+            m, a = self._build_level_plan(lvl, dev, opts)
+            self.meta.append(m)
+            self.arrays.append(a)
+        self.coarse_meta, self.coarse_arrays = self._build_coarse_plan(
+            hierarchy, opts)
+        self._jitted = jax.jit(self._execute)
+
+    # ~~~~~~~~~~ host plan build ~~~~~~~~~~
+
+    def _build_level_plan(self, lvl, dev, opts: AIROptions):
+        A, fine, coarse = lvl.A, np.asarray(lvl.fine), np.asarray(lvl.coarse)
+        pats = lvl.patterns
+        n = lvl.n
+        arrs: dict = {}
+        # submatrix maps
+        arrs["ff"] = jnp.asarray(_submatrix_map(A, lvl.A_ff, fine, fine))
+        arrs["fc"] = jnp.asarray(_submatrix_map(A, lvl.A_fc, fine, coarse))
+        cf_mat = lvl.A_cf
+        if cf_mat is None:
+            # rebuild for the Z product source (A_cf_drop == A_cf here)
+            cf_mat = sp.csr_matrix(A[coarse][:, fine])
+            cf_mat.sort_indices()
+        arrs["cf"] = jnp.asarray(_submatrix_map(A, cf_mat, coarse, fine))
+        if cf_mat.nnz != pats["Z_numeric_plan"].pat_A.nnz:
+            raise ValueError("A_cf pattern differs from the stored Z plan")
+
+        # smoothing inverse
+        ext_A_op = dev["A_ff"]
+        inv_meta, inv_arrs = _inverse_plan(
+            lvl.inv_Aff, lvl.A_ff, pats, "inv_aff_poly_plan", fine, n,
+            ext_A_op, opts)
+        arrs["inv"] = inv_arrs
+
+        # the assembled inverse used for Z: one of four sources
+        #   diag-same: the smoothing inverse is diagonal (reuse its w/d)
+        #   diag-own: A_ff is diagonal-only but the smoother is mf
+        #   same: the smoothing assembled inverse doubles as Z's
+        #   sep: a separately assembled dropped inverse (mf smoothing)
+        aff_rows = np.repeat(np.arange(lvl.A_ff.shape[0]),
+                             np.diff(lvl.A_ff.indptr))
+        aff_diag_only = bool(np.all(aff_rows == lvl.A_ff.indices))
+        invh_meta = None
+        if lvl.inv_Aff.kind == "diagonal":
+            z_src = "diag-same"
+        elif aff_diag_only:
+            z_src = "diag-own"
+            dpos = SparsityPattern(lvl.A_ff.indptr, lvl.A_ff.indices,
+                                   lvl.A_ff.shape).diag_positions()
+            arrs["invh_diag_pos"] = jnp.asarray(dpos)
+        elif (lvl.inv_Aff.kind == "assembled"
+              and not opts.matrix_free_polys):
+            z_src = "same"
+        else:
+            z_src = "sep"
+            plan = pats.get("inv_aff_drop_poly_plan")
+            if plan is None:
+                raise ValueError(
+                    "device re-setup with matrix-free smoothing needs the "
+                    "dropped-inverse numeric plan (reuse_amount>=3)")
+            coeffs = _dropped_inverse_coeffs(lvl, opts)
+            invh_meta = _InvMeta(kind="assembled", order=plan.order,
+                                 nnz_s=plan.pat_S.nnz)
+            arrs["invh"] = {
+                "poly": _poly_plan_arrays(plan),
+                "coeffs": jnp.asarray(coeffs),
+            }
+        invh_same = z_src in ("diag-same", "same")
+        # inverse values (CSR order on its own pattern) feeding the Z plan
+        zplan = pats.get("Z_numeric_plan")
+        if zplan is None:
+            raise ValueError("device re-setup needs Z_numeric_plan "
+                             "(setup with reuse_sparsity, amount>=2)")
+        arrs["z"] = _product_arrays(zplan)
+        # map the rebuilt inverse values onto zplan's B pattern (the host
+        # assembled inverse may have dropped explicit zeros relative to the
+        # poly plan's S pattern)
+        pat_b = zplan.pat_B
+        b_keys = _keys(pat_b.indptr, pat_b.indices, pat_b.shape[1])
+        if z_src in ("diag-same", "diag-own"):
+            arrs["invh_rows"] = jnp.asarray(pat_b.row_of_pos())
+        else:
+            src_plan = (pats["inv_aff_poly_plan"] if z_src == "same"
+                        else pats["inv_aff_drop_poly_plan"])
+            s_csr = sp.csr_matrix(
+                (np.ones(src_plan.pat_S.nnz), src_plan.pat_S.indices,
+                 src_plan.pat_S.indptr), shape=src_plan.pat_S.shape)
+            m = _pos_in(s_csr, b_keys)
+            if np.any(m < 0):
+                raise ValueError("assembled-inverse pattern does not cover "
+                                 "the stored Z plan pattern")
+            arrs["invh_map"] = jnp.asarray(m)
+        # Z -> Z_drop subset
+        z_pat_csr = sp.csr_matrix(
+            (np.ones(zplan.pat_C.nnz), zplan.pat_C.indices,
+             zplan.pat_C.indptr), shape=zplan.pat_C.shape)
+        arrs["zdrop"] = _match_arrays(z_pat_csr, pats["Z_drop"], lump=False)
+
+        # R values: Z_drop entries + identity ones
+        R = lvl.R
+        rrows = np.repeat(np.arange(R.shape[0], dtype=np.int64),
+                          np.diff(R.indptr))
+        rcols = R.indices.astype(np.int64)
+        # identity entries: (i, coarse[i])
+        is_ident = rcols == coarse[rrows]
+        zd = pats["Z_drop"]
+        inv_f = -np.ones(n, dtype=np.int64)
+        inv_f[fine] = np.arange(len(fine))
+        zsrc = np.zeros(len(rrows), dtype=np.int64)
+        nz = ~is_ident
+        zkeys = rrows[nz] * np.int64(zd.shape[1]) + inv_f[rcols[nz]]
+        zpos = _pos_in(zd, zkeys)
+        if np.any(zpos < 0):
+            raise ValueError("R entry missing from Z_drop")
+        zsrc[nz] = zpos
+        arrs["r_src"] = jnp.asarray(zsrc)
+        arrs["r_ident"] = jnp.asarray(is_ident.astype(np.float64))
+
+        # products
+        ap_plan = pats.get("AP_numeric_plan")
+        rap_plan = pats.get("RAP_numeric_plan")
+        if ap_plan is None or rap_plan is None:
+            raise ValueError("device re-setup needs AP/RAP numeric plans")
+        arrs["ap"] = _product_arrays(ap_plan)
+        arrs["rap"] = _product_arrays(rap_plan)
+        arrs["p_vals"] = jnp.asarray(lvl.P.data)       # static (one-point)
+        rap_csr = sp.csr_matrix(
+            (np.ones(rap_plan.pat_C.nnz), rap_plan.pat_C.indices,
+             rap_plan.pat_C.indptr), shape=rap_plan.pat_C.shape)
+        arrs["coarse"] = _match_arrays(rap_csr, pats["RAP_drop"],
+                                       lump=opts.a_lump)
+
+        # device op layouts (values only; indices/masks are reused)
+        kinds, auxs = {}, {}
+        from .fullspace import _map_both, _map_rows
+
+        ext_maps = {
+            "A_ff": (_map_both(lvl.A_ff, fine, fine, n), lvl.A_ff,
+                     fine, fine),
+            "A_fc": (_map_both(lvl.A_fc, fine, coarse, n), lvl.A_fc,
+                     fine, coarse),
+            "R": (_map_rows(R, coarse, n), R, coarse, None),
+        }
+        for name, (ext, comp, rmap, cmap) in ext_maps.items():
+            op = dev[name]
+            kind, oarrs, oaux = _op_layout(op, ext)
+            kinds[name], auxs[name] = kind, oaux
+            arrs[f"op_{name}"] = oarrs
+            arrs[f"perm_{name}"] = jnp.asarray(
+                _perm_between(comp, ext, row_map=rmap, col_map=cmap))
+
+        has_c = "A_cc" in dev
+        invc_meta = None
+        if has_c:
+            A_cc = lvl.A_cc
+            A_cf2 = lvl.A_cf
+            arrs["cc"] = jnp.asarray(
+                _submatrix_map(A, A_cc, coarse, coarse))
+            from .fullspace import _map_both as _mb
+            for name, comp, rmap, cmap in (
+                    ("A_cc", A_cc, coarse, coarse),
+                    ("A_cf", A_cf2, coarse, fine)):
+                ext = _mb(comp, rmap, cmap, n)
+                op = dev[name]
+                kind, oarrs, oaux = _op_layout(op, ext)
+                kinds[name], auxs[name] = kind, oaux
+                arrs[f"op_{name}"] = oarrs
+                arrs[f"perm_{name}"] = jnp.asarray(
+                    _perm_between(comp, ext, row_map=rmap, col_map=cmap))
+            invc_meta, invc_arrs = _inverse_plan(
+                lvl.inv_Acc, A_cc, pats, "inv_acc_poly_plan", coarse, n,
+                dev["A_cc"], opts)
+            arrs["invc"] = invc_arrs
+
+        meta = _LevelMeta(
+            n=n,
+            nnz_inv_host=(lvl.inv_Aff_host.nnz
+                          if lvl.inv_Aff_host is not None else 0),
+            nnz_z=zplan.pat_C.nnz,
+            nnz_zdrop=pats["Z_drop"].nnz,
+            nnz_ap=ap_plan.pat_C.nnz,
+            nnz_rap=rap_plan.pat_C.nnz,
+            nnz_coarse=pats["RAP_drop"].nnz,
+            inv_meta=inv_meta,
+            z_src=z_src,
+            invh_meta=invh_meta,
+            op_kinds=kinds,
+            op_aux=auxs,
+            lump=opts.a_lump,
+            has_c=has_c,
+            invc_meta=invc_meta,
+        )
+        return meta, arrs
+
+    def _build_coarse_plan(self, hierarchy, opts: AIROptions):
+        inv = hierarchy.coarse_inv
+        Ac = hierarchy.coarse_matrix
+        arrs: dict = {}
+        meta = _InvMeta(kind=inv.kind, steps=inv.steps, scaled=inv.scaled,
+                        meta=dict(inv.meta))
+        pat = SparsityPattern(Ac.indptr, Ac.indices, Ac.shape)
+        if inv.kind == "dense":
+            rows = np.repeat(np.arange(Ac.shape[0], dtype=np.int64),
+                             np.diff(Ac.indptr))
+            arrs["rows"] = jnp.asarray(rows)
+            arrs["cols"] = jnp.asarray(Ac.indices.astype(np.int64))
+            meta.order = Ac.shape[0]
+            return meta, arrs
+        if inv.kind == "diagonal":
+            arrs["diag_pos"] = jnp.asarray(pat.diag_positions())
+            meta.order = Ac.shape[0]
+            return meta, arrs
+        if inv.kind == "assembled":
+            if inv.coefficients is None:
+                raise ValueError("assembled coarse inverse without "
+                                 "coefficients not supported")
+            from ..sparse.spgemm import FixedSparsityPolyPlan
+
+            order = len(np.asarray(inv.coefficients)) - 1
+            plan = FixedSparsityPolyPlan(
+                pat, min(order, max(Ac.shape[0] - 1, 0)),
+                opts.coarsest_inverse_sparsity_order)
+            arrs["poly"] = _poly_plan_arrays(plan)
+            arrs["coeffs"] = jnp.asarray(np.asarray(inv.coefficients))
+            meta.order = plan.order
+            meta.nnz_s = plan.pat_S.nnz
+            # rebuilt inverse lives exactly on the plan's S pattern
+            S_csr = sp.csr_matrix(
+                (np.ones(plan.pat_S.nnz), plan.pat_S.indices,
+                 plan.pat_S.indptr), shape=plan.pat_S.shape)
+            kind, oarrs, oaux = _op_layout(_ext_like(None, S_csr), S_csr)
+            meta.op_kind, meta.op_aux = kind, oaux
+            arrs["op"] = oarrs
+            arrs["ext_perm"] = jnp.asarray(
+                np.arange(plan.pat_S.nnz, dtype=np.int64))
+            return meta, arrs
+        # matrix-free kinds: rebuild the ELL operator from coarse values
+        E = inv.mat
+        kind, oarrs, oaux = _op_layout(E)
+        meta.op_kind, meta.op_aux = kind, oaux
+        arrs["op"] = oarrs
+        if inv.coefficients is not None:
+            arrs["coeffs"] = jnp.asarray(np.asarray(inv.coefficients))
+        if inv.diag is not None:
+            arrs["diag_pos"] = jnp.asarray(pat.diag_positions())
+        return meta, arrs
+
+    # ~~~~~~~~~~ device execution ~~~~~~~~~~
+
+    def _execute(self, arrays, coarse_arrays, a_flat):
+        dtype = self.dtype
+        levels_vals = []
+        for meta, arrs in zip(self.meta, arrays):
+            lv: dict = {}
+            aff = a_flat[arrs["ff"]]
+            afc = a_flat[arrs["fc"]]
+            acf = a_flat[arrs["cf"]]
+            # smoothing inverse (full-space)
+            A_ff_ext = _build_op(meta.op_kinds["A_ff"], arrs["op_A_ff"],
+                                 meta.op_aux["A_ff"],
+                                 aff[arrs["perm_A_ff"]], dtype)
+            lv["A_ff"] = A_ff_ext
+            lv["A_fc"] = _build_op(meta.op_kinds["A_fc"], arrs["op_A_fc"],
+                                   meta.op_aux["A_fc"],
+                                   afc[arrs["perm_A_fc"]], dtype)
+            lv["inv_Aff"] = _exec_inverse(meta.inv_meta, arrs["inv"], aff,
+                                          A_ff_ext, meta.n, dtype)
+            # assembled inverse values for the Z product (f64 throughout
+            # the setup math; cast at the op build)
+            if meta.z_src == "same":
+                invh_flat = _exec_poly(
+                    arrs["inv"]["poly"], meta.inv_meta.order,
+                    meta.inv_meta.nnz_s, aff, arrs["inv"]["coeffs"])
+            elif meta.z_src == "diag-same":
+                dvals = _diag_gather(arrs["inv"]["diag_pos"], aff)
+                invh_flat = jnp.where(dvals != 0,
+                                      arrs["inv"]["w"] / dvals, 0.0)
+            elif meta.z_src == "diag-own":
+                dvals = _diag_gather(arrs["invh_diag_pos"], aff)
+                invh_flat = jnp.where(dvals != 0, 1.0 / dvals, 0.0)
+            else:  # sep
+                invh_flat = _exec_poly(
+                    arrs["invh"]["poly"], meta.invh_meta.order,
+                    meta.invh_meta.nnz_s, aff, arrs["invh"]["coeffs"])
+            # lay the inverse onto the Z plan's B pattern
+            if "invh_rows" in arrs:
+                z_b = invh_flat[arrs["invh_rows"]]
+            else:
+                z_b = invh_flat[arrs["invh_map"]]
+            # Z = -(A_cf @ inv)
+            z_flat = -_exec_product(arrs["z"], acf, z_b, meta.nnz_z)
+            zdrop = z_flat[arrs["zdrop"]["src"]] * arrs["zdrop"]["ok"]
+            # R values
+            r_flat = jnp.where(arrs["r_ident"] > 0, 1.0,
+                               zdrop[arrs["r_src"]])
+            lv["R"] = _build_op(meta.op_kinds["R"], arrs["op_R"],
+                                meta.op_aux["R"], r_flat[arrs["perm_R"]],
+                                dtype)
+            # RAP
+            ap = _exec_product(arrs["ap"], a_flat, arrs["p_vals"],
+                               meta.nnz_ap)
+            rap = _exec_product(arrs["rap"], r_flat, ap, meta.nnz_rap)
+            cm = arrs["coarse"]
+            coarse_vals = rap[cm["src"]] * cm["ok"]
+            if meta.lump and "lump_src" in cm:
+                coarse_vals = coarse_vals + jax.ops.segment_sum(
+                    rap[cm["lump_src"]], cm["lump_dst"],
+                    num_segments=meta.nnz_coarse, indices_are_sorted=True)
+            if meta.has_c:
+                acc = a_flat[arrs["cc"]]
+                lv["A_cc"] = _build_op(
+                    meta.op_kinds["A_cc"], arrs["op_A_cc"],
+                    meta.op_aux["A_cc"], acc[arrs["perm_A_cc"]], dtype)
+                lv["A_cf"] = _build_op(
+                    meta.op_kinds["A_cf"], arrs["op_A_cf"],
+                    meta.op_aux["A_cf"], acf[arrs["perm_A_cf"]], dtype)
+                lv["inv_Acc"] = _exec_inverse(
+                    meta.invc_meta, arrs["invc"], acc, lv["A_cc"],
+                    meta.n, dtype)
+            levels_vals.append(lv)
+            a_flat = coarse_vals
+        coarse_inv = self._exec_coarse(coarse_arrays, a_flat)
+        return levels_vals, coarse_inv
+
+    def _exec_coarse(self, arrs, a_flat):
+        meta = self.coarse_meta
+        dtype = self.dtype
+        if meta.kind == "dense":
+            n = meta.order
+            D = jnp.zeros((n, n), dtype=a_flat.dtype).at[
+                arrs["rows"], arrs["cols"]].set(a_flat)
+            return Inverse("dense", mat=jnp.linalg.inv(D).astype(dtype),
+                           meta=meta.meta)
+        if meta.kind == "diagonal":
+            dvals = a_flat[arrs["diag_pos"]]
+            ok = (arrs["diag_pos"] >= 0) & (dvals != 0)
+            return Inverse("diagonal",
+                           diag=jnp.where(ok, 1.0 / dvals, 0.0).astype(dtype),
+                           meta=meta.meta)
+        if meta.kind == "assembled":
+            m_flat = _exec_poly(arrs["poly"], meta.order, meta.nnz_s,
+                                a_flat, arrs["coeffs"])
+            op = _build_op(meta.op_kind, arrs["op"], meta.op_aux,
+                           m_flat[arrs["ext_perm"]], dtype)
+            return Inverse("assembled", mat=op, meta=meta.meta,
+                           coefficients=arrs["coeffs"].astype(dtype))
+        # matrix-free
+        op = _build_op(meta.op_kind, arrs["op"], meta.op_aux, a_flat, dtype)
+        diag = None
+        if "diag_pos" in arrs:
+            dvals = a_flat[arrs["diag_pos"]]
+            diag = jnp.where(dvals != 0, dvals, 1.0).astype(dtype)
+        coeffs = arrs.get("coeffs")
+        if coeffs is not None:
+            coeffs = coeffs.astype(dtype)
+        return Inverse(meta.kind, mat=op, coefficients=coeffs,
+                       steps=meta.steps, diag=diag, scaled=meta.scaled,
+                       meta=meta.meta)
+
+    # ~~~~~~~~~~ public entry ~~~~~~~~~~
+
+    def __call__(self, A_new):
+        """A_new: scipy matrix with the SAME pattern as the original top
+        matrix (or a flat [nnz] value array in its CSR order).  Returns
+        (device_levels, coarse_inv); install with ``install()``."""
+        if sp.issparse(A_new):
+            M = sp.csr_matrix(A_new)
+            M.sort_indices()
+            # same-pattern guard: out-of-pattern values would be silently
+            # mis-gathered (XLA clamps indices), so fail loudly instead
+            top = self.hierarchy.levels[0].A
+            if (M.nnz != top.nnz
+                    or not np.array_equal(M.indptr, top.indptr)
+                    or not np.array_equal(M.indices, top.indices)):
+                raise ValueError(
+                    "device re-setup requires the SAME sparsity pattern as "
+                    "the matrix the plan was built for; run a full "
+                    "setup() for a new pattern")
+            vals = M.data
+        else:
+            vals = np.asarray(A_new)
+            if len(vals) != self.hierarchy.levels[0].A.nnz:
+                raise ValueError("value array length does not match the "
+                                 "plan's matrix nnz")
+        # internal setup math runs in the solve dtype: for f32/bf16 solves
+        # the approximate-inverse hierarchy doesn't need f64 assembly (and
+        # f64 is emulated on TPU); the dense coarse inverse upcasts itself
+        a_flat = jnp.asarray(vals, dtype=self.dtype)
+        lvl_vals, coarse_inv = self._jitted(self.arrays,
+                                            self.coarse_arrays, a_flat)
+        # merge: static leaves (masks, index vectors, P) come from the
+        # existing device levels; rebuilt operators replace the rest
+        out_levels = []
+        for old, new in zip(self.hierarchy.device_levels, lvl_vals):
+            d = dict(old)
+            d.update(new)
+            out_levels.append(d)
+        return out_levels, coarse_inv
+
+    def install(self, pc, A_new):
+        """Re-setup pc's device state in place from new values.
+
+        The host-side LevelData (coarse host matrices, stats) is left
+        stale by design -- the device hierarchy and the top-level Krylov
+        operator are what solves read.  A later host ``setup(...,
+        structure='same')`` rebuilds host state from scratch."""
+        levels, coarse_inv = self(A_new)
+        pc.hierarchy.device_levels = levels
+        pc.hierarchy.coarse_inv = coarse_inv
+        if sp.issparse(A_new) and pc.hierarchy.levels:
+            M = sp.csr_matrix(A_new)
+            M.sort_indices()
+            pc.hierarchy.levels[0].A = M
+        return pc
+
+
+def _dropped_inverse_coeffs(lvl, opts) -> np.ndarray:
+    """Coefficients of the dropped assembled inverse used by Z (not stored
+    on LevelData; recovered once at plan-build time)."""
+    from ..inverse.gmres_poly import coefficients_arnoldi, coefficients_power
+    from ..inverse.build import build_inverse
+
+    inv = build_inverse(
+        ELL.from_scipy(lvl.A_ff), opts.inverse_type,
+        poly_order=opts.poly_order,
+        sparsity_order=opts.inverse_sparsity_order, matrix_free=False,
+        diag_scale=opts.diag_scale_polys, A_scipy=lvl.A_ff, seed=opts.seed)
+    if inv.coefficients is None:
+        raise ValueError("dropped inverse has no polynomial coefficients")
+    return np.asarray(inv.coefficients)
+
+
+def _validate(opts: AIROptions, hierarchy):
+    bad = []
+    if opts.symmetric:
+        bad.append("symmetric")
+    if not opts.one_point_classical_prolong:
+        bad.append("ideal W")
+    if opts.strong_r_threshold != 0.0:
+        bad.append("strong_r_threshold")
+    if opts.improve_w_its or opts.improve_z_its:
+        bad.append("improve_w/z")
+    if opts.constrain_w or opts.constrain_z:
+        bad.append("constrain_w/z")
+    if opts.full_smoothing_up_and_down:
+        bad.append("full_smoothing_up_and_down")
+    if opts.z_type.name != "PRODUCT":
+        bad.append(f"z_type={opts.z_type.name}")
+    if not opts.reuse_sparsity or opts.reuse_amount < 3:
+        bad.append("reuse_sparsity/amount")
+    if hierarchy.auto_truncated:
+        bad.append("auto-truncated hierarchy")
+    if bad:
+        raise ValueError(
+            "device re-setup does not support: " + ", ".join(bad))

@@ -343,6 +343,7 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
             inv_Acc = _build_aff_inverse(
                 A_cc, opts, opts.c_inverse_type, opts.c_poly_order,
                 opts.c_inverse_sparsity_order, opts.matrix_free_polys,
+                patterns=patterns, plan_key="inv_acc_poly_plan",
             )
 
     inv_diag_Aff = None
@@ -378,10 +379,25 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
             patterns["W_drop"] = W_drop
 
     # ~~~~~~~~~~ Z (restrictor component) ~~~~~~~~~~
+    z_pre_dropped = None
     with timer("air_restrict"):
         if opts.z_type == ZType.PRODUCT:
+            if (prev is None and opts.improve_z_its == 0
+                    and not (opts.reuse_sparsity
+                             and opts.reuse_amount >= 2)):
+                # nothing downstream needs the un-dropped Z: fuse the
+                # -A_cf@inv product with the r_drop into one native sweep
+                from ..native import spgemm_drop_native
+
+                zd = spgemm_drop_native(A_cf_drop, inv_Aff_host,
+                                        opts.r_drop, relative=1, lump=0)
+                if zd is not None:
+                    zd.data *= -1.0
+                    z_pre_dropped = zd
             zplan = patterns.get("Z_numeric_plan")
-            if prev is not None and zplan is not None and                     zplan.pat_A.nnz == A_cf_drop.nnz and                     zplan.pat_B.nnz == inv_Aff_host.nnz:
+            if z_pre_dropped is not None:
+                Z = None
+            elif prev is not None and zplan is not None and                     zplan.pat_A.nnz == A_cf_drop.nnz and                     zplan.pat_B.nnz == inv_Aff_host.nnz:
                 # numeric-only product against the stored pattern (the
                 # reference's MAT_REUSE_MATRIX path)
                 Z = _plan_product_host(zplan, A_cf_drop, inv_Aff_host)
@@ -403,7 +419,9 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                                  opts.improve_z_its, is_z=True)
 
     with timer("air_drop"):
-        if prev is not None and "Z_drop" in patterns:
+        if z_pre_dropped is not None:
+            Z_drop = z_pre_dropped
+        elif prev is not None and "Z_drop" in patterns:
             Z_drop = remove_from_sparse_match(Z, patterns["Z_drop"])
         else:
             Z_drop = remove_small_from_sparse(Z, opts.r_drop,
@@ -444,11 +462,13 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
             coarse_A = remove_from_sparse_match(RAP, patterns["RAP_drop"],
                                                 lump=opts.a_lump)
         else:
+            want_plans = (opts.reuse_sparsity and opts.reuse_amount >= 2
+                          and not opts.symmetric)
             coarse_A, RAP = compute_coarse_matrix(A, R, P, opts.a_drop,
-                                                  opts.a_lump, opts.symmetric)
+                                                  opts.a_lump, opts.symmetric,
+                                                  need_rap=want_plans)
             patterns["RAP_drop"] = coarse_A
-            if (opts.reuse_sparsity and opts.reuse_amount >= 2
-                    and not opts.symmetric):
+            if want_plans:
                 AP = sp.csr_matrix(A @ P)
                 AP.sort_indices()
                 patterns["AP_numeric_plan"] = _make_product_plan(A, P, AP)

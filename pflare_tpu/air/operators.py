@@ -22,13 +22,14 @@ from ..sparse.ops import symbolic_matmat
 
 
 def _matmat(A, B) -> sp.csr_matrix:
-    """Host SpGEMM: native C++ kernel when available, scipy fallback."""
-    from ..native import spgemm_native
+    """Host SpGEMM for the RAP triple products.
 
-    C = spgemm_native(A, B)
-    if C is None:
-        C = sp.csr_matrix(A @ B)
-        C.sort_indices()
+    scipy's csr_matmat (SMMP dense-accumulator) measures ~1.5-2x faster
+    than the ctypes kernel in native/kernels.cpp on these shapes, so it is
+    the default; the native kernel remains for the debug-compare lever
+    (tests/test_native.py)."""
+    C = sp.csr_matrix(A @ B)
+    C.sort_indices()
     return C
 
 
@@ -140,21 +141,29 @@ def assemble_r(Z: sp.csr_matrix, fine, coarse, n: int) -> sp.csr_matrix:
 
 
 def compute_coarse_matrix(A, R, P, a_drop: float, a_lump: bool,
-                          symmetric: bool = False):
+                          symmetric: bool = False, need_rap: bool = True):
     """RAP via two SpGEMMs (or PtAP) + relative drop/lump (reference:
-    src/AIR_Operators_Setup.F90:960-1082)."""
+    src/AIR_Operators_Setup.F90:960-1082).
+
+    When the caller doesn't need the un-dropped product (``need_rap=False``,
+    i.e. no reuse plans), the second product and the drop fuse into one
+    native sweep that never materialises RAP; the returned RAP is None."""
     if symmetric:
         RAP = _matmat(sp.csr_matrix(P.T).tocsr(), _matmat(A, P))
     else:
         AP = _matmat(A, P)
+        if not need_rap:
+            from ..native import spgemm_drop_native
+
+            fused = spgemm_drop_native(R, AP, a_drop, relative=1,
+                                       lump=a_lump)
+            if fused is not None:
+                return fused, None
         RAP = _matmat(R, AP)
-    if a_drop != 0.0 or True:
-        # tol 0 still drops explicit zeros (reference drops zeros always)
-        coarse = remove_small_from_sparse(RAP, a_drop,
-                                          relative_max_row_tol=1,
-                                          lump=a_lump)
-    else:
-        coarse = RAP
+    # tol 0 still drops explicit zeros (reference drops zeros always)
+    coarse = remove_small_from_sparse(RAP, a_drop,
+                                      relative_max_row_tol=1,
+                                      lump=a_lump)
     return coarse, RAP
 
 

@@ -60,6 +60,21 @@ class PCAIR:
         src/PCAIR.c:150-166): skip re-setup entirely while frozen."""
         self._frozen = flag
 
+    def build_device_resetup(self):
+        """Fully-jitted numeric re-setup plan (see air/device_resetup.py):
+        ``plan = pc.build_device_resetup(); plan.install(pc, A_new)``
+        rebuilds the whole device hierarchy from new same-pattern matrix
+        values in one XLA program.  Requires setup with
+        ``reuse_sparsity=True, reuse_amount>=3``."""
+        from .device_resetup import DeviceResetup
+
+        if self.hierarchy is None:
+            raise RuntimeError("PCAIR not set up")
+        import jax.numpy as _jnp
+
+        return DeviceResetup(self.hierarchy,
+                             dtype=self.dtype or _jnp.float64)
+
     # ~~~~~~~~~~ setup ~~~~~~~~~~
     def setup(self, A, structure: str = "different", near_nullspace=None):
         """Build the hierarchy.  structure='same' reuses the CF splitting

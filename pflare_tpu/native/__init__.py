@@ -61,6 +61,7 @@ def get_lib():
         lib.drop_small.restype = None
         lib.drop_small.argtypes = [i64p, i64p, f64p, f64p, ctypes.c_int64,
                                    ctypes.c_int, ctypes.c_int, u8p, f64p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
         lib.drop_small_count.restype = ctypes.c_int64
         lib.drop_small_count.argtypes = [i64p, i64p, f64p, ctypes.c_int64,
                                          ctypes.c_double, ctypes.c_int,
@@ -71,6 +72,28 @@ def get_lib():
                                         ctypes.c_double, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_int,
                                         ctypes.c_int, i64p, f64p]
+        lib.drop_small_count_i32.restype = ctypes.c_int64
+        lib.drop_small_count_i32.argtypes = [i32p, i32p, f64p,
+                                             ctypes.c_int64,
+                                             ctypes.c_double, ctypes.c_int,
+                                             ctypes.c_int, ctypes.c_int,
+                                             ctypes.c_int, i32p]
+        lib.drop_small_fill_i32.restype = None
+        lib.drop_small_fill_i32.argtypes = [i32p, i32p, f64p,
+                                            ctypes.c_int64,
+                                            ctypes.c_double, ctypes.c_int,
+                                            ctypes.c_int, ctypes.c_int,
+                                            ctypes.c_int, i32p, f64p]
+        lib.spgemm_drop.restype = ctypes.c_int64
+        lib.spgemm_drop.argtypes = [i64p, i64p, f64p, i64p, i64p, f64p,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_double, ctypes.c_int,
+                                    ctypes.c_int, i64p, i64p, f64p]
+        lib.spgemm_drop_i32.restype = ctypes.c_int64
+        lib.spgemm_drop_i32.argtypes = [i32p, i32p, f64p, i32p, i32p, f64p,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_double, ctypes.c_int,
+                                        ctypes.c_int, i32p, i32p, f64p]
         lib.dd_ratio.restype = None
         lib.dd_ratio.argtypes = [i64p, i64p, f64p, u8p, ctypes.c_int64, f64p]
         lib.spgemm_count.restype = None
@@ -153,26 +176,73 @@ def drop_small_native(A, tol, rel_mode, diag_strength, drop_diag_mode, lump):
         return None
     import scipy.sparse as sp
 
-    i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
-    indptr = _i64(A.indptr)
-    indices = _i64(A.indices)
+    # dispatch on scipy's index dtype -- no conversion copies either way
+    if A.indices.dtype == np.int32 and A.indptr.dtype == np.int32:
+        idt, ip = np.int32, ctypes.POINTER(ctypes.c_int32)
+        count, fill = lib.drop_small_count_i32, lib.drop_small_fill_i32
+    else:
+        idt, ip = np.int64, ctypes.POINTER(ctypes.c_int64)
+        count, fill = lib.drop_small_count, lib.drop_small_fill
+    indptr = np.ascontiguousarray(A.indptr, dtype=idt)
+    indices = np.ascontiguousarray(A.indices, dtype=idt)
     data = _f64(A.data)
     n_rows = A.shape[0]
-    out_indptr = np.empty(n_rows + 1, dtype=np.int64)
-    nnz = lib.drop_small_count(
-        _p(indptr, i64p), _p(indices, i64p), _p(data, f64p), n_rows,
+    out_indptr = np.empty(n_rows + 1, dtype=idt)
+    nnz = count(
+        _p(indptr, ip), _p(indices, ip), _p(data, f64p), n_rows,
         float(tol), int(rel_mode), int(diag_strength), int(drop_diag_mode),
-        int(lump), _p(out_indptr, i64p))
+        int(lump), _p(out_indptr, ip))
     if nnz < 0:
         return None
-    out_cols = np.empty(nnz, dtype=np.int64)
+    out_cols = np.empty(nnz, dtype=idt)
     out_data = np.empty(nnz, dtype=np.float64)
-    lib.drop_small_fill(
-        _p(indptr, i64p), _p(indices, i64p), _p(data, f64p), n_rows,
+    fill(
+        _p(indptr, ip), _p(indices, ip), _p(data, f64p), n_rows,
         float(tol), int(rel_mode), int(diag_strength), int(drop_diag_mode),
-        int(lump), _p(out_cols, i64p), _p(out_data, f64p))
+        int(lump), _p(out_cols, ip), _p(out_data, f64p))
     out = sp.csr_matrix((out_data, out_cols, out_indptr), shape=A.shape)
+    out.has_sorted_indices = True
+    return out
+
+
+def spgemm_drop_native(R, B, tol, relative, lump):
+    """Fused C = drop(R @ B) with relative row tolerance and optional
+    diagonal lumping -- the coarse-matrix step in one sweep.  Returns the
+    dropped product, or None when unavailable / a lumped row keeps no
+    diagonal (caller falls back to product-then-drop)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    f64p = ctypes.POINTER(ctypes.c_double)
+    if (R.indices.dtype == np.int32 and R.indptr.dtype == np.int32
+            and B.indices.dtype == np.int32 and B.indptr.dtype == np.int32):
+        idt, ip, fn = np.int32, ctypes.POINTER(ctypes.c_int32), lib.spgemm_drop_i32
+    else:
+        idt, ip, fn = np.int64, ctypes.POINTER(ctypes.c_int64), lib.spgemm_drop
+    r_indptr = np.ascontiguousarray(R.indptr, dtype=idt)
+    r_indices = np.ascontiguousarray(R.indices, dtype=idt)
+    r_data = _f64(R.data)
+    b_indptr = np.ascontiguousarray(B.indptr, dtype=idt)
+    b_indices = np.ascontiguousarray(B.indices, dtype=idt)
+    b_data = _f64(B.data)
+    n_rows, n_cols = R.shape[0], B.shape[1]
+    # upper bound on product nnz = triple count; output pages beyond the
+    # kept nnz are never touched, so over-allocation is virtual-only
+    ub = int(np.diff(B.indptr)[R.indices].sum()) if R.nnz else 0
+    out_indptr = np.empty(n_rows + 1, dtype=idt)
+    out_cols = np.empty(max(ub, 1), dtype=idt)
+    out_data = np.empty(max(ub, 1), dtype=np.float64)
+    nnz = fn(_p(r_indptr, ip), _p(r_indices, ip), _p(r_data, f64p),
+             _p(b_indptr, ip), _p(b_indices, ip), _p(b_data, f64p),
+             n_rows, n_cols, float(tol), int(relative), int(lump),
+             _p(out_indptr, ip), _p(out_cols, ip), _p(out_data, f64p))
+    if nnz < 0:
+        return None
+    out = sp.csr_matrix((out_data[:nnz], out_cols[:nnz], out_indptr),
+                        shape=(n_rows, n_cols))
     out.has_sorted_indices = True
     return out
 

@@ -239,17 +239,21 @@ void spgemm_fill(const int64_t* a_indptr, const int64_t* a_indices,
 //   drop_diag_mode: 0 never drop the diagonal, 1 allow, -1 always drop.
 //   lump: dropped values accumulate onto the kept diagonal entry.
 
-static double row_drop_tol(const int64_t* indptr, const int64_t* indices,
+// Templated over the CSR index type so scipy's int32 matrices avoid a
+// full int64 conversion copy on every call.
+
+template <typename I>
+static double row_drop_tol(const I* indptr, const I* indices,
                            const double* data, int64_t i, double tol,
                            int rel_mode, int diag_strength) {
     if (rel_mode == 0) return tol;
     double m = 0.0;
     if (diag_strength) {
         for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
-            if (indices[p] == i) { m = std::fabs(data[p]); break; }
+            if (indices[p] == (I)i) { m = std::fabs(data[p]); break; }
     } else {
         for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
-            if (rel_mode == -1 && indices[p] == i) continue;
+            if (rel_mode == -1 && indices[p] == (I)i) continue;
             m = std::max(m, std::fabs(data[p]));
         }
     }
@@ -267,15 +271,14 @@ static inline bool keep_entry(int64_t i, int64_t j, double v, double row_tol,
     return k;
 }
 
-extern "C" {
-
 // Counts kept entries per row into out_indptr (cumulative).  Returns the
 // output nnz, or -1 when lumping needs a diagonal a row doesn't keep
 // (caller falls back to the COO insertion path).
-int64_t drop_small_count(const int64_t* indptr, const int64_t* indices,
-                         const double* data, int64_t n_rows, double tol,
-                         int rel_mode, int diag_strength, int drop_diag_mode,
-                         int lump, int64_t* out_indptr) {
+template <typename I>
+static int64_t drop_count_t(const I* indptr, const I* indices,
+                            const double* data, int64_t n_rows, double tol,
+                            int rel_mode, int diag_strength,
+                            int drop_diag_mode, int lump, I* out_indptr) {
     int64_t out = 0;
     out_indptr[0] = 0;
     for (int64_t i = 0; i < n_rows; ++i) {
@@ -284,22 +287,23 @@ int64_t drop_small_count(const int64_t* indptr, const int64_t* indices,
         bool diag_kept = false, dropped_any = false;
         for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
             if (keep_entry(i, indices[p], data[p], rt, drop_diag_mode)) {
-                if (indices[p] == i) diag_kept = true;
+                if (indices[p] == (I)i) diag_kept = true;
                 ++out;
             } else if (data[p] != 0.0) {
                 dropped_any = true;
             }
         }
         if (lump && dropped_any && !diag_kept) return -1;
-        out_indptr[i + 1] = out;
+        out_indptr[i + 1] = (I)out;
     }
     return out;
 }
 
-void drop_small_fill(const int64_t* indptr, const int64_t* indices,
-                     const double* data, int64_t n_rows, double tol,
-                     int rel_mode, int diag_strength, int drop_diag_mode,
-                     int lump, int64_t* out_cols, double* out_data) {
+template <typename I>
+static void drop_fill_t(const I* indptr, const I* indices,
+                        const double* data, int64_t n_rows, double tol,
+                        int rel_mode, int diag_strength, int drop_diag_mode,
+                        int lump, I* out_cols, double* out_data) {
     int64_t out = 0;
     for (int64_t i = 0; i < n_rows; ++i) {
         const double rt =
@@ -311,7 +315,7 @@ void drop_small_fill(const int64_t* indptr, const int64_t* indices,
             const double v = data[p];
             if (keep_entry(i, j, v, rt, drop_diag_mode)) {
                 if (j == i) diag_out = out;
-                out_cols[out] = j;
+                out_cols[out] = (I)j;
                 out_data[out] = v;
                 ++out;
             } else if (lump && v != 0.0) {
@@ -321,6 +325,145 @@ void drop_small_fill(const int64_t* indptr, const int64_t* indices,
         if (lump && lump_acc != 0.0 && diag_out >= 0)
             out_data[diag_out] += lump_acc;
     }
+}
+
+extern "C" {
+
+int64_t drop_small_count(const int64_t* indptr, const int64_t* indices,
+                         const double* data, int64_t n_rows, double tol,
+                         int rel_mode, int diag_strength, int drop_diag_mode,
+                         int lump, int64_t* out_indptr) {
+    return drop_count_t(indptr, indices, data, n_rows, tol, rel_mode,
+                        diag_strength, drop_diag_mode, lump, out_indptr);
+}
+
+void drop_small_fill(const int64_t* indptr, const int64_t* indices,
+                     const double* data, int64_t n_rows, double tol,
+                     int rel_mode, int diag_strength, int drop_diag_mode,
+                     int lump, int64_t* out_cols, double* out_data) {
+    drop_fill_t(indptr, indices, data, n_rows, tol, rel_mode, diag_strength,
+                drop_diag_mode, lump, out_cols, out_data);
+}
+
+int64_t drop_small_count_i32(const int32_t* indptr, const int32_t* indices,
+                             const double* data, int64_t n_rows, double tol,
+                             int rel_mode, int diag_strength,
+                             int drop_diag_mode, int lump,
+                             int32_t* out_indptr) {
+    return drop_count_t(indptr, indices, data, n_rows, tol, rel_mode,
+                        diag_strength, drop_diag_mode, lump, out_indptr);
+}
+
+void drop_small_fill_i32(const int32_t* indptr, const int32_t* indices,
+                         const double* data, int64_t n_rows, double tol,
+                         int rel_mode, int diag_strength, int drop_diag_mode,
+                         int lump, int32_t* out_cols, double* out_data) {
+    drop_fill_t(indptr, indices, data, n_rows, tol, rel_mode, diag_strength,
+                drop_diag_mode, lump, out_cols, out_data);
+}
+
+}  // extern "C"
+
+// ~~~~~~~~~~~~ fused R@(AP) product + relative drop + lump ~~~~~~~~~~~~
+// The coarse-matrix step RAP -> remove_small(RAP, a_drop, rel=1, lump)
+// (reference: src/AIR_Operators_Setup.F90:960-1082 + PETSc_Helper drop)
+// in ONE dense-accumulator sweep: the row is accumulated, its max taken,
+// small entries lumped onto the diagonal, and only the kept entries are
+// sorted and written.  Never materialises the un-dropped product.
+// Caller allocates outputs at the triple-count upper bound; untouched
+// pages are never committed.  Returns kept nnz, or -1 when a row needs
+// lumping but keeps no diagonal (caller falls back to the two-step path).
+
+template <typename I>
+static int64_t spgemm_drop_t(const I* r_indptr, const I* r_indices,
+                             const double* r_data, const I* b_indptr,
+                             const I* b_indices, const double* b_data,
+                             int64_t n_rows, int64_t n_cols, double tol,
+                             int relative, int lump, I* out_indptr,
+                             I* out_cols, double* out_data) {
+    std::vector<double> vacc(n_cols, 0.0);
+    std::vector<int64_t> stamp(n_cols, -1);
+    std::vector<I> cols, kept;
+    cols.reserve(512);
+    kept.reserve(512);
+    int64_t out = 0;
+    out_indptr[0] = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        cols.clear();
+        for (int64_t p = r_indptr[i]; p < r_indptr[i + 1]; ++p) {
+            const I k = r_indices[p];
+            const double rv = r_data[p];
+            for (int64_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+                const I j = b_indices[q];
+                if (stamp[j] != i) {
+                    stamp[j] = i;
+                    vacc[j] = 0.0;
+                    cols.push_back(j);
+                }
+                vacc[j] += rv * b_data[q];
+            }
+        }
+        double rt = tol;
+        if (relative) {
+            double m = 0.0;
+            for (size_t c = 0; c < cols.size(); ++c)
+                m = std::max(m, std::fabs(vacc[cols[c]]));
+            rt = tol * m;
+        }
+        kept.clear();
+        double lacc = 0.0;
+        bool diag_kept = false;
+        for (size_t c = 0; c < cols.size(); ++c) {
+            const I j = cols[c];
+            const double v = vacc[j];
+            const bool is_diag = ((int64_t)j == i);
+            bool keep = std::fabs(v) >= rt;
+            if (is_diag) keep = true;
+            if (v == 0.0) keep = false;
+            if (keep) {
+                if (is_diag) diag_kept = true;
+                kept.push_back(j);
+            } else if (lump && v != 0.0) {
+                lacc += v;
+            }
+        }
+        if (lump && lacc != 0.0) {
+            if (!diag_kept) return -1;
+            vacc[i] += lacc;   // the accumulator slot stays live until
+        }                      // the sorted write-out below
+        std::sort(kept.begin(), kept.end());
+        for (size_t c = 0; c < kept.size(); ++c) {
+            out_cols[out] = kept[c];
+            out_data[out] = vacc[kept[c]];
+            ++out;
+        }
+        out_indptr[i + 1] = (I)out;
+    }
+    return out;
+}
+
+extern "C" {
+
+int64_t spgemm_drop(const int64_t* r_indptr, const int64_t* r_indices,
+                    const double* r_data, const int64_t* b_indptr,
+                    const int64_t* b_indices, const double* b_data,
+                    int64_t n_rows, int64_t n_cols, double tol,
+                    int relative, int lump, int64_t* out_indptr,
+                    int64_t* out_cols, double* out_data) {
+    return spgemm_drop_t(r_indptr, r_indices, r_data, b_indptr, b_indices,
+                         b_data, n_rows, n_cols, tol, relative, lump,
+                         out_indptr, out_cols, out_data);
+}
+
+int64_t spgemm_drop_i32(const int32_t* r_indptr, const int32_t* r_indices,
+                        const double* r_data, const int32_t* b_indptr,
+                        const int32_t* b_indices, const double* b_data,
+                        int64_t n_rows, int64_t n_cols, double tol,
+                        int relative, int lump, int32_t* out_indptr,
+                        int32_t* out_cols, double* out_data) {
+    return spgemm_drop_t(r_indptr, r_indices, r_data, b_indptr, b_indices,
+                         b_data, n_rows, n_cols, tol, relative, lump,
+                         out_indptr, out_cols, out_data);
 }
 
 }  // extern "C"

@@ -1,0 +1,130 @@
+"""Fully-jitted device numeric re-setup (air/device_resetup.py).
+
+The reference re-runs numeric setup on stored symbolic state
+(reference: src/AIR_MG_Setup.F90 reuse branches, docs/reuse.md); here the
+whole numeric re-setup is ONE compiled device program.  These tests check
+it reproduces the host re-setup bitwise-closely across configurations.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+import pytest
+
+from pflare_tpu import AIROptions, InverseType, PCAIR
+from pflare_tpu.problems import adv_diff_2d
+
+
+def _perturbed(A, seed=3, eps=0.05):
+    rng = np.random.default_rng(seed)
+    A2 = A.copy()
+    A2.data = A2.data * (1.0 + eps * rng.standard_normal(A2.nnz))
+    return A2
+
+
+def _base_opts(**kw):
+    return AIROptions(reuse_sparsity=True, reuse_amount=3,
+                      reuse_poly_coeffs=True, max_levels=5, **kw)
+
+
+def test_device_resetup_matches_host_values():
+    """Every rebuilt device operator equals the host re-setup's."""
+    A = adv_diff_2d(40)
+    A2 = _perturbed(A)
+    pc = PCAIR(_base_opts(), jit=False)
+    pc.setup(A)
+    plan = pc.build_device_resetup()
+    new_levels, new_cinv = plan(A2)
+
+    pc.setup(A2, structure="same")
+    ref_levels = pc.hierarchy.device_levels
+    for li, (nl, rl) in enumerate(zip(new_levels, ref_levels)):
+        for key in ("A_ff", "A_fc", "R"):
+            d = np.abs(np.asarray(nl[key].data)
+                       - np.asarray(rl[key].data)).max()
+            assert d < 1e-10, (li, key, d)
+        ninv, rinv = nl["inv_Aff"], rl["inv_Aff"]
+        assert ninv.kind == rinv.kind
+        if ninv.kind == "assembled":
+            d = abs(sp.csr_matrix(ninv.mat.to_scipy())
+                    - sp.csr_matrix(rinv.mat.to_scipy())).max()
+        else:
+            d = np.abs(np.asarray(ninv.diag) - np.asarray(rinv.diag)).max()
+        assert d < 1e-10, (li, ninv.kind, d)
+    hc = pc.hierarchy.coarse_inv
+    assert new_cinv.kind == hc.kind
+    if new_cinv.kind == "assembled":
+        d = abs(sp.csr_matrix(new_cinv.mat.to_scipy())
+                - sp.csr_matrix(hc.mat.to_scipy())).max()
+        assert d < 1e-8
+
+
+CONFIGS = {
+    "lump": dict(a_lump=True, a_drop=1e-4),
+    "mf_smooth": dict(matrix_free_polys=True),
+    "fcf_c_smooth": dict(smooth_order=(1, -1, 1)),
+    "newton_mf_coarse": dict(coarsest_inverse_type=InverseType.NEWTON,
+                             coarsest_matrix_free_polys=True,
+                             coarsest_poly_order=10),
+    "lu_coarse": dict(coarsest_inverse_type=InverseType.LU),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_device_resetup_solve_parity(name):
+    """install() + solve reproduces the host re-setup solve exactly."""
+    A = adv_diff_2d(40)
+    A2 = _perturbed(A)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(A.shape[0]))
+    opts = _base_opts(**CONFIGS[name])
+
+    pc = PCAIR(opts, jit=False)
+    pc.setup(A)
+    plan = pc.build_device_resetup()
+    plan.install(pc, A2)
+    r_dev = pc.solve(b, rtol=1e-8, max_it=25)
+
+    pc_ref = PCAIR(opts, jit=False)
+    pc_ref.setup(A)
+    pc_ref.setup(A2, structure="same")
+    r_ref = pc_ref.solve(b, rtol=1e-8, max_it=25)
+
+    assert r_dev.converged and r_ref.converged
+    assert r_dev.iterations == r_ref.iterations
+    dx = (np.linalg.norm(np.asarray(r_dev.x) - np.asarray(r_ref.x))
+          / np.linalg.norm(np.asarray(r_ref.x)))
+    assert dx < 1e-8, (name, dx)
+
+
+def test_device_resetup_repeated_installs():
+    """Time-dependent use: repeated re-setups stay correct (plan reuse)."""
+    A = adv_diff_2d(30)
+    pc = PCAIR(_base_opts(), jit=False)
+    pc.setup(A)
+    plan = pc.build_device_resetup()
+    b = jnp.asarray(np.ones(A.shape[0]))
+    for step in range(3):
+        A2 = _perturbed(A, seed=10 + step, eps=0.02 * (step + 1))
+        plan.install(pc, A2)
+        r = pc.solve(b, rtol=1e-7, max_it=20)
+        assert r.converged, step
+        x = np.asarray(r.x)
+        tr = np.linalg.norm(A2 @ x - 1.0) / np.sqrt(A.shape[0])
+        assert tr < 1e-5, (step, tr)
+
+
+def test_device_resetup_validation():
+    """Unsupported configurations raise with a reason."""
+    A = adv_diff_2d(25)
+    pc = PCAIR(AIROptions(), jit=False)   # no reuse state
+    pc.setup(A)
+    with pytest.raises(ValueError, match="reuse_sparsity"):
+        pc.build_device_resetup()
+    pc2 = PCAIR(AIROptions(reuse_sparsity=True, reuse_amount=3,
+                           symmetric=True), jit=False)
+    pc2.setup(A + A.T)
+    with pytest.raises(ValueError, match="symmetric"):
+        pc2.build_device_resetup()
+    pc3 = PCAIR(AIROptions(), jit=False)
+    with pytest.raises(RuntimeError):
+        pc3.build_device_resetup()
