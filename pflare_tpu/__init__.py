@@ -22,6 +22,9 @@ from .problems import (
     random_diag_dominant,
     anisotropic_diffusion_2d,
     read_petsc_matrix,
+    read_gmsh,
+    fv_upwind_advection,
+    advection_from_gmsh,
 )
 from .solvers import gmres, fgmres, richardson
 from .inverse import build_inverse, Inverse
@@ -48,6 +51,9 @@ __all__ = [
     "random_diag_dominant",
     "anisotropic_diffusion_2d",
     "read_petsc_matrix",
+    "read_gmsh",
+    "fv_upwind_advection",
+    "advection_from_gmsh",
     "gmres",
     "fgmres",
     "richardson",

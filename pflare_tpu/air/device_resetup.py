@@ -261,10 +261,12 @@ def _inverse_plan(inv: Inverse, A_ff: sp.csr_matrix, patterns: dict,
                 f"device re-setup needs the '{plan_key}' numeric plan; "
                 "run setup with reuse_sparsity=True, reuse_amount>=3 "
                 "(assembled power/arnoldi only)")
-        if inv.coefficients is None:
-            raise ValueError("assembled inverse without stored coefficients "
-                             "(newton/sai assembled) is not supported by "
-                             "device re-setup")
+        if inv.coefficients is None or inv.meta.get("type") in (
+                int(InverseType.NEWTON), int(InverseType.NEWTON_NO_EXTRA)):
+            raise ValueError(
+                "assembled newton/sai inverses are not supported by device "
+                "re-setup (their assembly is not a monomial plan); use "
+                "power/arnoldi or matrix-free newton")
         arrs["poly"] = _poly_plan_arrays(plan)
         arrs["coeffs"] = jnp.asarray(np.asarray(inv.coefficients))
         meta.order = plan.order

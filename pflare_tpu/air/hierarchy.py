@@ -154,8 +154,9 @@ def _build_aff_inverse(A_ff, opts: AIROptions, inverse_type, poly_order,
     if (patterns is not None and plan_key is not None and poly_plan is None
         and opts.reuse_sparsity and opts.reuse_amount >= 3
             and inv.kind == "assembled" and inverse_type in (
-                InverseType.POWER, InverseType.ARNOLDI, InverseType.NEWTON,
-                InverseType.NEWTON_NO_EXTRA)):
+                InverseType.POWER, InverseType.ARNOLDI)):
+        # (NEWTON assembled uses the factored Newton-basis accumulation,
+        # not a monomial plan -- see _newton_fixed_sparsity_host)
         from ..sparse.pattern import SparsityPattern
         from ..sparse.spgemm import FixedSparsityPolyPlan
 

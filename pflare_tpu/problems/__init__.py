@@ -7,6 +7,7 @@ from .generators import (
     anisotropic_diffusion_2d,
 )
 from .io import read_petsc_matrix, read_petsc_vec
+from .gmsh import read_gmsh, fv_upwind_advection, advection_from_gmsh
 
 __all__ = [
     "dg_upwind_advection_unstructured",
@@ -17,4 +18,7 @@ __all__ = [
     "anisotropic_diffusion_2d",
     "read_petsc_matrix",
     "read_petsc_vec",
+    "read_gmsh",
+    "fv_upwind_advection",
+    "advection_from_gmsh",
 ]

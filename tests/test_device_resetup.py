@@ -128,3 +128,20 @@ def test_device_resetup_validation():
     pc3 = PCAIR(AIROptions(), jit=False)
     with pytest.raises(RuntimeError):
         pc3.build_device_resetup()
+    # assembled Newton smoothing is factored, not a monomial plan
+    pc4 = PCAIR(_base_opts(inverse_type=InverseType.NEWTON), jit=False)
+    pc4.setup(A)
+    with pytest.raises(ValueError):
+        pc4.build_device_resetup()
+
+
+def test_device_resetup_rejects_wrong_pattern():
+    A = adv_diff_2d(25)
+    pc = PCAIR(_base_opts(), jit=False)
+    pc.setup(A)
+    plan = pc.build_device_resetup()
+    A_bad = sp.csr_matrix(sp.eye(A.shape[0]))
+    with pytest.raises(ValueError, match="SAME sparsity"):
+        plan(A_bad)
+    with pytest.raises(ValueError, match="nnz"):
+        plan(np.ones(3))
