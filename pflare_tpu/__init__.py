@@ -25,6 +25,8 @@ from .problems import (
     read_gmsh,
     fv_upwind_advection,
     advection_from_gmsh,
+    dg1_upwind_advection,
+    dg1_advection_from_gmsh,
 )
 from .solvers import gmres, fgmres, richardson
 from .inverse import build_inverse, Inverse
@@ -54,6 +56,8 @@ __all__ = [
     "read_gmsh",
     "fv_upwind_advection",
     "advection_from_gmsh",
+    "dg1_upwind_advection",
+    "dg1_advection_from_gmsh",
     "gmres",
     "fgmres",
     "richardson",

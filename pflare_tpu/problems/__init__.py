@@ -8,6 +8,7 @@ from .generators import (
 )
 from .io import read_petsc_matrix, read_petsc_vec
 from .gmsh import read_gmsh, fv_upwind_advection, advection_from_gmsh
+from .fem_dg import dg1_upwind_advection, dg1_advection_from_gmsh
 
 __all__ = [
     "dg_upwind_advection_unstructured",
@@ -21,4 +22,6 @@ __all__ = [
     "read_gmsh",
     "fv_upwind_advection",
     "advection_from_gmsh",
+    "dg1_upwind_advection",
+    "dg1_advection_from_gmsh",
 ]
