@@ -27,6 +27,8 @@ from .problems import (
     advection_from_gmsh,
     dg1_upwind_advection,
     dg1_advection_from_gmsh,
+    supg_advection_diffusion,
+    supg_from_gmsh,
 )
 from .solvers import gmres, fgmres, richardson
 from .inverse import build_inverse, Inverse
@@ -58,6 +60,8 @@ __all__ = [
     "advection_from_gmsh",
     "dg1_upwind_advection",
     "dg1_advection_from_gmsh",
+    "supg_advection_diffusion",
+    "supg_from_gmsh",
     "gmres",
     "fgmres",
     "richardson",

@@ -9,6 +9,7 @@ from .generators import (
 from .io import read_petsc_matrix, read_petsc_vec
 from .gmsh import read_gmsh, fv_upwind_advection, advection_from_gmsh
 from .fem_dg import dg1_upwind_advection, dg1_advection_from_gmsh
+from .fem_supg import supg_advection_diffusion, supg_from_gmsh
 
 __all__ = [
     "dg_upwind_advection_unstructured",
@@ -24,4 +25,6 @@ __all__ = [
     "advection_from_gmsh",
     "dg1_upwind_advection",
     "dg1_advection_from_gmsh",
+    "supg_advection_diffusion",
+    "supg_from_gmsh",
 ]

@@ -143,3 +143,50 @@ def test_dg1_cap_parity_with_options():
             np.random.default_rng(0).standard_normal(A.shape[0]))
         r = pc.solve(b, ksp="richardson", rtol=1e-5, max_it=4)
         assert r.converged, (name, r.iterations)
+
+
+# ~~~~~~~~~~~~ SUPG CG advection-diffusion (second FEM family) ~~~~~~~~~~~~
+
+from pflare_tpu.problems import supg_from_gmsh
+from pflare_tpu import ZType
+
+
+def test_supg_cube_pure_advection():
+    """reference: tests/Makefile:616 -- AIRG on SUPG CG FEM, 3D tets,
+    richardson unpreconditioned norm, a_lump, cap 4."""
+    A = supg_from_gmsh(_mesh("cube_unstruc"))
+    pc = PCAIR(AIROptions(a_lump=True), jit=False)
+    pc.setup(A)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(A.shape[0]))
+    r = pc.solve(b, ksp="richardson", rtol=1e-5, max_it=4)
+    assert r.converged, r.iterations
+
+
+@pytest.mark.parametrize("z_type", [ZType.PRODUCT, ZType.LAIR])
+def test_supg_poorly_scaled_diag_scale(z_type):
+    """reference: tests/Makefile:586-596 -- the poorly scaled matrix
+    (curved velocity, unit_velocity 0) is fixed by diagonally scaled
+    GMRES polynomials; AIRG and lAIR variants, cap 5."""
+    A = supg_from_gmsh(_mesh("square_unstruc"), curved=True,
+                       unit_velocity=False)
+    d = np.abs(A.diagonal())
+    assert d.max() / d.min() > 10      # genuinely badly scaled
+    pc = PCAIR(AIROptions(a_lump=True, diag_scale_polys=True,
+                          z_type=z_type), jit=False)
+    pc.setup(A)
+    b = jnp.asarray(np.random.default_rng(1).standard_normal(A.shape[0]))
+    r = pc.solve(b, ksp="richardson", rtol=1e-5, max_it=5)
+    assert r.converged, r.iterations
+
+
+def test_supg_diffusion_dirichlet_all_sides():
+    """alpha > 0 constrains every boundary side; the SPD-ish operator
+    still solves through the same pipeline."""
+    A = supg_from_gmsh(_mesh("square_unstruc"), alpha=1.0,
+                       velocity=(0.0, 0.0), unit_velocity=False)
+    sym_err = abs(A - A.T).max() / abs(A).max()
+    assert sym_err < 1e-12             # pure diffusion: symmetric
+    pc = PCAIR(AIROptions(), jit=False)
+    pc.setup(A)
+    r = pc.solve(jnp.asarray(np.ones(A.shape[0])), rtol=1e-8, max_it=30)
+    assert r.converged
