@@ -1,4 +1,5 @@
 from .tsqr import tsqr_r, make_qr_reduce
+from .halo import HaloSpMV
 from .repartition import (
     local_nonlocal_nnz_ratio,
     should_agglomerate,
@@ -18,6 +19,7 @@ from .mesh import (
 
 __all__ = [
     "tsqr_r",
+    "HaloSpMV",
     "make_qr_reduce",
     "local_nonlocal_nnz_ratio",
     "should_agglomerate",

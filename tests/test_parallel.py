@@ -89,3 +89,33 @@ def test_distributed_tsqr():
     c_tsqr = coefficients_power(E.matvec, 256, 5, seed=9,
                                 qr_reduce=make_qr_reduce(mesh))
     assert np.allclose(c_ref, c_tsqr, rtol=1e-8)
+
+
+def test_halo_spmv_matches_scipy():
+    """Explicit ppermute halo-exchange SpMV == scipy on the 8-shard mesh
+    (reference: PetscSF neighbour exchange, SURVEY.md 2.4)."""
+    from pflare_tpu.parallel import HaloSpMV
+
+    mesh = make_mesh(8)
+    A = adv_diff_2d(32)
+    h = HaloSpMV(A, mesh)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[0])
+    assert np.allclose(np.asarray(h @ x), A @ x, atol=1e-12)
+    # non-divisible row count pads transparently
+    A2 = adv_diff_2d(30)
+    h2 = HaloSpMV(A2, mesh)
+    x2 = rng.standard_normal(A2.shape[0])
+    assert np.allclose(np.asarray(h2 @ x2), A2 @ x2, atol=1e-12)
+
+
+def test_halo_spmv_rejects_wide_band():
+    from pflare_tpu.parallel import HaloSpMV
+    import scipy.sparse as sp
+    import pytest as _pt
+
+    mesh = make_mesh(8)
+    Abad = sp.random(512, 512, density=0.02,
+                     random_state=np.random.RandomState(0), format="csr")
+    with _pt.raises(ValueError, match="banded"):
+        HaloSpMV(Abad, mesh)
