@@ -1,0 +1,82 @@
+# %% [markdown]
+# # Reuse: pattern-cached re-setup and the fully-jitted device path
+#
+# Time-dependent problems re-assemble the same sparsity with new values
+# every step.  The reference reuses the CF splitting, the drop patterns
+# and the SpGEMM products so re-setup costs a fraction of first-time setup
+# (reference: docs/reuse.md).  Here that story has two tiers:
+#
+# 1. **Host reuse** (`pc.setup(A2, structure="same")`): numeric-only
+#    rebuild against stored patterns and plans (~10x faster).
+# 2. **Device re-setup** (`pc.build_device_resetup()`): the whole numeric
+#    re-setup as ONE compiled XLA program -- submatrices, approximate
+#    inverses, Z, R, RAP, coarse drop/lump -- milliseconds on a TPU chip.
+
+# %%
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import jax.numpy as jnp
+import pflare_tpu as pf
+
+# %% [markdown]
+# ## Setup with reuse enabled
+
+# %%
+A = pf.adv_diff_2d(64)
+opts = pf.AIROptions(reuse_sparsity=True, reuse_amount=3,
+                     reuse_poly_coeffs=True)
+pc = pf.PCAIR(opts, jit=False)
+t0 = time.perf_counter()
+pc.setup(A)
+print(f"first setup: {time.perf_counter()-t0:.3f}s, {pc.n_levels} levels")
+
+# %% [markdown]
+# ## Tier 1: host numeric re-setup (same pattern, new values)
+
+# %%
+rng = np.random.default_rng(0)
+A2 = A.copy()
+A2.data = A2.data * (1 + 1e-3 * rng.standard_normal(A2.nnz))
+t0 = time.perf_counter()
+pc.setup(A2, structure="same")
+print(f"host re-setup: {time.perf_counter()-t0:.3f}s")
+
+b = jnp.asarray(np.ones(A.shape[0]))
+r = pc.solve(b, rtol=1e-8, max_it=20)
+print("solve after host re-setup:", r.iterations, "iterations")
+
+# %% [markdown]
+# ## Tier 2: device re-setup -- one XLA program
+#
+# All static maps (drop positions, product triples, operator layouts) are
+# extracted once; every later re-setup is a single jitted call taking the
+# new matrix values.  Three TPU rules shape the implementation: static
+# index arrays are *arguments* (never closure constants), every placement
+# map is a *gather* (TPU scatters are ~400x slower), and plan building
+# performs no device-to-host readbacks.
+
+# %%
+plan = pc.build_device_resetup()
+for step in range(3):
+    A_t = A.copy()
+    A_t.data = A_t.data * (1 + 0.02 * (step + 1) * rng.standard_normal(A.nnz))
+    t0 = time.perf_counter()
+    plan.install(pc, A_t)
+    dt = time.perf_counter() - t0
+    r = pc.solve(b, rtol=1e-8, max_it=20)
+    print(f"step {step}: device re-setup {dt*1e3:.1f} ms "
+          f"(compile on first call), solve {r.iterations} its")
+
+# %% [markdown]
+# On a real TPU chip at 512x512 the warm device re-setup measures ~5 ms
+# against ~2.2 s first-time setup.  Freezing (`pc.freeze(True)`) skips
+# re-setup entirely -- the `KSPSetReusePreconditioner` analogue.
