@@ -20,9 +20,10 @@ pytree: on backends that re-stream program constants per dispatch (see
 axon notes) closure-captured arrays would dominate the launch cost.
 
 Supported configuration (others raise ValueError at plan build):
-one-point classical prolongation, AIRG product Z, no strong-R dropping,
-no improve/constrain, non-symmetric, F/C (not full) smoothing, setup done
-with ``reuse_sparsity=True`` and ``reuse_amount >= 3``.
+one-point classical OR ideal (-inv(A_ff) A_fc) prolongation, AIRG product
+Z, no strong-R dropping, no improve/constrain, non-symmetric, F/C (not
+full) smoothing, setup done with ``reuse_sparsity=True`` and
+``reuse_amount >= 3``.
 """
 
 from __future__ import annotations
@@ -354,6 +355,9 @@ class _LevelMeta:
     op_aux: dict = field(default_factory=dict)
     lump: bool = False
     has_c: bool = False
+    ideal_w: bool = False
+    nnz_w: int = 0
+    nnz_wdrop: int = 0
     invc_meta: _InvMeta = None
 
 
@@ -527,7 +531,57 @@ class DeviceResetup:
             raise ValueError("device re-setup needs AP/RAP numeric plans")
         arrs["ap"] = _product_arrays(ap_plan)
         arrs["rap"] = _product_arrays(rap_plan)
-        arrs["p_vals"] = jnp.asarray(lvl.P.data)       # static (one-point)
+        ideal_w = not opts.one_point_classical_prolong
+        nnz_w = nnz_wdrop = 0
+        if not ideal_w:
+            arrs["p_vals"] = jnp.asarray(lvl.P.data)   # static (one-point)
+        else:
+            wplan = pats.get("W_numeric_plan")
+            if wplan is None:
+                raise ValueError("device re-setup with ideal W needs the "
+                                 "W numeric plan (reuse_amount>=2 setup)")
+            arrs["w"] = _product_arrays(wplan)
+            nnz_w = wplan.pat_C.nnz
+            # inverse values onto the W plan's A pattern
+            pa = wplan.pat_A
+            a_keys = _keys(pa.indptr, pa.indices, pa.shape[1])
+            if z_src in ("diag-same", "diag-own"):
+                arrs["w_inv_rows"] = jnp.asarray(pa.row_of_pos())
+            else:
+                src_plan = (pats["inv_aff_poly_plan"] if z_src == "same"
+                            else pats["inv_aff_drop_poly_plan"])
+                s_csr2 = sp.csr_matrix(
+                    (np.ones(src_plan.pat_S.nnz), src_plan.pat_S.indices,
+                     src_plan.pat_S.indptr), shape=src_plan.pat_S.shape)
+                mw = _pos_in(s_csr2, a_keys)
+                if np.any(mw < 0):
+                    raise ValueError("inverse pattern does not cover the "
+                                     "stored W plan pattern")
+                arrs["w_inv_map"] = jnp.asarray(mw)
+            w_csr = sp.csr_matrix(
+                (np.ones(wplan.pat_C.nnz), wplan.pat_C.indices,
+                 wplan.pat_C.indptr), shape=wplan.pat_C.shape)
+            arrs["wdrop"] = _match_arrays(w_csr, pats["W_drop"], lump=False)
+            nnz_wdrop = pats["W_drop"].nnz
+            # P values: W_drop entries on fine rows + identity on coarse
+            Pm = lvl.P
+            prows = np.repeat(np.arange(Pm.shape[0], dtype=np.int64),
+                              np.diff(Pm.indptr))
+            pcols = Pm.indices.astype(np.int64)
+            inv_f2 = -np.ones(n, dtype=np.int64)
+            inv_f2[fine] = np.arange(len(fine))
+            is_ident_p = inv_f2[prows] < 0          # coarse rows
+            wd = pats["W_drop"]
+            psrc = np.zeros(len(prows), dtype=np.int64)
+            nzp = ~is_ident_p
+            pkeys = (inv_f2[prows[nzp]] * np.int64(wd.shape[1])
+                     + pcols[nzp])
+            ppos = _pos_in(wd, pkeys)
+            if np.any(ppos < 0):
+                raise ValueError("P entry missing from W_drop")
+            psrc[nzp] = ppos
+            arrs["p_src"] = jnp.asarray(psrc)
+            arrs["p_ident"] = jnp.asarray(is_ident_p.astype(np.float64))
         rap_csr = sp.csr_matrix(
             (np.ones(rap_plan.pat_C.nnz), rap_plan.pat_C.indices,
              rap_plan.pat_C.indptr), shape=rap_plan.pat_C.shape)
@@ -538,6 +592,7 @@ class DeviceResetup:
         kinds, auxs = {}, {}
         from .fullspace import _map_both, _map_rows
 
+        from .fullspace import _map_cols as _mc
         ext_maps = {
             "A_ff": (_map_both(lvl.A_ff, fine, fine, n), lvl.A_ff,
                      fine, fine),
@@ -545,6 +600,8 @@ class DeviceResetup:
                      fine, coarse),
             "R": (_map_rows(R, coarse, n), R, coarse, None),
         }
+        if ideal_w:
+            ext_maps["P"] = (_mc(lvl.P, coarse, n), lvl.P, None, coarse)
         for name, (ext, comp, rmap, cmap) in ext_maps.items():
             op = dev[name]
             kind, oarrs, oaux = _op_layout(op, ext)
@@ -592,6 +649,9 @@ class DeviceResetup:
             op_aux=auxs,
             lump=opts.a_lump,
             has_c=has_c,
+            ideal_w=ideal_w,
+            nnz_w=nnz_w,
+            nnz_wdrop=nnz_wdrop,
             invc_meta=invc_meta,
         )
         return meta, arrs
@@ -701,7 +761,22 @@ class DeviceResetup:
                                 meta.op_aux["R"], r_flat[arrs["perm_R"]],
                                 dtype)
             # RAP
-            ap = _exec_product(arrs["ap"], a_flat, arrs["p_vals"],
+            if meta.ideal_w:
+                if "w_inv_rows" in arrs:
+                    w_b = invh_flat[arrs["w_inv_rows"]]
+                else:
+                    w_b = invh_flat[arrs["w_inv_map"]]
+                w_flat = -_exec_product(arrs["w"], w_b, afc, meta.nnz_w)
+                wdrop = (w_flat[arrs["wdrop"]["src"]]
+                         * arrs["wdrop"]["ok"])
+                p_flat = jnp.where(arrs["p_ident"] > 0, 1.0,
+                                   wdrop[arrs["p_src"]])
+                lv["P"] = _build_op(meta.op_kinds["P"], arrs["op_P"],
+                                    meta.op_aux["P"],
+                                    p_flat[arrs["perm_P"]], dtype)
+            else:
+                p_flat = arrs["p_vals"]
+            ap = _exec_product(arrs["ap"], a_flat, p_flat,
                                meta.nnz_ap)
             rap = _exec_product(arrs["rap"], r_flat, ap, meta.nnz_rap)
             cm = arrs["coarse"]
@@ -838,8 +913,6 @@ def _validate(opts: AIROptions, hierarchy):
     bad = []
     if opts.symmetric:
         bad.append("symmetric")
-    if not opts.one_point_classical_prolong:
-        bad.append("ideal W")
     if opts.strong_r_threshold != 0.0:
         bad.append("strong_r_threshold")
     if opts.improve_w_its or opts.improve_z_its:

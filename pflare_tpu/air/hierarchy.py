@@ -367,6 +367,12 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                 if opts.improve_w_its > 0:
                     W = improve_transfer(W, A_ff, A_fc, inv_diag_Aff,
                                          opts.improve_w_its, is_z=False)
+                if (opts.reuse_sparsity and opts.reuse_amount >= 2
+                        and opts.improve_w_its == 0
+                        and inv_Aff_host is not None
+                        and "W_numeric_plan" not in patterns):
+                    patterns["W_numeric_plan"] = _make_product_plan(
+                        inv_Aff_host, A_fc_drop, W)
                 if prev is not None and "W_drop" in patterns:
                     W_drop = remove_from_sparse_match(W, patterns["W_drop"])
                 else:

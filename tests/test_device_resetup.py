@@ -67,6 +67,9 @@ CONFIGS = {
                              coarsest_matrix_free_polys=True,
                              coarsest_poly_order=10),
     "lu_coarse": dict(coarsest_inverse_type=InverseType.LU),
+    "ideal_w": dict(one_point_classical_prolong=False),
+    "ideal_w_mf": dict(one_point_classical_prolong=False,
+                       matrix_free_polys=True),
 }
 
 
