@@ -140,12 +140,11 @@ def _build_aff_inverse(A_ff, opts: AIROptions, inverse_type, poly_order,
                        patterns=None, plan_key=None):
     if _is_diagonal_only(A_ff):
         return _diag_inverse(A_ff)
-    E = ELL.from_scipy(A_ff)
     poly_plan = None
     if patterns is not None and plan_key is not None:
         poly_plan = patterns.get(plan_key)
     inv = build_inverse(
-        E, inverse_type, poly_order=poly_order, sparsity_order=sparsity_order,
+        None, inverse_type, poly_order=poly_order, sparsity_order=sparsity_order,
         matrix_free=matrix_free, diag_scale=opts.diag_scale_polys,
         coefficients=coefficients, A_scipy=A_ff, seed=opts.seed,
         poly_plan=poly_plan,
@@ -208,7 +207,7 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
                 and level_idx + 1 >= opts.auto_truncate_start_level):
             with timer("air_inverse"):
                 probe_inv = build_inverse(
-                    ELL.from_scipy(A), opts.coarsest_inverse_type,
+                    None, opts.coarsest_inverse_type,
                     poly_order=opts.coarsest_poly_order,
                     sparsity_order=opts.coarsest_inverse_sparsity_order,
                     matrix_free=opts.coarsest_matrix_free_polys,
@@ -268,7 +267,7 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
                 if reuse and opts.reuse_poly_coeffs and previous.coarse_inv is not None:
                     prev_coeffs = np.asarray(previous.coarse_inv.coefficients)
                 coarse_inv = build_inverse(
-                    ELL.from_scipy(A), opts.coarsest_inverse_type,
+                    None, opts.coarsest_inverse_type,
                     poly_order=opts.coarsest_poly_order,
                     sparsity_order=opts.coarsest_inverse_sparsity_order,
                     matrix_free=opts.coarsest_matrix_free_polys,

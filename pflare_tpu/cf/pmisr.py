@@ -38,7 +38,8 @@ def _ell_graph(S: sp.csr_matrix):
 
 
 def pmisr(strength_mat, max_luby_steps: int = -1, pmis: bool = False,
-          zero_measure_c_point: bool = False, seed: int = 5) -> np.ndarray:
+          zero_measure_c_point: bool = False, seed: int = 5,
+          assume_symmetric: bool = False) -> np.ndarray:
     """CF markers (+1 C / -1 F) from the Luby loop.
 
     Measure = rand(0,1) + strong-neighbour count (reference:
@@ -54,7 +55,8 @@ def pmisr(strength_mat, max_luby_steps: int = -1, pmis: bool = False,
     cf = np.zeros(n, dtype=np.int64)
     cf = pmisr_existing_measure(S, measure, cf, max_luby_steps,
                                 zero_measure_c_point=zero_measure_c_point,
-                                pmis=pmis)
+                                pmis=pmis,
+                                assume_symmetric=assume_symmetric)
     if pmis:
         cf = -cf
     return cf
@@ -63,7 +65,8 @@ def pmisr(strength_mat, max_luby_steps: int = -1, pmis: bool = False,
 def pmisr_existing_measure(strength_mat, measure, cf_markers,
                            max_luby_steps: int = -1,
                            zero_measure_c_point: bool = False,
-                           pmis: bool = False) -> np.ndarray:
+                           pmis: bool = False,
+                           assume_symmetric: bool = False) -> np.ndarray:
     """Core Luby loop on an existing measure / partial assignment
     (reference: src/PMISR_Module.F90:271-670).
 
@@ -71,10 +74,14 @@ def pmisr_existing_measure(strength_mat, measure, cf_markers,
     the pattern here, which is the reference's implicit-transpose variant).
     """
     S = sp.csr_matrix(strength_mat)
-    # implicit transpose: neighbour relation is symmetric
-    G = sp.csr_matrix(S + S.T)
-    G.sort_indices()
-    cols, mask = _ell_graph(G)
+    if assume_symmetric:
+        # caller guarantees a symmetric pattern (e.g. a symmetrized
+        # strength matrix): skip the S + S^T pass
+        G = S
+    else:
+        # implicit transpose: neighbour relation is symmetric
+        G = sp.csr_matrix(S + S.T)
+        G.sort_indices()
     n = G.shape[0]
     measure = np.asarray(measure, dtype=np.float64)
     cf = np.asarray(cf_markers, dtype=np.int64).copy()
@@ -100,6 +107,8 @@ def pmisr_existing_measure(strength_mat, measure, cf_markers,
         cf, _ = nat
         return cf
 
+    # numpy fallback: vectorised rounds over a padded neighbour array
+    cols, mask = _ell_graph(G)
     gidx = np.arange(n, dtype=np.int64)
     steps = 0
     while True:

@@ -32,10 +32,14 @@ def first_pass_splitting(A, symmetric: bool, strong_threshold: float,
         S = strength_matrix(A, strong_threshold, symmetrize=not symmetric,
                             square=False)
 
+    # every strength variant above is structurally symmetric (symmetrized
+    # S, symmetric A, or S'S + S), so the Luby pass skips re-symmetrizing
     if t in (CFSplittingType.PMISR_DDC, CFSplittingType.DIAG_DOM):
-        return pmisr(S, max_luby_steps, pmis=False, seed=seed)
+        return pmisr(S, max_luby_steps, pmis=False, seed=seed,
+                     assume_symmetric=True)
     if t in (CFSplittingType.PMIS, CFSplittingType.PMIS_DIST2):
-        return pmisr(S, max_luby_steps, pmis=True, seed=seed)
+        return pmisr(S, max_luby_steps, pmis=True, seed=seed,
+                     assume_symmetric=True)
     if t == CFSplittingType.AGG:
         cf, _ = serial_aggregation(S)
         return cf

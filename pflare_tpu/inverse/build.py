@@ -45,9 +45,10 @@ class Inverse:
     """
 
     def __init__(self, kind, mat=None, coefficients=None, steps=(),
-                 diag=None, scaled=False, meta=None, host_csr=None):
+                 diag=None, scaled=False, meta=None, host_csr=None,
+                 mat_src=None):
         self.kind = kind
-        self.mat = mat
+        self._mat = mat
         self.coefficients = coefficients
         self.steps = steps
         self.diag = diag
@@ -57,6 +58,24 @@ class Inverse:
         # avoids device->host transfers when the hierarchy needs it for
         # SpGEMMs).  Not part of the pytree.
         self.host_csr = host_csr
+        # host csr to materialise the device operator from, on first use --
+        # setup never uploads operators the solve path may not need
+        # (Hierarchy.to_device rebuilds full-space ops from host copies)
+        self._mat_src = mat_src
+        self._mat_dtype = None
+
+    @property
+    def mat(self):
+        if self._mat is None and self._mat_src is not None:
+            from ..sparse import ELL
+
+            self._mat = ELL.from_scipy(self._mat_src, dtype=self._mat_dtype)
+            self._mat_src = None
+        return self._mat
+
+    @mat.setter
+    def mat(self, value):
+        self._mat = value
 
     def tree_flatten(self):
         leaves = (self.mat, self.coefficients, self.diag)
@@ -157,11 +176,17 @@ def build_inverse(
     """Compute and build an approximate inverse of A.
 
     ``A`` is the device matrix; ``A_scipy`` optionally supplies the host copy
-    (avoids a device->host transfer during setup).
+    (avoids a device->host transfer during setup).  ``A`` may be None when
+    ``A_scipy`` is given: matrix-free appliers then materialise their device
+    operator lazily on first use, so a host-driven setup uploads nothing.
     """
     inverse_type = InverseType(inverse_type)
-    n = A.shape[0]
-    dtype = A.dtype
+    if A is not None:
+        n = A.shape[0]
+        dtype = A.dtype
+    else:
+        n = A_scipy.shape[0]
+        dtype = A_scipy.data.dtype
     poly_order, sparsity_order = _clamp_orders(n, poly_order, sparsity_order)
     tol = tolerances(dtype)
 
@@ -216,8 +241,8 @@ def build_inverse(
             S = (S @ A_host).tocsr()
         M = sai_inverse(A_host, incomplete=(inverse_type == InverseType.ISAI),
                         sparsity=S)
-        return Inverse("assembled", mat=ELL.from_scipy(M, dtype=dtype),
-                       meta={"type": int(inverse_type)}, host_csr=M)
+        return Inverse("assembled", meta={"type": int(inverse_type)},
+                       host_csr=M, mat_src=M)
 
     # ~~~~~~~~~~ Neumann ~~~~~~~~~~
     if inverse_type == InverseType.NEUMANN:
@@ -226,7 +251,8 @@ def build_inverse(
         ones = jnp.ones(poly_order + 1, dtype=dtype)
         if matrix_free:
             return Inverse("neumann_mf", mat=A, coefficients=ones, diag=diag,
-                           meta={"type": int(inverse_type)})
+                           meta={"type": int(inverse_type)},
+                           mat_src=A_scipy if A is None else None)
         # assembled: p(N)|_S . D^-1 with N = I - D^-1 A
         # (reference: src/Neumann_Poly.F90:177-212)
         A_host = A_scipy if A_scipy is not None else A.to_scipy()
@@ -239,8 +265,8 @@ def build_inverse(
         plan = FixedSparsityPolyPlan(pat_N, poly_order, sparsity_order)
         M_host = plan.execute_host(N, np.ones(poly_order + 1))
         M_host = sp.csr_matrix(M_host @ sp.diags(1.0 / d))
-        return Inverse("assembled", mat=ELL.from_scipy(M_host, dtype=dtype),
-                       meta={"type": int(inverse_type)}, host_csr=M_host)
+        return Inverse("assembled", meta={"type": int(inverse_type)},
+                       host_csr=M_host, mat_src=M_host)
 
     # ~~~~~~~~~~ GMRES polynomial family ~~~~~~~~~~
     # Coefficient iteration runs on host (scipy matvecs, zero XLA compiles)
@@ -278,7 +304,8 @@ def build_inverse(
                            scaled=diag_scale,
                            meta={"type": int(inverse_type)},
                            coefficients=jnp.asarray(
-                               np.stack([wr, wi]), dtype=dtype))
+                               np.stack([wr, wi]), dtype=dtype),
+                           mat_src=A_scipy if A is None else None)
         # Assembled Newton: accumulate the factored polynomial directly in
         # the Newton basis with every product restricted to the fixed
         # sparsity (stable at high order, unlike monomial expansion;
@@ -294,8 +321,8 @@ def build_inverse(
                                              poly_order, tol.zero)
         if diag_scale:
             M_host = sp.csr_matrix(M_host @ sp.diags(1.0 / d_np))
-        inv = Inverse("assembled", mat=ELL.from_scipy(M_host, dtype=dtype),
-                      meta={"type": int(inverse_type)}, host_csr=M_host,
+        inv = Inverse("assembled", meta={"type": int(inverse_type)},
+                      host_csr=M_host, mat_src=M_host,
                       coefficients=jnp.asarray(np.stack([wr, wi]),
                                                dtype=dtype))
         return inv
@@ -315,13 +342,67 @@ def build_inverse(
     if matrix_free:
         cj = jnp.asarray(trim_high_order_zeros(coeffs), dtype=dtype)
         return Inverse("poly_mf", mat=A, coefficients=cj, diag=diag,
-                       scaled=diag_scale, meta={"type": int(inverse_type)})
+                       scaled=diag_scale, meta={"type": int(inverse_type)},
+                       mat_src=A_scipy if A is None else None)
     return _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
                           A_scipy, int(inverse_type), poly_plan=poly_plan)
 
 
+def _poly_sparsity(A: sp.csr_matrix, sparsity_order, poly_order):
+    """(s_indptr, s_indices) of S = union(I, A, ..., A^sparsity_order)
+    (reference: the fixed sparsity of mat_mult_powers_share_sparsity,
+    src/Gmres_Poly.F90:777-920).  Fast path: sparsity_order 1 with a full
+    structural diagonal means S is exactly A's pattern -- no work."""
+    so = max(1, min(sparsity_order, poly_order))
+    if so == 1:
+        n = A.shape[0]
+        rows = np.repeat(np.arange(n), np.diff(A.indptr))
+        has = np.zeros(n, dtype=bool)
+        has[rows[A.indices == rows]] = True
+        if has.all():
+            return A.indptr, A.indices
+        missing = np.nonzero(~has)[0]
+        eye = sp.csr_matrix(
+            (np.ones(len(missing)), (missing, missing)), shape=A.shape)
+        S = sp.csr_matrix(_pattern_ones(A) + eye)
+        S.sort_indices()
+        return S.indptr, S.indices
+    S = _pattern_ones(A)
+    power = S
+    for _ in range(so - 1):
+        power = (power @ S).tocsr()
+        S = (S + power).tocsr()
+    eye = sp.eye(A.shape[0], format="csr")
+    S = sp.csr_matrix(S + eye)
+    S.sort_indices()
+    return S.indptr, S.indices
+
+
+def _pattern_ones(A: sp.csr_matrix) -> sp.csr_matrix:
+    out = sp.csr_matrix(
+        (np.ones(A.nnz), A.indices, A.indptr), shape=A.shape)
+    out.has_sorted_indices = A.has_sorted_indices
+    return out
+
+
 def _newton_fixed_sparsity_host(A: sp.csr_matrix, wr, wi, sparsity_order,
                                 poly_order, tol_zero) -> sp.csr_matrix:
+    from ..native import newton_on_sparsity_native
+
+    s_indptr, s_indices = _poly_sparsity(A, sparsity_order, poly_order)
+    data = newton_on_sparsity_native(A, s_indptr, s_indices, wr, wi,
+                                     tol_zero)
+    if data is not None:
+        M = sp.csr_matrix((data, s_indices.copy(), s_indptr.copy()),
+                          shape=A.shape)
+        M.has_sorted_indices = True
+        return M
+    return _newton_fixed_sparsity_scipy(A, wr, wi, sparsity_order,
+                                        poly_order, tol_zero)
+
+
+def _newton_fixed_sparsity_scipy(A: sp.csr_matrix, wr, wi, sparsity_order,
+                                 poly_order, tol_zero) -> sp.csr_matrix:
     """Assembled Newton-basis inverse with fixed sparsity.
 
     Accumulates M = sum_i T_i / theta_i where T_i is the running product of
@@ -401,7 +482,7 @@ def _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
                    A_scipy, itype, roots=None, poly_plan=None):
     """Assembled polynomial inverse (fixed sparsity, reference:
     src/Gmres_Poly.F90:1522-1813)."""
-    n = A.shape[0]
+    n = A.shape[0] if A is not None else A_scipy.shape[0]
     poly_order = len(coeffs) - 1
     meta = {"type": itype}
     A_host = A_scipy if A_scipy is not None else A.to_scipy()
@@ -428,8 +509,7 @@ def _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
         M_host = _fixed_sparsity_poly_host(A_use_host, coeffs, sparsity_order)
     if diag_scale:
         M_host = sp.csr_matrix(M_host @ sp.diags(1.0 / np.asarray(diag)))
-    M = ELL.from_scipy(M_host, dtype=dtype)
-    inv = Inverse("assembled", mat=M, meta=meta, host_csr=M_host,
+    inv = Inverse("assembled", meta=meta, host_csr=M_host, mat_src=M_host,
                   coefficients=(jnp.asarray(coeffs, dtype=dtype)
                                 if roots is None else
                                 jnp.asarray(np.stack(roots), dtype=dtype)))
@@ -439,11 +519,27 @@ def _assemble_poly(A, coeffs, sparsity_order, dtype, diag_scale, diag,
 def _fixed_sparsity_poly_host(A: sp.csr_matrix, coeffs, sparsity_order
                               ) -> sp.csr_matrix:
     """Host fixed-sparsity polynomial accumulation: every power restricted
-    onto S = union(diag, A, ..., A^sparsity_order) via a boolean mask
-    product (reference: mat_mult_powers_share_sparsity,
-    src/Gmres_Poly.F90:777-920; here as scipy SpGEMM + mask instead of a
-    triple-enumeration plan -- the plan path is only built for device
-    reuse)."""
+    onto S = union(diag, A, ..., A^sparsity_order) (reference:
+    mat_mult_powers_share_sparsity, src/Gmres_Poly.F90:777-920).  One
+    native per-row streaming sweep when available (kernels.cpp
+    poly_on_sparsity); scipy SpGEMM + mask fallback otherwise."""
+    from ..native import poly_on_sparsity_native
+
+    poly_order = len(coeffs) - 1
+    s_indptr, s_indices = _poly_sparsity(A, sparsity_order, poly_order)
+    data = poly_on_sparsity_native(A, s_indptr, s_indices, coeffs)
+    if data is not None:
+        M = sp.csr_matrix((data, s_indices.copy(), s_indptr.copy()),
+                          shape=A.shape)
+        M.has_sorted_indices = True
+        return M
+    return _fixed_sparsity_poly_scipy(A, coeffs, sparsity_order)
+
+
+def _fixed_sparsity_poly_scipy(A: sp.csr_matrix, coeffs, sparsity_order
+                               ) -> sp.csr_matrix:
+    """scipy fallback for _fixed_sparsity_poly_host (also the
+    debug-compare oracle under PFLARE_NO_NATIVE=1)."""
     poly_order = len(coeffs) - 1
     n = min(A.shape)
     S = A.copy()

@@ -44,7 +44,10 @@ def get_lib():
     _TRIED = True
     try:
         path = _so_path()
-        if not os.path.exists(path):
+        here = os.path.dirname(os.path.abspath(__file__))
+        src = os.path.join(here, "kernels.cpp")
+        if (not os.path.exists(path)
+                or os.path.getmtime(path) < os.path.getmtime(src)):
             path = _build()
         lib = ctypes.CDLL(path)
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -96,6 +99,25 @@ def get_lib():
                                         ctypes.c_int, i32p, i32p, f64p]
         lib.dd_ratio.restype = None
         lib.dd_ratio.argtypes = [i64p, i64p, f64p, u8p, ctypes.c_int64, f64p]
+        lib.poly_on_sparsity.restype = None
+        lib.poly_on_sparsity.argtypes = [i64p, i64p, f64p, i64p, i64p,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         f64p, ctypes.c_int64, f64p]
+        lib.poly_on_sparsity_i32.restype = None
+        lib.poly_on_sparsity_i32.argtypes = [i32p, i32p, f64p, i32p, i32p,
+                                             ctypes.c_int64, ctypes.c_int64,
+                                             f64p, ctypes.c_int64, f64p]
+        lib.newton_on_sparsity.restype = None
+        lib.newton_on_sparsity.argtypes = [i64p, i64p, f64p, i64p, i64p,
+                                           ctypes.c_int64, ctypes.c_int64,
+                                           f64p, f64p, ctypes.c_int64,
+                                           ctypes.c_double, f64p]
+        lib.newton_on_sparsity_i32.restype = None
+        lib.newton_on_sparsity_i32.argtypes = [i32p, i32p, f64p, i32p, i32p,
+                                               ctypes.c_int64,
+                                               ctypes.c_int64, f64p, f64p,
+                                               ctypes.c_int64,
+                                               ctypes.c_double, f64p]
         lib.spgemm_count.restype = None
         lib.spgemm_count.argtypes = [i64p, i64p, i64p, i64p,
                                      ctypes.c_int64, ctypes.c_int64, i64p]
@@ -262,6 +284,71 @@ def dd_ratio_native(indptr, indices, data, f_mask):
     out = np.zeros(n, dtype=np.float64)
     lib.dd_ratio(_p(indptr, i64p), _p(indices, i64p), _p(data, f64p),
                  _p(fm, u8p), n, _p(out, f64p))
+    return out
+
+
+def _csr_index_dispatch(*mats):
+    """(index_dtype, ctypes_ptr, suffix) shared by all given CSR matrices:
+    int32 when every one is int32-indexed (scipy's default), else int64."""
+    if all(M.indices.dtype == np.int32 and M.indptr.dtype == np.int32
+           for M in mats):
+        return np.int32, ctypes.POINTER(ctypes.c_int32), "_i32"
+    return np.int64, ctypes.POINTER(ctypes.c_int64), ""
+
+
+def poly_on_sparsity_native(A, s_indptr, s_indices, coeffs):
+    """out_data = (sum_k coeffs[k] A^k)|_S on the S pattern, one native
+    sweep (see kernels.cpp poly_on_sparsity).  Returns the data array in S
+    CSR entry order, or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f64p = ctypes.POINTER(ctypes.c_double)
+    if (A.indices.dtype == np.int32 and A.indptr.dtype == np.int32
+            and s_indices.dtype == np.int32 and s_indptr.dtype == np.int32):
+        idt, ip, fn = np.int32, ctypes.POINTER(ctypes.c_int32), \
+            lib.poly_on_sparsity_i32
+    else:
+        idt, ip, fn = np.int64, ctypes.POINTER(ctypes.c_int64), \
+            lib.poly_on_sparsity
+    a_indptr = np.ascontiguousarray(A.indptr, dtype=idt)
+    a_indices = np.ascontiguousarray(A.indices, dtype=idt)
+    a_data = _f64(A.data)
+    s_indptr = np.ascontiguousarray(s_indptr, dtype=idt)
+    s_indices = np.ascontiguousarray(s_indices, dtype=idt)
+    coeffs = _f64(coeffs)
+    out = np.empty(int(s_indptr[-1]), dtype=np.float64)
+    fn(_p(a_indptr, ip), _p(a_indices, ip), _p(a_data, f64p),
+       _p(s_indptr, ip), _p(s_indices, ip), A.shape[0], A.shape[1],
+       _p(coeffs, f64p), len(coeffs) - 1, _p(out, f64p))
+    return out
+
+
+def newton_on_sparsity_native(A, s_indptr, s_indices, wr, wi, tol_zero):
+    """Assembled Newton-basis inverse data on the S pattern (see
+    kernels.cpp newton_on_sparsity); None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f64p = ctypes.POINTER(ctypes.c_double)
+    if (A.indices.dtype == np.int32 and A.indptr.dtype == np.int32
+            and s_indices.dtype == np.int32 and s_indptr.dtype == np.int32):
+        idt, ip, fn = np.int32, ctypes.POINTER(ctypes.c_int32), \
+            lib.newton_on_sparsity_i32
+    else:
+        idt, ip, fn = np.int64, ctypes.POINTER(ctypes.c_int64), \
+            lib.newton_on_sparsity
+    a_indptr = np.ascontiguousarray(A.indptr, dtype=idt)
+    a_indices = np.ascontiguousarray(A.indices, dtype=idt)
+    a_data = _f64(A.data)
+    s_indptr = np.ascontiguousarray(s_indptr, dtype=idt)
+    s_indices = np.ascontiguousarray(s_indices, dtype=idt)
+    wr = _f64(wr)
+    wi = _f64(wi)
+    out = np.empty(int(s_indptr[-1]), dtype=np.float64)
+    fn(_p(a_indptr, ip), _p(a_indices, ip), _p(a_data, f64p),
+       _p(s_indptr, ip), _p(s_indices, ip), A.shape[0], A.shape[1],
+       _p(wr, f64p), _p(wi, f64p), len(wr), float(tol_zero), _p(out, f64p))
     return out
 
 

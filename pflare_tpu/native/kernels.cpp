@@ -467,3 +467,182 @@ int64_t spgemm_drop_i32(const int32_t* r_indptr, const int32_t* r_indices,
 }
 
 }  // extern "C"
+
+// ~~~~~~~~~~~~ fixed-sparsity polynomial assembly ~~~~~~~~~~~~
+// out = sum_k coeffs[k] * A^k restricted onto the pattern S, computed
+// row-by-row (reference: mat_mult_powers_share_sparsity,
+// src/Gmres_Poly.F90:777-920).  The restricted product is row-local:
+// row i of (P @ A)|_S needs only row i of P, so the whole order-m
+// accumulation streams each row once through L1 -- no global product is
+// ever materialised, unlike the scipy SpGEMM + mask formulation.
+// S must contain the diagonal for the k=0 term.
+
+template <typename I>
+static void poly_on_sparsity_t(const I* a_indptr, const I* a_indices,
+                               const double* a_data, const I* s_indptr,
+                               const I* s_indices, int64_t n_rows,
+                               int64_t n_cols, const double* coeffs,
+                               int64_t order, double* out_data) {
+    std::vector<int64_t> stamp(n_cols, -1);
+    std::vector<int32_t> slot(n_cols, 0);
+    std::vector<double> cur, nxt, acc;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const I s0 = s_indptr[i];
+        const int m = (int)(s_indptr[i + 1] - s0);
+        cur.assign(m, 0.0);
+        acc.assign(m, 0.0);
+        nxt.resize(m);
+        for (int t = 0; t < m; ++t) {
+            const I j = s_indices[s0 + t];
+            stamp[j] = i;
+            slot[j] = t;
+        }
+        // cur = row i of A restricted to S
+        for (I p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+            const I j = a_indices[p];
+            if (stamp[j] == i) cur[slot[j]] = a_data[p];
+        }
+        for (int t = 0; t < m; ++t) acc[t] = coeffs[1] * cur[t];
+        for (int64_t k = 2; k <= order; ++k) {
+            std::fill(nxt.begin(), nxt.end(), 0.0);
+            for (int t = 0; t < m; ++t) {
+                const double v = cur[t];
+                if (v == 0.0) continue;
+                const I kk = s_indices[s0 + t];
+                for (I q = a_indptr[kk]; q < a_indptr[kk + 1]; ++q) {
+                    const I j = a_indices[q];
+                    if (stamp[j] == i) nxt[slot[j]] += v * a_data[q];
+                }
+            }
+            const double ck = coeffs[k];
+            for (int t = 0; t < m; ++t) acc[t] += ck * nxt[t];
+            cur.swap(nxt);
+        }
+        if (i < n_cols && stamp[i] == i) acc[slot[i]] += coeffs[0];
+        for (int t = 0; t < m; ++t) out_data[s0 + t] = acc[t];
+    }
+}
+
+// Newton-basis assembled polynomial restricted onto S: accumulates
+// M = sum_i T_i / theta_i with T_{i+1} = (T_i - (T_i A)/theta)|_S,
+// complex-conjugate pairs combined in real arithmetic (reference:
+// src/Gmres_Poly_Newtonk.kokkos.cxx:15; Loe 2021 Alg. 3).  Row-local for
+// the same reason as above.  wr/wi are the Leja-ordered harmonic-Ritz
+// roots, k_roots their count.
+
+template <typename I>
+static void newton_on_sparsity_t(const I* a_indptr, const I* a_indices,
+                                 const double* a_data, const I* s_indptr,
+                                 const I* s_indices, int64_t n_rows,
+                                 int64_t n_cols, const double* wr,
+                                 const double* wi, int64_t k_roots,
+                                 double tol_zero, double* out_data) {
+    std::vector<int64_t> stamp(n_cols, -1);
+    std::vector<int32_t> slot(n_cols, 0);
+    std::vector<double> T, M, TA, T2;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const I s0 = s_indptr[i];
+        const int m = (int)(s_indptr[i + 1] - s0);
+        T.assign(m, 0.0);
+        M.assign(m, 0.0);
+        TA.resize(m);
+        T2.resize(m);
+        int diag_t = -1;
+        for (int t = 0; t < m; ++t) {
+            const I j = s_indices[s0 + t];
+            stamp[j] = i;
+            slot[j] = t;
+            if ((int64_t)j == i) diag_t = t;
+        }
+        if (diag_t >= 0) T[diag_t] = 1.0;  // T starts as the identity
+
+        // row-local restricted product TA = (T @ A)|_S
+        auto restricted_product = [&](const std::vector<double>& X,
+                                      std::vector<double>& out) {
+            std::fill(out.begin(), out.end(), 0.0);
+            for (int t = 0; t < m; ++t) {
+                const double v = X[t];
+                if (v == 0.0) continue;
+                const I kk = s_indices[s0 + t];
+                for (I q = a_indptr[kk]; q < a_indptr[kk + 1]; ++q) {
+                    const I j = a_indices[q];
+                    if (stamp[j] == i) out[slot[j]] += v * a_data[q];
+                }
+            }
+        };
+
+        int64_t r = 0;
+        while (r <= k_roots - 2) {
+            if (wi[r] == 0.0) {
+                const double th = wr[r];
+                if (std::fabs(th) < tol_zero) { ++r; continue; }
+                for (int t = 0; t < m; ++t) M[t] += T[t] / th;
+                restricted_product(T, TA);
+                for (int t = 0; t < m; ++t) T[t] -= TA[t] / th;
+                ++r;
+            } else {
+                const double s = wr[r] * wr[r] + wi[r] * wi[r];
+                if (s < tol_zero) { r += 2; continue; }
+                restricted_product(T, TA);
+                const double tw = 2.0 * wr[r];
+                for (int t = 0; t < m; ++t) T2[t] = tw * T[t] - TA[t];
+                for (int t = 0; t < m; ++t) M[t] += T2[t] / s;
+                if (r <= k_roots - 3) {
+                    restricted_product(T2, TA);
+                    for (int t = 0; t < m; ++t) T[t] -= TA[t] / s;
+                }
+                r += 2;
+            }
+        }
+        if (k_roots >= 1 && wi[k_roots - 1] == 0.0 &&
+            std::fabs(wr[k_roots - 1]) > tol_zero) {
+            const double th = wr[k_roots - 1];
+            for (int t = 0; t < m; ++t) M[t] += T[t] / th;
+        }
+        for (int t = 0; t < m; ++t) out_data[s0 + t] = M[t];
+    }
+}
+
+extern "C" {
+
+void poly_on_sparsity(const int64_t* a_indptr, const int64_t* a_indices,
+                      const double* a_data, const int64_t* s_indptr,
+                      const int64_t* s_indices, int64_t n_rows,
+                      int64_t n_cols, const double* coeffs, int64_t order,
+                      double* out_data) {
+    poly_on_sparsity_t(a_indptr, a_indices, a_data, s_indptr, s_indices,
+                       n_rows, n_cols, coeffs, order, out_data);
+}
+
+void poly_on_sparsity_i32(const int32_t* a_indptr, const int32_t* a_indices,
+                          const double* a_data, const int32_t* s_indptr,
+                          const int32_t* s_indices, int64_t n_rows,
+                          int64_t n_cols, const double* coeffs,
+                          int64_t order, double* out_data) {
+    poly_on_sparsity_t(a_indptr, a_indices, a_data, s_indptr, s_indices,
+                       n_rows, n_cols, coeffs, order, out_data);
+}
+
+void newton_on_sparsity(const int64_t* a_indptr, const int64_t* a_indices,
+                        const double* a_data, const int64_t* s_indptr,
+                        const int64_t* s_indices, int64_t n_rows,
+                        int64_t n_cols, const double* wr, const double* wi,
+                        int64_t k_roots, double tol_zero, double* out_data) {
+    newton_on_sparsity_t(a_indptr, a_indices, a_data, s_indptr, s_indices,
+                         n_rows, n_cols, wr, wi, k_roots, tol_zero,
+                         out_data);
+}
+
+void newton_on_sparsity_i32(const int32_t* a_indptr,
+                            const int32_t* a_indices, const double* a_data,
+                            const int32_t* s_indptr,
+                            const int32_t* s_indices, int64_t n_rows,
+                            int64_t n_cols, const double* wr,
+                            const double* wi, int64_t k_roots,
+                            double tol_zero, double* out_data) {
+    newton_on_sparsity_t(a_indptr, a_indices, a_data, s_indptr, s_indices,
+                         n_rows, n_cols, wr, wi, k_roots, tol_zero,
+                         out_data);
+}
+
+}  // extern "C"
