@@ -66,16 +66,22 @@ def constrain_grid_transfer(z_or_w: sp.csr_matrix, nulls_row, nulls_col,
     B_row = np.stack(nulls_row, axis=1)  # [n_rows, k]
 
     indptr, indices, data = M.indptr, M.indices, M.data.copy()
-    for i in range(M.shape[0]):
-        lo, hi = indptr[i], indptr[i + 1]
-        if hi == lo:
+    # batched by support size: rows with equal |J| correct together with
+    # one batched pseudo-inverse (the same bucketing trick as the SAI
+    # solves, inverse/sai.py) -- no per-row Python loop
+    row_len = np.diff(indptr)
+    for m in np.unique(row_len):
+        if m == 0:
             continue
-        J = indices[lo:hi]
-        Bj = B_col[J]                     # [|J|, k]
-        G = Bj.T @ Bj                     # [k, k]
-        diff = data[lo:hi] @ Bj - B_row[i]
-        corr = np.linalg.pinv(G) @ diff   # [k]
-        data[lo:hi] -= Bj @ corr
+        rows = np.nonzero(row_len == m)[0]
+        idx = indptr[rows][:, None] + np.arange(m)[None, :]
+        J = indices[idx]                        # [R, m]
+        Bj = B_col[J]                           # [R, m, k]
+        G = np.einsum("rmk,rml->rkl", Bj, Bj)   # [R, k, k]
+        vals = data[idx]                        # [R, m]
+        diff = np.einsum("rm,rmk->rk", vals, Bj) - B_row[rows]
+        corr = np.einsum("rkl,rl->rk", np.linalg.pinv(G), diff)
+        data[idx] = vals - np.einsum("rmk,rk->rm", Bj, corr)
     out = sp.csr_matrix((data, indices.copy(), indptr.copy()), shape=M.shape)
     if is_z:
         out = sp.csr_matrix(out.T)

@@ -1,0 +1,536 @@
+"""Device-resident FIRST-TIME hierarchy setup: pattern discovery on TPU.
+
+The reference's accelerator story runs the whole setup in Kokkos kernels
+when the matrix is device-resident (reference: docs/gpus.md,
+src/PETSc_Helperk.kokkos.cxx, src/PMISR_Modulek.kokkos.cxx,
+src/Gmres_Polyk.kokkos.cxx).  pflare_tpu mirrors that split:
+
+  * air/hierarchy.py      -- host setup (exact reference semantics, f64)
+  * air/device_resetup.py -- jitted same-pattern numeric REBUILD
+  * THIS MODULE           -- jitted first setup: CF splitting, submatrix
+    extraction, polynomial-inverse assembly, Z, R/P, AP/RAP all execute on
+    the accelerator through the DELL primitives (sparse/dell.py); the host
+    only orchestrates, seeds the random measures, and solves the tiny
+    dense coefficient problems (LAPACK-sized work, as in the reference).
+
+Host<->device traffic per level: one [n] random-measure upload, a handful
+of SCALAR shape readbacks (max kept row widths), the (order+2, order+1)
+Arnoldi Hessenberg, and the CF marker readback for the index lists.
+Everything O(nnz) stays on device.
+
+Supported configuration mirrors the device re-setup envelope plus Newton:
+AIRG product Z, one-point classical prolongation, PMISR(-DDC) splitting,
+no strong-R drop / improve / constrain, non-symmetric.  Anything else
+falls back to the host path (PCAIR.setup chooses).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..options import AIROptions
+from ..params import CFSplittingType, C_POINT, F_POINT, InverseType, ZType, \
+    tolerances
+from ..sparse.dell import (
+    DELL,
+    PADCOL,
+    extract_dell,
+    max_row_count,
+    newton_poly_dell,
+    poly_dell,
+    sort_rows,
+    spgemm_drop_dell,
+    transpose_pattern,
+    union_patterns,
+    compact,
+)
+from ..inverse.build import Inverse
+from ..inverse.gmres_poly import coefficients_arnoldi, coefficients_power, \
+    trim_high_order_zeros
+from ..inverse.newton import build_newton_program, newton_roots
+from ..utils.timers import timer
+
+
+def device_setup_supported(opts: AIROptions) -> bool:
+    """True when the device first-setup covers this option set."""
+    return not (
+        opts.symmetric
+        or opts.strong_r_threshold != 0.0
+        or opts.improve_w_its or opts.improve_z_its
+        or opts.constrain_w or opts.constrain_z
+        or opts.full_smoothing_up_and_down
+        or opts.z_type != ZType.PRODUCT
+        or not opts.one_point_classical_prolong
+        or opts.cf_splitting_type not in (CFSplittingType.PMISR_DDC,)
+        or opts.auto_truncate_start_level > 0
+        or opts.inverse_sparsity_order != 1
+        or opts.c_inverse_sparsity_order != 1
+        or opts.any_c_smooths
+        or opts.inverse_type in (InverseType.SAI, InverseType.ISAI,
+                                 InverseType.LU)
+    )
+
+
+# ~~~~~~~~~~~~~~~~~~ CF splitting on device ~~~~~~~~~~~~~~~~~~
+
+
+@jax.jit
+def _strength_cols(A: DELL, theta):
+    """Strength pattern |a_ij| >= theta * max_{j != i} |a_ij|, diagonal
+    dropped (reference: src/SAbs.F90:16-144).  Returns padded cols."""
+    n = A.data.shape[0]
+    isd = A.cols == jnp.arange(n, dtype=A.cols.dtype)[:, None]
+    live = (A.cols < PADCOL) & ~isd
+    av = jnp.where(live, jnp.abs(A.data), 0.0)
+    rowmax = jnp.max(av, axis=1, keepdims=True)
+    keep = live & (av >= theta * rowmax) & (av > 0)
+    return jnp.where(keep, A.cols, PADCOL)
+
+
+@partial(jax.jit, static_argnames=("n_rounds",))
+def _luby_rounds(gcols, measure, cf0, n_rounds):
+    """PMISR Luby rounds over the padded symmetric graph (device sibling of
+    src/PMISR_Modulek.kokkos.cxx; same logic as cf/device.py::pmisr_device
+    but on PADCOL-padded cols and with a traced round count)."""
+    n = measure.shape[0]
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    mask = gcols < PADCOL
+    safe = jnp.minimum(gcols, n - 1)
+    cf = cf0.astype(jnp.int32)
+    assigned = cf != 0
+
+    zero_nodes = (~assigned) & (jnp.abs(measure) < 1)
+    cf = jnp.where(zero_nodes, F_POINT, cf)
+    assigned = assigned | zero_nodes
+
+    def round_fn(carry, _):
+        cf, assigned = carry
+        nb_meas = measure[safe]
+        active = mask & ~assigned[safe]
+        lose = active & (
+            (measure[:, None] > nb_meas)
+            | ((measure[:, None] == nb_meas) & (gidx[:, None] > safe))
+        )
+        in_set = ~assigned & ~jnp.any(lose, axis=1)
+        cf = jnp.where(in_set, F_POINT, cf)
+        assigned = assigned | in_set
+        nb_of_new = jnp.any(mask & in_set[safe], axis=1)
+        assigned = assigned | nb_of_new
+        return (cf, assigned), None
+
+    (cf, assigned), _ = jax.lax.scan(round_fn, (cf, assigned), None,
+                                     length=n_rounds)
+    cf = jnp.where(cf == 0, C_POINT, cf)
+    return cf
+
+
+@jax.jit
+def _ddc_pass(A: DELL, cf, fraction_swap):
+    """DDC second pass on device (reference: src/DDC_Module.F90 +
+    src/DDC_Modulek.kokkos.cxx: the ratio is computed WITHOUT extracting
+    A_ff).  Binned worst-fraction selection, 1000 bins like the host."""
+    n = A.data.shape[0]
+    N_BINS = 1000
+    is_f = cf == F_POINT
+    isd = A.cols == jnp.arange(n, dtype=A.cols.dtype)[:, None]
+    live = A.cols < PADCOL
+    safe = jnp.minimum(A.cols, n - 1)
+    col_f = is_f[safe] & live & ~isd
+    offsum = jnp.sum(jnp.where(col_f, jnp.abs(A.data), 0.0), axis=1)
+    diag = jnp.sum(jnp.where(isd & live, A.data, 0.0), axis=1)
+    ratio = jnp.where(jnp.abs(diag) > 0, offsum / jnp.abs(diag), jnp.inf)
+    ratio = jnp.where(is_f, ratio, 0.0)
+
+    fine_size = jnp.sum(is_f)
+    search_size = (fine_size * fraction_swap).astype(jnp.int32)
+    capped = jnp.where(jnp.isfinite(ratio), ratio, float(N_BINS))
+    bins = jnp.clip(jnp.floor(capped * N_BINS).astype(jnp.int32), 0,
+                    N_BINS - 1)
+    counts = jnp.zeros(N_BINS, dtype=jnp.int32).at[
+        jnp.where(is_f, bins, 0)].add(jnp.where(is_f, 1, 0))
+    csum = jnp.cumsum(counts[::-1])
+    bin_boundary = N_BINS - (jnp.searchsorted(csum, search_size) + 1)
+    swap_dom_val = bin_boundary.astype(ratio.dtype) / N_BINS
+    swap = is_f & (ratio != 0) & (ratio >= swap_dom_val) & (search_size > 0)
+    return jnp.where(swap, -cf, cf)
+
+
+def _cf_split_device(A: DELL, opts: AIROptions):
+    """Device CF splitting: strength -> PMISR Luby -> DDC.  Only the random
+    measure crosses h2d; markers stay on device."""
+    n = A.data.shape[0]
+    scols = _strength_cols(A, float(opts.strong_threshold))
+    tcols = transpose_pattern(DELL(jnp.zeros_like(A.data), scols, n))
+    gfull = union_patterns(
+        scols, jnp.pad(tcols, ((0, 0), (0, max(scols.shape[1] -
+                                               tcols.shape[1], 0))),
+                       constant_values=PADCOL)
+        if tcols.shape[1] < scols.shape[1] else tcols)
+    gcols = gfull[:, :max(max_row_count(gfull), 1)]
+    gcols = jnp.sort(gcols, axis=1)
+
+    rng = np.random.default_rng(opts.seed)
+    rand = jnp.asarray(rng.random(n), dtype=A.dtype)
+    degree = jnp.sum(scols < PADCOL, axis=1).astype(A.dtype)
+    measure = rand + degree
+    # 25 unbounded-equivalent rounds: Luby assigns everything in O(log n)
+    # w.h.p.; leftovers become C exactly like the fixed-step reference mode
+    rounds = opts.max_luby_steps if opts.max_luby_steps > 0 else 25
+    cf = _luby_rounds(gcols, measure, jnp.zeros(n, dtype=jnp.int32),
+                      rounds)
+    if opts.strong_threshold != 0.0:
+        for _ in range(opts.ddc_its):
+            cf = _ddc_pass(A, cf, float(opts.ddc_fraction))
+    return cf
+
+
+# ~~~~~~~~~~~~~~~~~~ level records ~~~~~~~~~~~~~~~~~~
+
+
+@dataclass
+class DeviceLevel:
+    """Host metadata + device dict for one device-built level."""
+
+    n: int
+    n_f: int
+    n_c: int
+    device: dict = field(default_factory=dict)
+    nnz_A: int = 0
+    nnz_R: int = 0
+    nnz_P: int = 0
+    nnz_inv: int = 0
+
+
+@dataclass
+class DeviceHierarchy:
+    """Result of the device first setup (mirrors Hierarchy's solve-facing
+    surface; host CSR state is materialised lazily on demand)."""
+
+    levels: list
+    coarse_A: DELL
+    coarse_inv: Inverse
+    options: AIROptions
+    top_A: DELL = None            # finest operator (Krylov matvec)
+    device_levels: list = None
+
+    @property
+    def n_levels(self):
+        return len(self.levels) + 1
+
+
+def _inverse_device(A_ff: DELL, opts, inverse_type, poly_order,
+                    matrix_free, seed, dtype):
+    """Approximate inverse of a device matrix: coefficients via device
+    matvecs + tiny host solves; assembly on device (reference:
+    src/Approx_Inverse_Setup.F90 dispatch, device siblings in
+    src/Gmres_Polyk.kokkos.cxx / src/Gmres_Poly_Newtonk.kokkos.cxx)."""
+    inverse_type = InverseType(inverse_type)
+    n = A_ff.shape[0]
+    tol = tolerances(jnp.float64)
+    if poly_order + 1 > n:
+        poly_order = max(n - 1, 0)
+
+    diag = A_ff.diagonal()
+    if inverse_type in (InverseType.JACOBI, InverseType.WJACOBI):
+        if inverse_type == InverseType.WJACOBI:
+            dsqrt = jnp.sqrt(jnp.abs(diag))
+            inv_ds = jnp.where(dsqrt > 0, 1.0 / dsqrt, 0.0)
+            safe = jnp.minimum(A_ff.cols, n - 1)
+            scaled = jnp.abs(A_ff.data * inv_ds[:, None] * inv_ds[safe])
+            norm_inf = jnp.max(jnp.sum(scaled, axis=1))
+            weight = 3.0 / (4.0 * norm_inf)
+        else:
+            weight = 1.0
+        d = jnp.where(diag != 0, weight / diag, 0.0)
+        return Inverse("diagonal", diag=d.astype(dtype),
+                       meta={"type": int(inverse_type)})
+
+    if inverse_type == InverseType.NEUMANN:
+        ones = jnp.ones(poly_order + 1, dtype=dtype)
+        return Inverse("neumann_mf", mat=A_ff, coefficients=ones, diag=diag,
+                       meta={"type": int(inverse_type)})
+
+    mv = A_ff.matvec
+    if opts.diag_scale_polys:
+        mv = lambda v: A_ff.matvec(v) / diag
+
+    if inverse_type in (InverseType.NEWTON, InverseType.NEWTON_NO_EXTRA):
+        wr, wi = newton_roots(
+            mv, n, poly_order, A_ff.dtype,
+            add_roots=(inverse_type == InverseType.NEWTON), seed=seed,
+            xp=jnp)
+        steps = build_newton_program(wr, wi, tol.zero)
+        coeffs2 = jnp.asarray(np.stack([wr, wi]), dtype=dtype)
+        if matrix_free:
+            return Inverse("newton_mf", mat=A_ff, steps=steps,
+                           diag=diag if opts.diag_scale_polys else None,
+                           scaled=opts.diag_scale_polys,
+                           meta={"type": int(inverse_type)},
+                           coefficients=coeffs2)
+        M = newton_poly_dell(A_ff, wr, wi, tol.zero)
+        return Inverse("assembled", mat=M, meta={"type": int(inverse_type)},
+                       coefficients=coeffs2)
+
+    if inverse_type == InverseType.POWER:
+        coeffs = coefficients_power(mv, n, poly_order, A_ff.dtype,
+                                    seed=seed, xp=jnp)
+    elif inverse_type == InverseType.ARNOLDI:
+        coeffs = coefficients_arnoldi(mv, n, poly_order, A_ff.dtype,
+                                      seed=seed, xp=jnp)
+    else:
+        raise ValueError(f"device setup: unsupported inverse {inverse_type}")
+
+    if matrix_free:
+        cj = jnp.asarray(trim_high_order_zeros(coeffs), dtype=dtype)
+        return Inverse("poly_mf", mat=A_ff, coefficients=cj,
+                       diag=diag if opts.diag_scale_polys else None,
+                       scaled=opts.diag_scale_polys,
+                       meta={"type": int(inverse_type)})
+    M = poly_dell(A_ff, jnp.asarray(coeffs, dtype=A_ff.dtype))
+    return Inverse("assembled", mat=M, meta={"type": int(inverse_type)},
+                   coefficients=jnp.asarray(coeffs, dtype=dtype))
+
+
+@jax.jit
+def _one_point_w(A_fc: DELL):
+    """One-point classical W: the strongest |A_fc| entry per F row becomes
+    1.0 (reference: src/Grid_Transfer.F90:26-220).  Returns the coarse
+    column index per F row (PADCOL where the row is empty)."""
+    live = A_fc.cols < PADCOL
+    av = jnp.where(live, jnp.abs(A_fc.data), -1.0)
+    best = jnp.argmax(av, axis=1)
+    has = jnp.max(av, axis=1) > 0
+    wcol = jnp.take_along_axis(A_fc.cols, best[:, None], axis=1)[:, 0]
+    return jnp.where(has, wcol, PADCOL)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _assemble_r_ext(Z: DELL, fine_idx, coarse_idx, cf, n: int):
+    """R_ext [n, n]: for global coarse row i, Z's row (cols mapped to
+    global fine positions) + the identity entry at column i (reference:
+    compute_R_from_Z src/Grid_Transfer.F90:465, pre-extended to the level's
+    full space as in air/fullspace.py)."""
+    is_c = cf == C_POINT
+    c_newidx = jnp.cumsum(is_c) - 1
+    src = jnp.where(is_c, c_newidx, 0)
+    zcols = Z.cols[src]                          # [n, Kz]
+    zvals = Z.data[src]
+    live = (zcols < PADCOL) & is_c[:, None]
+    gcols = jnp.where(live, fine_idx[jnp.minimum(zcols, fine_idx.shape[0]
+                                                 - 1)].astype(jnp.int32),
+                      PADCOL)
+    gvals = jnp.where(live, zvals, 0.0)
+    ident_c = jnp.where(is_c, jnp.arange(n, dtype=jnp.int32), PADCOL)
+    cols = jnp.concatenate([gcols, ident_c[:, None]], axis=1)
+    vals = jnp.concatenate(
+        [gvals, jnp.where(is_c, 1.0, 0.0)[:, None].astype(gvals.dtype)],
+        axis=1)
+    return sort_rows(cols, vals)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _assemble_p_ext(wcol, coarse_idx, cf, n: int):
+    """P_ext [n, n] with one entry per row: identity on coarse rows, the
+    one-point W target (as a global column) on fine rows."""
+    is_c = cf == C_POINT
+    is_f = cf == F_POINT
+    f_newidx = jnp.cumsum(is_f) - 1
+    wsrc = jnp.where(is_f, f_newidx, 0)
+    wc = wcol[wsrc]
+    wc_ok = is_f & (wc < PADCOL)
+    gw = jnp.where(wc_ok,
+                   coarse_idx[jnp.minimum(wc, coarse_idx.shape[0] - 1)]
+                   .astype(jnp.int32), PADCOL)
+    cols = jnp.where(is_c, jnp.arange(n, dtype=jnp.int32), gw)
+    vals = jnp.where(is_c | wc_ok, 1.0, 0.0)
+    return cols[:, None], vals[:, None]
+
+
+@jax.jit
+def _mask_ext_ops(A: DELL, cf):
+    """Full-space masked operators from the level matrix: A_ff_ext and
+    A_fc_ext share A's layout with values zeroed outside the blocks (the
+    gather-free full-space design, air/fullspace.py)."""
+    n = A.data.shape[0]
+    is_f = (cf == F_POINT)
+    fmask = is_f.astype(A.dtype)
+    safe = jnp.minimum(A.cols, n - 1)
+    colf = is_f[safe] & (A.cols < PADCOL)
+    aff = A.data * fmask[:, None] * colf.astype(A.dtype)
+    afc = A.data * fmask[:, None] * (~colf & (A.cols < PADCOL)).astype(
+        A.dtype)
+    return aff, afc, fmask
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _inv_ext(inv_mat: DELL, fine_idx, cf, n: int):
+    """Assembled compressed-F inverse -> full-space layout [n, K]."""
+    is_f = cf == F_POINT
+    f_newidx = jnp.cumsum(is_f) - 1
+    src = jnp.where(is_f, f_newidx, 0)
+    icols = inv_mat.cols[src]
+    ivals = inv_mat.data[src]
+    live = (icols < PADCOL) & is_f[:, None]
+    gcols = jnp.where(
+        live, fine_idx[jnp.minimum(icols, fine_idx.shape[0] - 1)]
+        .astype(jnp.int32), PADCOL)
+    return gcols, jnp.where(live, ivals, 0.0)
+
+
+def _extend_inverse(inv: Inverse, A_ff_ext_op: DELL, fine_idx, cf, n: int,
+                    dtype) -> Inverse:
+    """Full-space form of a compressed-F inverse (device analogue of
+    air/fullspace.py::inverse_to_fullspace)."""
+    is_f = cf == F_POINT
+    if inv.kind == "diagonal":
+        f_newidx = jnp.cumsum(is_f) - 1
+        src = jnp.where(is_f, f_newidx, 0)
+        d = jnp.where(is_f, inv.diag[src], 0.0).astype(dtype)
+        return Inverse("diagonal", diag=d, meta=inv.meta)
+    if inv.kind == "assembled":
+        gcols, gvals = _inv_ext(inv.mat, fine_idx, cf, n)
+        return Inverse("assembled",
+                       mat=DELL(gvals.astype(dtype), gcols, n),
+                       meta=inv.meta, coefficients=inv.coefficients)
+    # matrix-free: swap in the extended operator; extend the diagonal with
+    # ones outside F
+    diag_ext = None
+    if inv.diag is not None:
+        f_newidx = jnp.cumsum(is_f) - 1
+        src = jnp.where(is_f, f_newidx, 0)
+        diag_ext = jnp.where(is_f, inv.diag[src], 1.0).astype(dtype)
+    coeffs = inv.coefficients
+    if coeffs is not None:
+        coeffs = coeffs.astype(dtype)
+    return Inverse(inv.kind, mat=A_ff_ext_op, coefficients=coeffs,
+                   steps=inv.steps, diag=diag_ext, scaled=inv.scaled,
+                   meta=inv.meta)
+
+
+# ~~~~~~~~~~~~~~~~~~ the level loop ~~~~~~~~~~~~~~~~~~
+
+
+def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
+                           ) -> DeviceHierarchy:
+    """Build the AIR hierarchy with all O(nnz) work on the accelerator.
+
+    ``A``: scipy CSR (uploaded once) or a DELL already on device.
+    """
+    if not device_setup_supported(opts):
+        raise ValueError("device setup does not support this option set; "
+                         "use the host path")
+    if not isinstance(A, DELL):
+        A = DELL.from_scipy(A, dtype=dtype)
+    top_A = A
+
+    levels: list[DeviceLevel] = []
+    level_idx = 0
+    while level_idx < opts.max_levels - 1:
+        n = A.shape[0]
+        with timer("air_coarsen"):
+            cf = _cf_split_device(A, opts)
+            n_f = int(jnp.sum(cf == F_POINT))
+            n_c = n - n_f
+        if n_c <= opts.coarse_eq_limit or n_f == 0:
+            break
+
+        with timer("air_extract"):
+            is_f = cf == F_POINT
+            is_c = ~is_f
+            fine_idx = jnp.nonzero(is_f, size=n_f)[0].astype(jnp.int32)
+            coarse_idx = jnp.nonzero(is_c, size=n_c)[0].astype(jnp.int32)
+            f_newidx = jnp.cumsum(is_f) - 1
+            c_newidx = jnp.cumsum(is_c) - 1
+            A_ff = extract_dell(A, fine_idx, is_f, f_newidx, n_f,
+                                ensure_diag=True)
+            A_fc = extract_dell(A, fine_idx, is_c, c_newidx, n_c)
+            A_cf = extract_dell(A, coarse_idx, is_f, f_newidx, n_f)
+
+        with timer("air_inverse"):
+            inv_Aff = _inverse_device(
+                A_ff, opts, opts.inverse_type, opts.poly_order,
+                opts.matrix_free_polys, opts.seed, dtype)
+            # Z needs an ASSEMBLED inverse of A_ff
+            if inv_Aff.kind == "assembled":
+                inv_for_z = inv_Aff.mat
+            elif inv_Aff.kind == "diagonal":
+                inv_for_z = None          # Z = -A_cf * d^-1 columnwise
+                dinv_z = inv_Aff.diag
+            else:
+                inv_z_obj = _inverse_device(
+                    A_ff, opts, opts.inverse_type, opts.poly_order,
+                    False, opts.seed, dtype)
+                inv_for_z = inv_z_obj.mat
+
+        with timer("air_restrict"):
+            if inv_for_z is None:
+                safe = jnp.minimum(A_cf.cols, n_f - 1)
+                zdata = -A_cf.data * jnp.where(A_cf.cols < PADCOL,
+                                               dinv_z[safe], 0.0)
+                Z = DELL(zdata, A_cf.cols, n_f)
+                from ..sparse.dell import drop_rows as _dr
+                zc, zv = _dr(Z.cols, Z.data, float(opts.r_drop), True,
+                             False, diag_of_row=jnp.full(
+                                 n_c, -1, dtype=Z.cols.dtype))
+                Z = DELL(zv[:, :max(max_row_count(zc), 1)],
+                         zc[:, :max(max_row_count(zc), 1)], n_f)
+            else:
+                Z = spgemm_drop_dell(A_cf, inv_for_z, float(opts.r_drop),
+                                     relative=True, lump=False)
+                Z = DELL(-Z.data, Z.cols, Z.n_cols)
+            rcols, rvals = _assemble_r_ext(Z, fine_idx, coarse_idx, cf, n)
+            R_ext = DELL(rvals.astype(dtype), rcols, n)
+
+        with timer("air_prolong"):
+            wcol = _one_point_w(A_fc)
+            pcols, pvals = _assemble_p_ext(wcol, coarse_idx, cf, n)
+            P_ext = DELL(pvals.astype(dtype), pcols, n)
+
+        with timer("air_rap"):
+            # AP = A @ P_ext [n, n], then RAP rows gathered at coarse
+            # positions: R_ext @ AP restricted to coarse rows/cols and
+            # renumbered -> the next level matrix [n_c, n_c]
+            AP = spgemm_drop_dell(A, P_ext, 0.0, relative=True, lump=False)
+            RAP_full = spgemm_drop_dell(R_ext, AP, float(opts.a_drop),
+                                        relative=True, lump=opts.a_lump)
+            # compress to coarse numbering on both axes
+            A_next = extract_dell(RAP_full, coarse_idx, is_c, c_newidx,
+                                  n_c)
+
+        aff_ext, afc_ext, fmask = _mask_ext_ops(A, cf)
+        A_ff_ext_op = DELL(aff_ext, A.cols, n)
+        dev = {
+            "mask_f": fmask,
+            "fine": fine_idx,
+            "coarse": coarse_idx,
+            "A_ff": A_ff_ext_op,
+            "A_fc": DELL(afc_ext, A.cols, n),
+            "inv_Aff": _extend_inverse(inv_Aff, A_ff_ext_op, fine_idx, cf,
+                                       n, dtype),
+            "R": R_ext,
+            "P": P_ext,
+        }
+        levels.append(DeviceLevel(
+            n=n, n_f=n_f, n_c=n_c, device=dev,
+            nnz_A=int(jnp.sum(A.cols < PADCOL)),
+            nnz_R=int(jnp.sum(R_ext.cols < PADCOL)),
+            nnz_P=int(jnp.sum(P_ext.cols < PADCOL)),
+            nnz_inv=(int(jnp.sum(inv_Aff.mat.cols < PADCOL))
+                     if inv_Aff.kind == "assembled" else 0),
+        ))
+        A = A_next
+        level_idx += 1
+
+    with timer("air_inverse"):
+        coarse_inv = _inverse_device(
+            A, opts, opts.coarsest_inverse_type, opts.coarsest_poly_order,
+            opts.coarsest_matrix_free_polys, opts.seed, dtype)
+
+    h = DeviceHierarchy(levels, A, coarse_inv, opts, top_A=top_A)
+    h.device_levels = [lvl.device for lvl in levels]
+    return h

@@ -119,6 +119,36 @@ class PCAIR:
             print_timers()
         return self
 
+    def setup_device(self, A, dtype=None):
+        """TPU-first setup: pattern discovery AND numerics on the
+        accelerator (air/device_setup.py), the analogue of the reference's
+        Kokkos setup path for device-resident matrices (reference:
+        docs/gpus.md, src/PETSc_Helperk.kokkos.cxx).  Falls back to the
+        host setup when the option set is outside the device envelope."""
+        from .device_setup import (device_setup_supported,
+                                   setup_hierarchy_device)
+
+        if self._frozen and self.hierarchy is not None:
+            return self
+        if not device_setup_supported(self.options):
+            return self.setup(A)
+        dtype = dtype or self.dtype or jnp.float32
+        with timer("air_setup"):
+            self.hierarchy = setup_hierarchy_device(A, self.options,
+                                                    dtype=dtype)
+        self._build_apply()
+        return self
+
+    def _top_operator(self):
+        """The finest-level operator as a device matvec object."""
+        hier = self.hierarchy
+        if hasattr(hier, "top_A") and hier.top_A is not None:
+            return hier.top_A
+        from ..sparse import ELL
+
+        A = hier.levels[0].A if hier.levels else hier.coarse_matrix
+        return ELL.from_scipy(A, dtype=self.dtype)
+
     def _build_apply(self):
         opts = self.options
         hier = self.hierarchy
@@ -152,11 +182,7 @@ class PCAIR:
 
         if self.hierarchy is None:
             raise RuntimeError("PCAIR not set up")
-        A = self.hierarchy.levels[0].A if self.hierarchy.levels else \
-            self.hierarchy.coarse_matrix
-        from ..sparse import ELL
-
-        E = ELL.from_scipy(A, dtype=self.dtype)
+        E = self._top_operator()
         b = jnp.asarray(b, dtype=self.dtype) if self.dtype else jnp.asarray(b)
         if ksp == "gmres":
             return gmres(E, b, x0=x0, M=self.apply, side=side, rtol=rtol,
@@ -182,9 +208,7 @@ class PCAIR:
 
         if self.hierarchy is None:
             raise RuntimeError("PCAIR not set up")
-        A = self.hierarchy.levels[0].A if self.hierarchy.levels else \
-            self.hierarchy.coarse_matrix
-        E = ELL.from_scipy(A, dtype=self.dtype)
+        E = self._top_operator()
         b = jnp.asarray(b, dtype=self.dtype) if self.dtype else jnp.asarray(b)
         smooth_order = self.options.smooth_order
         solver = richardson_fixed if ksp == "richardson" else gmres_right_fixed

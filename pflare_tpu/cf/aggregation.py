@@ -27,8 +27,18 @@ def serial_aggregation(strength_mat, cf_markers: np.ndarray | None = None):
         cf = np.asarray(cf_markers, dtype=np.int64).copy()
         aggregates = np.where(cf != 0, -1, 0).astype(np.int64)
 
-    aggregate = 1
     indptr, indices = S.indptr, S.indices
+
+    # native sequential sweeps (C++ host kernel) when available
+    from ..native import aggregation_native
+
+    cf_c = np.ascontiguousarray(cf)
+    agg_c = np.ascontiguousarray(aggregates)
+    count = aggregation_native(indptr, indices, cf_c, agg_c)
+    if count is not None:
+        return cf_c, agg_c
+
+    aggregate = 1
 
     # Step 1 -- initial covering
     for i in range(n):

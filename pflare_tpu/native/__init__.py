@@ -99,6 +99,8 @@ def get_lib():
                                         ctypes.c_int, i32p, i32p, f64p]
         lib.dd_ratio.restype = None
         lib.dd_ratio.argtypes = [i64p, i64p, f64p, u8p, ctypes.c_int64, f64p]
+        lib.aggregation.restype = ctypes.c_int64
+        lib.aggregation.argtypes = [i64p, i64p, ctypes.c_int64, i64p, i64p]
         lib.poly_on_sparsity.restype = None
         lib.poly_on_sparsity.argtypes = [i64p, i64p, f64p, i64p, i64p,
                                          ctypes.c_int64, ctypes.c_int64,
@@ -294,6 +296,22 @@ def _csr_index_dispatch(*mats):
            for M in mats):
         return np.int32, ctypes.POINTER(ctypes.c_int32), "_i32"
     return np.int64, ctypes.POINTER(ctypes.c_int64), ""
+
+
+def aggregation_native(indptr, indices, cf, aggregates):
+    """Sequential root-node aggregation sweeps (kernels.cpp aggregation);
+    mutates cf/aggregates in place.  Returns the aggregate count, or None
+    when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    indptr = _i64(indptr)
+    indices = _i64(indices)
+    assert cf.dtype == np.int64 and aggregates.dtype == np.int64
+    return lib.aggregation(_p(indptr, i64p), _p(indices, i64p),
+                           len(indptr) - 1, _p(cf, i64p),
+                           _p(aggregates, i64p))
 
 
 def poly_on_sparsity_native(A, s_indptr, s_indices, coeffs):

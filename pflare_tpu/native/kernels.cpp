@@ -605,6 +605,59 @@ static void newton_on_sparsity_t(const I* a_indptr, const I* a_indices,
 
 extern "C" {
 
+// ~~~~~~~~~~~~ root-node aggregation ~~~~~~~~~~~~
+// Sequential three-sweep aggregation (PyAMG-style; reference:
+// src/Aggregation.F90).  cf: 0 undecided in, +1 C / -1 F out;
+// aggregates: aggregate id per node.  Returns the aggregate count.
+int64_t aggregation(const int64_t* indptr, const int64_t* indices,
+                    int64_t n, int64_t* cf, int64_t* aggregates) {
+    int64_t aggregate = 1;
+    // Step 1 -- initial covering
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t lo = indptr[i], hi = indptr[i + 1];
+        if (hi == lo) { cf[i] = -1; continue; }
+        if (cf[i] != 0) continue;
+        bool any = false;
+        for (int64_t p = lo; p < hi; ++p)
+            if (cf[indices[p]] != 0) { any = true; break; }
+        if (any) continue;
+        cf[i] = 1;
+        aggregates[i] = aggregate;
+        for (int64_t p = lo; p < hi; ++p) {
+            cf[indices[p]] = -1;
+            aggregates[indices[p]] = aggregate;
+        }
+        ++aggregate;
+    }
+    // Step 2 -- enlarge: join the first strongly connected aggregate
+    for (int64_t i = 0; i < n; ++i) {
+        if (cf[i] != 0) continue;
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int64_t a = aggregates[indices[p]];
+            if (a > 0) {
+                cf[i] = -1;
+                aggregates[i] = -a;
+                ++aggregate;
+                break;
+            }
+        }
+    }
+    for (int64_t i = 0; i < n; ++i)
+        if (aggregates[i] < 0) aggregates[i] = -aggregates[i];
+    // Step 3 -- remnants become new roots
+    for (int64_t i = 0; i < n; ++i) {
+        if (cf[i] != 0) continue;
+        cf[i] = 1;
+        aggregates[i] = aggregate;
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int64_t j = indices[p];
+            if (cf[j] == 0) { cf[j] = -1; aggregates[j] = aggregate; }
+        }
+        ++aggregate;
+    }
+    return aggregate - 1;
+}
+
 void poly_on_sparsity(const int64_t* a_indptr, const int64_t* a_indices,
                       const double* a_data, const int64_t* s_indptr,
                       const int64_t* s_indices, int64_t n_rows,

@@ -32,6 +32,7 @@ class PCPFLAREINV:
         self._ell = None
         self.reuse_poly_coeffs = False
         self._frozen = False
+        self._injected = None
 
     def set_options(self, **kw):
         from dataclasses import replace
@@ -42,6 +43,7 @@ class PCPFLAREINV:
     def reset(self):
         self.inverse = None
         self._ell = None
+        self._injected = None
 
     def freeze(self, flag: bool = True):
         self._frozen = flag
@@ -55,9 +57,18 @@ class PCPFLAREINV:
         A = sp.csr_matrix(A)
         pattern = None
         coeffs = None
+        # coefficients injected BEFORE the first setup skip the polynomial
+        # iteration too -- the reference's ptr-in protocol
+        # (reference: src/PCPFLAREINV.c:700-781: NULL-in -> compute,
+        # ptr-in -> reuse)
+        injected = self._injected
+        if injected is not None:
+            c = np.asarray(injected)
+            coeffs = c if c.ndim == 1 else (c[0], c[1])
         if structure == "same" and self._ell is not None:
             pattern = self._ell.pattern
-            if self.reuse_poly_coeffs and self.inverse is not None \
+            if coeffs is None and self.reuse_poly_coeffs \
+                    and self.inverse is not None \
                     and self.inverse.coefficients is not None:
                 c = np.asarray(self.inverse.coefficients)
                 coeffs = c if c.ndim == 1 else (c[0], c[1])

@@ -1,0 +1,171 @@
+"""Device-resident first setup (air/device_setup.py + sparse/dell.py).
+
+Strategy mirrors the reference's Kokkos debug-compare lever
+(reference: docs/dev/kokkos.md): every DELL primitive is checked against
+its host oracle (scipy / the native kernels), and the device-built
+hierarchy must solve the reference problems with the same iteration
+quality as the host-built one.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+from pflare_tpu import AIROptions, InverseType, PCAIR, adv_diff_2d
+from pflare_tpu.sparse.dell import (
+    DELL,
+    PADCOL,
+    extract_dell,
+    newton_poly_dell,
+    poly_dell,
+    spgemm_drop_dell,
+    transpose_pattern,
+)
+
+
+def _rand_csr(n, m, density, seed, diag=None):
+    A = sp.random(n, m, density=density, random_state=seed, format="csr")
+    if diag is not None:
+        A = sp.csr_matrix(A + sp.diags(np.full(min(n, m), diag),
+                                       shape=(n, m)))
+    A.sort_indices()
+    return A
+
+
+class TestDellPrimitives:
+    def test_matvec(self):
+        A = _rand_csr(120, 120, 0.05, 0, diag=2.0)
+        d = DELL.from_scipy(A, dtype=jnp.float64)
+        x = np.random.default_rng(0).standard_normal(120)
+        np.testing.assert_allclose(np.asarray(d.matvec(jnp.asarray(x))),
+                                   A @ x, rtol=1e-12)
+
+    def test_spgemm_plain(self):
+        A = _rand_csr(100, 80, 0.06, 1)
+        B = _rand_csr(80, 90, 0.05, 2)
+        C = spgemm_drop_dell(DELL.from_scipy(A, jnp.float64),
+                             DELL.from_scipy(B, jnp.float64),
+                             0.0, True, False).to_scipy()
+        Cref = sp.csr_matrix(A @ B)
+        Cref.sort_indices()
+        assert C.nnz == Cref.nnz
+        assert abs(C - Cref).max() < 1e-12
+
+    def test_spgemm_drop_lump_matches_native(self):
+        from pflare_tpu.native import spgemm_drop_native
+
+        A = _rand_csr(150, 150, 0.04, 3, diag=3.0)
+        B = _rand_csr(150, 150, 0.05, 4, diag=1.0)
+        for tol, lump in ((0.1, False), (0.3, True)):
+            Cd = spgemm_drop_dell(DELL.from_scipy(A, jnp.float64),
+                                  DELL.from_scipy(B, jnp.float64),
+                                  tol, True, lump).to_scipy()
+            Cn = spgemm_drop_native(A, B, tol, relative=1, lump=int(lump))
+            assert Cd.nnz == Cn.nnz
+            assert abs(Cd - Cn).max() < 1e-11
+
+    def test_extract(self):
+        A = _rand_csr(90, 90, 0.08, 5, diag=2.0)
+        d = DELL.from_scipy(A, jnp.float64)
+        mask = np.random.default_rng(1).random(90) < 0.4
+        idx = np.nonzero(mask)[0]
+        newidx = np.cumsum(mask) - 1
+        sub = extract_dell(d, jnp.asarray(idx), jnp.asarray(mask),
+                           jnp.asarray(newidx), len(idx), ensure_diag=True)
+        ref = sp.csr_matrix(A[idx][:, idx])
+        assert abs(sub.to_scipy() - ref).max() < 1e-14
+
+    def test_poly_matches_host(self):
+        from pflare_tpu.inverse.build import _fixed_sparsity_poly_host
+
+        A = _rand_csr(80, 80, 0.06, 6, diag=4.0)
+        coeffs = np.random.default_rng(2).standard_normal(7)
+        M1 = poly_dell(DELL.from_scipy(A, jnp.float64),
+                       jnp.asarray(coeffs)).to_scipy()
+        M2 = _fixed_sparsity_poly_host(A, coeffs, 1)
+        assert abs(M1 - M2).max() < 1e-10
+
+    def test_newton_matches_host(self):
+        from pflare_tpu.inverse.build import _newton_fixed_sparsity_host
+
+        A = _rand_csr(70, 70, 0.07, 7, diag=4.0)
+        rng = np.random.default_rng(3)
+        wr = rng.standard_normal(6) + 3
+        wi = np.zeros(6)
+        wi[2], wi[3] = 0.4, -0.4
+        M1 = newton_poly_dell(DELL.from_scipy(A, jnp.float64), wr, wi,
+                              1e-14).to_scipy()
+        M2 = _newton_fixed_sparsity_host(A, wr, wi, 1, 5, 1e-14)
+        assert abs(M1 - M2).max() < 1e-10
+
+    def test_transpose_pattern(self):
+        B = _rand_csr(60, 45, 0.08, 8)
+        T = np.asarray(transpose_pattern(DELL.from_scipy(B, jnp.float64)))
+        Tref = sp.csr_matrix(B.T).tocsr()
+        Tref.sort_indices()
+        live = T < PADCOL
+        assert np.array_equal(live.sum(axis=1), np.diff(Tref.indptr))
+        assert np.array_equal(T[live], Tref.indices)
+
+
+BENCH_OPTS = AIROptions(
+    a_lump=True, a_drop=1e-5, strong_threshold=0.99, max_levels=6,
+    coarsest_inverse_type=InverseType.NEWTON, coarsest_poly_order=10,
+    coarsest_matrix_free_polys=True,
+)
+
+
+class TestDeviceHierarchy:
+    def test_solve_quality_matches_host(self):
+        """The device-built hierarchy must converge like the host-built
+        one on the bench config (reference cap regime:
+        tests/Makefile:1117-1140)."""
+        A = adv_diff_2d(48)
+        b = jnp.asarray(
+            np.random.default_rng(1).standard_normal(A.shape[0]))
+
+        pc_h = PCAIR(BENCH_OPTS)
+        pc_h.setup(A)
+        res_h = pc_h.solve(b, rtol=1e-8, max_it=12)
+        assert res_h.converged
+
+        pc_d = PCAIR(BENCH_OPTS)
+        pc_d.setup_device(A, dtype=jnp.float64)
+        res_d = pc_d.solve(b, rtol=1e-8, max_it=12)
+        assert res_d.converged
+        # same iteration ballpark (hierarchies differ only through the
+        # device splitting's round count)
+        assert res_d.iterations <= res_h.iterations + 3
+
+    def test_assembled_arnoldi_levels(self):
+        A = adv_diff_2d(32)
+        b = jnp.asarray(
+            np.random.default_rng(2).standard_normal(A.shape[0]))
+        pc = PCAIR(AIROptions(max_levels=4))
+        pc.setup_device(A, dtype=jnp.float64)
+        res = pc.solve(b, rtol=1e-8, max_it=20)
+        assert res.converged
+
+    def test_unsupported_falls_back_to_host(self):
+        A = adv_diff_2d(16)
+        pc = PCAIR(AIROptions(one_point_classical_prolong=False))
+        pc.setup_device(A)
+        # host Hierarchy => has LevelData with host csr matrices
+        assert hasattr(pc.hierarchy.levels[0], "A")
+
+    def test_device_vs_host_coarsening_stats(self):
+        """Coarsening fraction and level count parity (statistical -- the
+        RNG stream is shared but round counts differ)."""
+        from pflare_tpu.air.device_setup import setup_hierarchy_device
+
+        A = adv_diff_2d(40)
+        h_dev = setup_hierarchy_device(A, BENCH_OPTS, dtype=jnp.float64)
+        pc_h = PCAIR(BENCH_OPTS)
+        pc_h.setup(A)
+        h_host = pc_h.hierarchy
+        assert abs(h_dev.n_levels - h_host.n_levels) <= 1
+        f_dev = h_dev.levels[0].n_f / h_dev.levels[0].n
+        f_host = len(h_host.levels[0].fine) / h_host.levels[0].n
+        assert abs(f_dev - f_host) < 0.1
