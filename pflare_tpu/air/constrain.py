@@ -13,7 +13,20 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
+from ..params import tolerances
+
 SMOOTH_ITS = 15
+
+
+def _pinv_abs_batched(G: np.ndarray, tol: float) -> np.ndarray:
+    """Batched pseudo-inverse with the reference's ABSOLUTE singular-value
+    cutoff (reference: src/PETSc_Helper.F90:1583 pseudo_inv +
+    PFLARE_TOL_SIGMA_DROP): sigma <= tol contributes nothing -- numpy's
+    relative rcond would instead invert uniformly-tiny Gram matrices and
+    blow the correction up on decayed nullspace candidates."""
+    U, S, Vt = np.linalg.svd(G)
+    Sinv = np.where(np.abs(S) > tol, 1.0 / np.where(S != 0, S, 1.0), 0.0)
+    return np.einsum("rij,rj,rkj->rik", Vt.transpose(0, 2, 1), Sinv, U)
 
 
 def _richardson_smooth(A: sp.csr_matrix, v: np.ndarray,
@@ -80,7 +93,8 @@ def constrain_grid_transfer(z_or_w: sp.csr_matrix, nulls_row, nulls_col,
         G = np.einsum("rmk,rml->rkl", Bj, Bj)   # [R, k, k]
         vals = data[idx]                        # [R, m]
         diff = np.einsum("rm,rmk->rk", vals, Bj) - B_row[rows]
-        corr = np.einsum("rkl,rl->rk", np.linalg.pinv(G), diff)
+        piv = _pinv_abs_batched(G, tolerances(data.dtype).sigma_drop)
+        corr = np.einsum("rkl,rl->rk", piv, diff)
         data[idx] = vals - np.einsum("rmk,rk->rm", Bj, corr)
     out = sp.csr_matrix((data, indices.copy(), indptr.copy()), shape=M.shape)
     if is_z:

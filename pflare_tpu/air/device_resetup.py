@@ -214,6 +214,43 @@ def _exec_poly(arrs: dict, order: int, nnz_s: int, a_flat, coeffs):
     return acc
 
 
+def _exec_newton_poly(arrs: dict, wr, wi, nnz_s: int, a_flat, tol_zero):
+    """Assembled Newton-basis inverse values on the plan's S pattern:
+    M = sum T_i/theta_i with every product restricted through the SAME
+    (X @ A)|_S step plan the monomial path uses -- the root schedule is
+    static (reference: src/Gmres_Poly_Newtonk.kokkos.cxx:15; real
+    arithmetic for conjugate pairs as inverse/build.py)."""
+    a_on_s = _gather_place(arrs["inject"], a_flat, a_flat.dtype)
+    T = arrs["diag_mask"].astype(a_flat.dtype)   # identity on S
+    M = jnp.zeros_like(T)
+    k = len(wr)
+    i = 0
+    while i <= k - 2:
+        if wi[i] == 0.0:
+            if abs(wr[i]) < tol_zero:
+                i += 1
+                continue
+            M = M + T / wr[i]
+            TA = _exec_product(arrs["step"], T, a_flat, nnz_s)
+            T = T - TA / wr[i]
+            i += 1
+        else:
+            s2 = wr[i] ** 2 + wi[i] ** 2
+            if s2 < tol_zero:
+                i += 2
+                continue
+            TA = _exec_product(arrs["step"], T, a_flat, nnz_s)
+            T2 = 2.0 * wr[i] * T - TA
+            M = M + T2 / s2
+            if i <= k - 3:
+                T = T - _exec_product(arrs["step"], T2, a_flat, nnz_s) / s2
+            i += 2
+    if k >= 1 and wi[k - 1] == 0.0 and abs(wr[k - 1]) > tol_zero:
+        M = M + T / wr[k - 1]
+    del a_on_s
+    return M
+
+
 # ~~~~~~~~~~~~~~~~~~~~~ inverse re-assembly ~~~~~~~~~~~~~~~~~~~~~
 
 
@@ -227,6 +264,9 @@ class _InvMeta:
     nnz_s: int = 0                  # assembled: nnz of the plan S pattern
     op_kind: str = ""               # device op layout kind
     op_aux: object = None
+    newton_wr: tuple = None         # assembled Newton: static root schedule
+    newton_wi: tuple = None
+    tol_zero: float = 0.0
 
 
 def _inverse_plan(inv: Inverse, A_ff: sp.csr_matrix, patterns: dict,
@@ -262,14 +302,22 @@ def _inverse_plan(inv: Inverse, A_ff: sp.csr_matrix, patterns: dict,
                 f"device re-setup needs the '{plan_key}' numeric plan; "
                 "run setup with reuse_sparsity=True, reuse_amount>=3 "
                 "(assembled power/arnoldi only)")
-        if inv.coefficients is None or inv.meta.get("type") in (
-                int(InverseType.NEWTON), int(InverseType.NEWTON_NO_EXTRA)):
+        if inv.coefficients is None:
             raise ValueError(
-                "assembled newton/sai inverses are not supported by device "
-                "re-setup (their assembly is not a monomial plan); use "
-                "power/arnoldi or matrix-free newton")
+                "assembled inverse without stored coefficients is not "
+                "supported by device re-setup (SAI/ISAI re-solve is a "
+                "host-path rebuild)")
         arrs["poly"] = _poly_plan_arrays(plan)
-        arrs["coeffs"] = jnp.asarray(np.asarray(inv.coefficients))
+        if inv.meta.get("type") in (int(InverseType.NEWTON),
+                                    int(InverseType.NEWTON_NO_EXTRA)):
+            c = np.asarray(inv.coefficients)
+            meta.newton_wr = tuple(float(v) for v in c[0])
+            meta.newton_wi = tuple(float(v) for v in c[1])
+            from ..params import tolerances as _tols
+            meta.tol_zero = float(_tols(jnp.float64).zero)
+            arrs["coeffs"] = jnp.asarray(c)
+        else:
+            arrs["coeffs"] = jnp.asarray(np.asarray(inv.coefficients))
         meta.order = plan.order
         meta.nnz_s = plan.pat_S.nnz
         # full-space layout: the rebuilt inverse lives exactly on the
@@ -313,8 +361,13 @@ def _exec_inverse(meta: _InvMeta, arrs: dict, aff_flat, ext_A_op, n: int,
         d = _gather_place(arrs["fine_g"], dinv, dtype)
         return Inverse("diagonal", diag=d, meta=meta.meta)
     if meta.kind == "assembled":
-        m_flat = _exec_poly(arrs["poly"], meta.order, meta.nnz_s,
-                            aff_flat, arrs["coeffs"])
+        if meta.newton_wr is not None:
+            m_flat = _exec_newton_poly(arrs["poly"], meta.newton_wr,
+                                       meta.newton_wi, meta.nnz_s,
+                                       aff_flat, meta.tol_zero)
+        else:
+            m_flat = _exec_poly(arrs["poly"], meta.order, meta.nnz_s,
+                                aff_flat, arrs["coeffs"])
         ext_vals = m_flat[arrs["ext_perm"]]
         op = _build_op(meta.op_kind, arrs["op"], meta.op_aux, ext_vals,
                        dtype)
@@ -469,6 +522,12 @@ class DeviceResetup:
             coeffs = _dropped_inverse_coeffs(lvl, opts)
             invh_meta = _InvMeta(kind="assembled", order=plan.order,
                                  nnz_s=plan.pat_S.nnz)
+            if opts.inverse_type in (InverseType.NEWTON,
+                                     InverseType.NEWTON_NO_EXTRA):
+                invh_meta.newton_wr = tuple(float(v) for v in coeffs[0])
+                invh_meta.newton_wi = tuple(float(v) for v in coeffs[1])
+                from ..params import tolerances as _tols
+                invh_meta.tol_zero = float(_tols(jnp.float64).zero)
             arrs["invh"] = {
                 "poly": _poly_plan_arrays(plan),
                 "coeffs": jnp.asarray(coeffs),
@@ -680,12 +739,20 @@ class DeviceResetup:
                                  "coefficients not supported")
             from ..sparse.spgemm import FixedSparsityPolyPlan
 
-            order = len(np.asarray(inv.coefficients)) - 1
+            c = np.asarray(inv.coefficients)
+            is_newton = inv.meta.get("type") in (
+                int(InverseType.NEWTON), int(InverseType.NEWTON_NO_EXTRA))
+            order = (c.shape[1] if is_newton else len(c)) - 1
             plan = FixedSparsityPolyPlan(
-                pat, min(order, max(Ac.shape[0] - 1, 0)),
+                pat, max(1, min(order, max(Ac.shape[0] - 1, 0))),
                 opts.coarsest_inverse_sparsity_order)
             arrs["poly"] = _poly_plan_arrays(plan)
-            arrs["coeffs"] = jnp.asarray(np.asarray(inv.coefficients))
+            arrs["coeffs"] = jnp.asarray(c)
+            if is_newton:
+                meta.newton_wr = tuple(float(v) for v in c[0])
+                meta.newton_wi = tuple(float(v) for v in c[1])
+                from ..params import tolerances as _tols
+                meta.tol_zero = float(_tols(jnp.float64).zero)
             meta.order = plan.order
             meta.nnz_s = plan.pat_S.nnz
             # rebuilt inverse lives exactly on the plan's S pattern
@@ -732,9 +799,15 @@ class DeviceResetup:
             # assembled inverse values for the Z product (f64 throughout
             # the setup math; cast at the op build)
             if meta.z_src == "same":
-                invh_flat = _exec_poly(
-                    arrs["inv"]["poly"], meta.inv_meta.order,
-                    meta.inv_meta.nnz_s, aff, arrs["inv"]["coeffs"])
+                im = meta.inv_meta
+                if im.newton_wr is not None:
+                    invh_flat = _exec_newton_poly(
+                        arrs["inv"]["poly"], im.newton_wr, im.newton_wi,
+                        im.nnz_s, aff, im.tol_zero)
+                else:
+                    invh_flat = _exec_poly(
+                        arrs["inv"]["poly"], im.order, im.nnz_s, aff,
+                        arrs["inv"]["coeffs"])
             elif meta.z_src == "diag-same":
                 dvals = _diag_gather(arrs["inv"]["diag_pos"], aff)
                 invh_flat = jnp.where(dvals != 0,
@@ -743,9 +816,15 @@ class DeviceResetup:
                 dvals = _diag_gather(arrs["invh_diag_pos"], aff)
                 invh_flat = jnp.where(dvals != 0, 1.0 / dvals, 0.0)
             else:  # sep
-                invh_flat = _exec_poly(
-                    arrs["invh"]["poly"], meta.invh_meta.order,
-                    meta.invh_meta.nnz_s, aff, arrs["invh"]["coeffs"])
+                im = meta.invh_meta
+                if im.newton_wr is not None:
+                    invh_flat = _exec_newton_poly(
+                        arrs["invh"]["poly"], im.newton_wr, im.newton_wi,
+                        im.nnz_s, aff, im.tol_zero)
+                else:
+                    invh_flat = _exec_poly(
+                        arrs["invh"]["poly"], im.order, im.nnz_s, aff,
+                        arrs["invh"]["coeffs"])
             # lay the inverse onto the Z plan's B pattern
             if "invh_rows" in arrs:
                 z_b = invh_flat[arrs["invh_rows"]]
@@ -817,8 +896,13 @@ class DeviceResetup:
                            diag=jnp.where(ok, 1.0 / dvals, 0.0).astype(dtype),
                            meta=meta.meta)
         if meta.kind == "assembled":
-            m_flat = _exec_poly(arrs["poly"], meta.order, meta.nnz_s,
-                                a_flat, arrs["coeffs"])
+            if meta.newton_wr is not None:
+                m_flat = _exec_newton_poly(arrs["poly"], meta.newton_wr,
+                                           meta.newton_wi, meta.nnz_s,
+                                           a_flat, meta.tol_zero)
+            else:
+                m_flat = _exec_poly(arrs["poly"], meta.order, meta.nnz_s,
+                                    a_flat, arrs["coeffs"])
             op = _build_op(meta.op_kind, arrs["op"], meta.op_aux,
                            m_flat[arrs["ext_perm"]], dtype)
             return Inverse("assembled", mat=op, meta=meta.meta,

@@ -69,7 +69,7 @@ def device_setup_supported(opts: AIROptions) -> bool:
         or opts.cf_splitting_type not in (CFSplittingType.PMISR_DDC,)
         or opts.auto_truncate_start_level > 0
         or opts.inverse_sparsity_order != 1
-        or opts.c_inverse_sparsity_order != 1
+        or opts.c_inverse_sparsity_order_eff != 1
         or opts.any_c_smooths
         or opts.inverse_type in (InverseType.SAI, InverseType.ISAI,
                                  InverseType.LU)

@@ -89,6 +89,19 @@ class LevelData:
         return d
 
 
+class _HostShim:
+    """nnz/shape placeholder for a freed host matrix -- the reference
+    destroys the level matrix and substitutes a matshell when only
+    F-smoothing needs it (reference: src/AIR_MG_Setup.F90:614-639).
+    Stats keep working; the memory is released."""
+
+    __slots__ = ("nnz", "shape")
+
+    def __init__(self, M):
+        self.nnz = int(M.nnz)
+        self.shape = tuple(M.shape)
+
+
 @dataclass
 class Hierarchy:
     levels: list            # list[LevelData]
@@ -114,7 +127,31 @@ class Hierarchy:
                 lvl.to_device(self.options, dtype=self.device_dtype)
                 for lvl in self.levels
             ]
+            if not self.options.reuse_sparsity:
+                self.compact_host()
         return self._device_levels
+
+    def compact_host(self):
+        """Release host CSR copies the live configuration can no longer
+        need (no sparsity reuse): every matrix except the finest operator
+        is replaced by an nnz/shape shim once its device form exists
+        (reference memory economy: src/AIR_MG_Setup.F90:614-639)."""
+        for i, lvl in enumerate(self.levels):
+            if lvl.device is None:
+                continue
+            for name in ("A_ff", "A_fc", "A_cf", "A_cc", "R", "P"):
+                M = getattr(lvl, name)
+                if M is not None and not isinstance(M, _HostShim):
+                    setattr(lvl, name, _HostShim(M))
+            if i > 0 and not isinstance(lvl.A, _HostShim):
+                lvl.A = _HostShim(lvl.A)
+            lvl.inv_Aff_host = None
+            if isinstance(lvl.patterns.get("coarse_A"), sp.csr_matrix):
+                lvl.patterns["coarse_A"] = _HostShim(
+                    lvl.patterns["coarse_A"])
+            for key in ("W_drop", "Z_drop", "RAP_drop"):
+                if isinstance(lvl.patterns.get(key), sp.csr_matrix):
+                    lvl.patterns[key] = _HostShim(lvl.patterns[key])
 
     @device_levels.setter
     def device_levels(self, value):
@@ -137,7 +174,7 @@ def _diag_inverse(A: sp.csr_matrix) -> Inverse:
 
 def _build_aff_inverse(A_ff, opts: AIROptions, inverse_type, poly_order,
                        sparsity_order, matrix_free, coefficients=None,
-                       patterns=None, plan_key=None):
+                       patterns=None, plan_key=None, qr_reduce=None):
     if _is_diagonal_only(A_ff):
         return _diag_inverse(A_ff)
     poly_plan = None
@@ -147,21 +184,24 @@ def _build_aff_inverse(A_ff, opts: AIROptions, inverse_type, poly_order,
         None, inverse_type, poly_order=poly_order, sparsity_order=sparsity_order,
         matrix_free=matrix_free, diag_scale=opts.diag_scale_polys,
         coefficients=coefficients, A_scipy=A_ff, seed=opts.seed,
-        poly_plan=poly_plan,
+        poly_plan=poly_plan, qr_reduce=qr_reduce,
     )
     # cache a numeric plan for assembled polynomial rebuilds on reuse
+    # (NEWTON assembled shares the plan's S pattern + (X@A)|_S step plan;
+    # its device rebuild runs the factored accumulation over that plan,
+    # device_resetup._exec_newton_poly)
     if (patterns is not None and plan_key is not None and poly_plan is None
         and opts.reuse_sparsity and opts.reuse_amount >= 3
             and inv.kind == "assembled" and inverse_type in (
-                InverseType.POWER, InverseType.ARNOLDI)):
-        # (NEWTON assembled uses the factored Newton-basis accumulation,
-        # not a monomial plan -- see _newton_fixed_sparsity_host)
+                InverseType.POWER, InverseType.ARNOLDI,
+                InverseType.NEWTON, InverseType.NEWTON_NO_EXTRA)):
         from ..sparse.pattern import SparsityPattern
         from ..sparse.spgemm import FixedSparsityPolyPlan
 
         pa = SparsityPattern(A_ff.indptr, A_ff.indices, A_ff.shape)
         patterns[plan_key] = FixedSparsityPolyPlan(
-            pa, min(poly_order, max(A_ff.shape[0] - 1, 0)), sparsity_order)
+            pa, max(1, min(poly_order, max(A_ff.shape[0] - 1, 0))),
+            sparsity_order)
     return inv
 
 
@@ -177,9 +217,16 @@ def _coarse_solver_quality(A: sp.csr_matrix, inv: Inverse, seed: int) -> float:
 
 def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
                     previous: Hierarchy | None = None,
-                    near_nullspace=None) -> Hierarchy:
+                    near_nullspace=None, mesh=None) -> Hierarchy:
     """Build (or numerically rebuild, when ``previous`` is given and the
-    pattern is unchanged) the full AIR hierarchy."""
+    pattern is unchanged) the full AIR hierarchy.
+
+    ``mesh``: distributed-setup slice -- the PMISR Luby rounds run on
+    device over the mesh (reference: the PetscSF halo exchange inside
+    PMISR, src/PMISR_Module.F90:476-643) and power-basis coefficients use
+    the distributed TSQR reduction (reference: src/TSQR.F90:65,
+    src/Gmres_Poly.F90:552-776).  The produced hierarchy is IDENTICAL to
+    the serial one (same measures, deterministic combines)."""
     A = sp.csr_matrix(A)
     A.sort_indices()
     tol = tolerances(A.dtype)
@@ -197,6 +244,14 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
             left_nulls = [v.copy() for v in near_nullspace]
         if opts.constrain_w:
             right_nulls = [v.copy() for v in near_nullspace]
+
+    qr_reduce = None
+    if mesh is not None and (opts.inverse_type == InverseType.POWER
+                             or opts.coarsest_inverse_type
+                             == InverseType.POWER):
+        from ..parallel.tsqr import make_qr_reduce
+
+        qr_reduce = make_qr_reduce(mesh)
 
     level_idx = 0
     while level_idx < opts.max_levels - 1:
@@ -234,6 +289,7 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
                     cr_poly_order=opts.poly_order,
                     cr_sparsity_order=opts.inverse_sparsity_order,
                     cr_diag_scale=opts.diag_scale_polys,
+                    mesh=mesh,
                 )
 
         # coarsen-or-stop (reference: src/AIR_MG_Setup.F90:316-363)
@@ -247,7 +303,7 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
         if prev_lvl is not None and opts.reuse_amount < 2:
             prev_lvl = None
         lvl = _build_level(A, fine, coarse, opts, tol, prev_lvl,
-                           left_nulls, right_nulls)
+                           left_nulls, right_nulls, qr_reduce=qr_reduce)
         levels.append(lvl)
         # restrict near-nullspace vectors to the coarse grid
         if left_nulls is not None:
@@ -273,6 +329,7 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
                     matrix_free=opts.coarsest_matrix_free_polys,
                     diag_scale=opts.coarsest_diag_scale_polys,
                     A_scipy=A, seed=opts.seed, coefficients=prev_coeffs,
+                    qr_reduce=qr_reduce,
                 )
 
     return Hierarchy(levels, A, coarse_inv, opts,
@@ -280,7 +337,8 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
 
 
 def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
-                 left_nulls=None, right_nulls=None) -> LevelData:
+                 left_nulls=None, right_nulls=None,
+                 qr_reduce=None) -> LevelData:
     """Build one level's operators (reference:
     src/AIR_Operators_Setup.F90:36-1082)."""
     n = A.shape[0]
@@ -316,7 +374,7 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
             smooth_mat, opts, opts.inverse_type, opts.poly_order,
             opts.inverse_sparsity_order, opts.matrix_free_polys,
             coefficients=prev_coeffs, patterns=patterns,
-            plan_key="inv_aff_poly_plan",
+            plan_key="inv_aff_poly_plan", qr_reduce=qr_reduce,
         )
 
         # AIRG needs an *assembled* inverse of the dropped A_ff for Z
@@ -341,8 +399,8 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
     if need_acc:
         with timer("air_inverse"):
             inv_Acc = _build_aff_inverse(
-                A_cc, opts, opts.c_inverse_type, opts.c_poly_order,
-                opts.c_inverse_sparsity_order, opts.matrix_free_polys,
+                A_cc, opts, opts.c_inverse_type_eff, opts.c_poly_order_eff,
+                opts.c_inverse_sparsity_order_eff, opts.matrix_free_polys,
                 patterns=patterns, plan_key="inv_acc_poly_plan",
             )
 

@@ -76,9 +76,14 @@ class PCAIR:
                              dtype=self.dtype or _jnp.float64)
 
     # ~~~~~~~~~~ setup ~~~~~~~~~~
-    def setup(self, A, structure: str = "different", near_nullspace=None):
+    def setup(self, A, structure: str = "different", near_nullspace=None,
+              mesh=None):
         """Build the hierarchy.  structure='same' reuses the CF splitting
-        and every stored sparsity pattern when reuse_sparsity is on."""
+        and every stored sparsity pattern when reuse_sparsity is on.
+
+        ``mesh``: distributed-setup slice -- PMISR runs on device over the
+        mesh and power-basis coefficients reduce through the distributed
+        TSQR (see air/hierarchy.py::setup_hierarchy)."""
         if self._frozen and self.hierarchy is not None:
             return self
         A = sp.csr_matrix(A)
@@ -101,7 +106,7 @@ class PCAIR:
             with ctx:
                 self.hierarchy = setup_hierarchy(
                     A, self.options, previous=previous,
-                    near_nullspace=near_nullspace,
+                    near_nullspace=near_nullspace, mesh=mesh,
                 )
             self.hierarchy.device_dtype = self.dtype
             if self.dtype is not None:
@@ -159,7 +164,7 @@ class PCAIR:
         elif opts.full_smoothing_up_and_down:
             fn = lambda levels, ci, r: vcycle_full(levels, ci, r)
         else:
-            smooth_order = opts.smooth_order
+            smooth_order = opts.smooth_arg
 
             def fn(levels, ci, r):
                 return vcycle_kaskade(levels, ci, r, smooth_order)
@@ -196,34 +201,95 @@ class PCAIR:
         raise ValueError(ksp)
 
     def solve_device(self, b, max_it: int = 10, ksp: str = "richardson",
-                     x0=None):
+                     x0=None, mesh=None):
         """Fully-jitted device solve: one XLA program, no host round trips
         (the TPU production path; see solvers/jitted.py).
+
+        ``mesh``: a 1-D jax Mesh -- the hierarchy is sharded over its row
+        axis with the processor-agglomeration schedule (coarse levels keep
+        fewer active shards; see parallel/mesh.py::shard_hierarchy), and
+        the Krylov matvec uses the explicit ppermute halo exchange when
+        the partition is banded (parallel/halo.py::HaloELL) -- the
+        reference's PetscSF MatMult (reference: src/PMISR_Module.F90:
+        174-180, src/Repartition.F90).
 
         Returns (x, residual_norms) as device arrays.  Every operator is
         passed as a pytree ARGUMENT -- closure-captured arrays become
         re-streamed program constants on some backends."""
         from ..solvers.jitted import gmres_right_fixed, richardson_fixed
-        from ..sparse import ELL
 
         if self.hierarchy is None:
             raise RuntimeError("PCAIR not set up")
-        E = self._top_operator()
         b = jnp.asarray(b, dtype=self.dtype) if self.dtype else jnp.asarray(b)
-        smooth_order = self.options.smooth_order
+        n = b.shape[0]
+        if mesh is not None:
+            E, levels, coarse_inv = self._distributed_state(mesh)
+            from ..parallel.mesh import shard_vec
+
+            b = shard_vec(b, mesh)
+        else:
+            E = self._top_operator()
+            levels = self.hierarchy.device_levels
+            coarse_inv = self.hierarchy.coarse_inv
+        smooth_order = self.options.smooth_arg
         solver = richardson_fixed if ksp == "richardson" else gmres_right_fixed
         if not self.hierarchy.levels:
-            precond_of = lambda levels, ci: ci.apply
+            precond_of = lambda lv, ci: ci.apply
         else:
-            def precond_of(levels, ci):
-                return lambda r: vcycle_kaskade(levels, ci, r, smooth_order)
+            def precond_of(lv, ci):
+                return lambda r: vcycle_kaskade(lv, ci, r, smooth_order)
 
         @jax.jit
         def run(E, levels, ci, b):
             return solver(E.matvec, precond_of(levels, ci), b, max_it, x0=x0)
 
-        return run(E, self.hierarchy.device_levels,
-                   self.hierarchy.coarse_inv, b)
+        x, norms = run(E, levels, coarse_inv, b)
+        if x.shape[0] > n:
+            x = x[:n]
+        return x, norms
+
+    def _distributed_state(self, mesh):
+        """(top operator, sharded levels, coarse inverse) for a mesh --
+        built once per mesh and cached.  The top operator takes the banded
+        ppermute halo-exchange path when the row partition allows it."""
+        key = id(mesh)
+        cached = getattr(self, "_dist_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        from ..parallel.halo import HaloELL
+        from ..parallel.mesh import shard_ell, shard_hierarchy
+        from ..sparse import ELL
+
+        hier = self.hierarchy
+        A_host = None
+        if hier.levels and hasattr(hier.levels[0], "A"):
+            A_host = hier.levels[0].A
+        elif not hier.levels and hasattr(hier, "coarse_matrix"):
+            A_host = hier.coarse_matrix
+        if A_host is not None:
+            try:
+                E = HaloELL.from_scipy(A_host, mesh, dtype=self.dtype)
+            except ValueError:
+                E = shard_ell(ELL.from_scipy(A_host, dtype=self.dtype), mesh)
+        else:
+            # device-built hierarchy: shard the resident DELL operator
+            from ..parallel.mesh import row_sharding
+
+            top = hier.top_A
+            n_dev = mesh.devices.size
+            pad = (-top.data.shape[0]) % n_dev
+            data = jnp.pad(top.data, ((0, pad), (0, 0)))
+            cols = jnp.pad(top.cols, ((0, pad), (0, 0)),
+                           constant_values=2**30)
+            from ..sparse.dell import DELL
+
+            sh = row_sharding(mesh)
+            E = DELL(jax.device_put(data, sh), jax.device_put(cols, sh),
+                     top.n_cols)
+        levels, coarse_inv = shard_hierarchy(hier, mesh,
+                                             options=self.options)
+        self._dist_cache = (key, (E, levels, coarse_inv))
+        return E, levels, coarse_inv
 
     # ~~~~~~~~~~ introspection ~~~~~~~~~~
     @property

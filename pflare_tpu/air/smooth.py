@@ -68,6 +68,16 @@ def c_smooth_full(level, b, x, its: int):
     return x
 
 
+def _order_for_level(smooth_order, i: int):
+    """Per-level smoothing order: ``smooth_order`` may be one order tuple
+    applied everywhere, or a tuple of per-level tuples whose last entry
+    repeats on deeper levels (reference: smooth_order_levels,
+    src/AIR_Data_Type.F90:333)."""
+    if smooth_order and isinstance(smooth_order[0], tuple):
+        return smooth_order[min(i, len(smooth_order) - 1)]
+    return smooth_order
+
+
 def fc_point_richardson(level, b, x, smooth_order):
     """One smoother application: consecutive F/C groups per smooth_order
     (positive = F smooths, negative = C smooths; reference:
@@ -92,27 +102,49 @@ def full_smooth(level, b, x, its: int = 1):
     return x
 
 
+def _pad_to(v, n: int):
+    """Zero-pad a vector up to static length n (no-op when equal) -- levels
+    sharded over an active-shard schedule carry padded row spaces
+    (parallel/mesh.py), and pad sizes are static shapes under jit."""
+    if v.shape[0] < n:
+        return jnp.pad(v, (0, n - v.shape[0]))
+    return v
+
+
 def vcycle_kaskade(levels, coarse_inv, r, smooth_order):
     """AIR preconditioner application M^-1 r (PETSc PC_MG_KASKADE semantics:
     no down smooths; RHS restricted down; smoothing only on the way up with
-    nonzero initial guess).  ``levels`` is a list of level dicts (pytree)."""
+    nonzero initial guess).  ``levels`` is a list of level dicts (pytree).
+
+    Level row spaces may be PADDED (multi-chip active-shard placement):
+    each level's operators declare their padded size through their shapes,
+    and inter-level vectors are padded/sliced to match -- all static."""
     bs = [r]
     for lev in levels:
-        t = lev["R"].matvec(bs[-1])
+        b = bs[-1]
         if "mask_f" in lev:
+            b = _pad_to(b, lev["mask_f"].shape[0])
+            bs[-1] = b
+            t = lev["R"].matvec(b)
             # R_ext wrote the restricted values at coarse positions
             t = jnp.take(t, lev["coarse"])
+        else:
+            t = lev["R"].matvec(b)
         bs.append(t)
     x = coarse_inv.apply(bs[-1])
     for i in range(len(levels) - 1, -1, -1):
         lev = levels[i]
         if "mask_f" in lev:
+            nc = lev["coarse"].shape[0]
             x_full = jnp.zeros(lev["mask_f"].shape[0],
-                               dtype=x.dtype).at[lev["coarse"]].set(x)
+                               dtype=x.dtype).at[lev["coarse"]].set(x[:nc])
             x = lev["P"].matvec(x_full)
         else:
             x = lev["P"].matvec(x)
-        x = fc_point_richardson(lev, bs[i], x, smooth_order)
+        x = fc_point_richardson(lev, bs[i], x,
+                                _order_for_level(smooth_order, i))
+    if x.shape[0] > r.shape[0]:
+        x = x[: r.shape[0]]
     return x
 
 

@@ -20,9 +20,15 @@ from .cr import cr_pass, CR_MAX_ITS, CR_POLY_ORDER
 
 def first_pass_splitting(A, symmetric: bool, strong_threshold: float,
                          max_luby_steps: int, cf_splitting_type,
-                         seed: int = 5) -> np.ndarray:
+                         seed: int = 5, mesh=None) -> np.ndarray:
     """Strength matrix + first-pass splitting (reference:
-    src/CF_Splitting.F90:88-230)."""
+    src/CF_Splitting.F90:88-230).
+
+    ``mesh``: run the Luby rounds ON DEVICE over the mesh's row axis --
+    the distributed splitting path (reference: the PetscSF halo exchange
+    inside PMISR, src/PMISR_Module.F90:476-643; here GSPMD inserts the
+    neighbour collectives for the padded-graph gathers).  The measure is
+    host-seeded identically to the serial path, so the markers match."""
     t = CFSplittingType(cf_splitting_type)
     if t == CFSplittingType.PMIS_DIST2:
         S = strength_matrix(A, strong_threshold, symmetrize=True, square=True)
@@ -35,9 +41,15 @@ def first_pass_splitting(A, symmetric: bool, strong_threshold: float,
     # every strength variant above is structurally symmetric (symmetrized
     # S, symmetric A, or S'S + S), so the Luby pass skips re-symmetrizing
     if t in (CFSplittingType.PMISR_DDC, CFSplittingType.DIAG_DOM):
+        if mesh is not None:
+            return _pmisr_sharded(S, max_luby_steps, pmis=False, seed=seed,
+                                  mesh=mesh)
         return pmisr(S, max_luby_steps, pmis=False, seed=seed,
                      assume_symmetric=True)
     if t in (CFSplittingType.PMIS, CFSplittingType.PMIS_DIST2):
+        if mesh is not None:
+            return _pmisr_sharded(S, max_luby_steps, pmis=True, seed=seed,
+                                  mesh=mesh)
         return pmisr(S, max_luby_steps, pmis=True, seed=seed,
                      assume_symmetric=True)
     if t == CFSplittingType.AGG:
@@ -52,6 +64,40 @@ def first_pass_splitting(A, symmetric: bool, strong_threshold: float,
     raise ValueError(f"unknown CF splitting {t}")
 
 
+def _pmisr_sharded(S, max_luby_steps, pmis, seed, mesh):
+    """Device PMISR over the mesh: padded-graph arrays row-sharded, the
+    jitted Luby rounds compiled SPMD (cf/device.py::pmisr_device)."""
+    import jax
+    import jax.numpy as jnp
+    from ..parallel.mesh import row_sharding, replicated
+    from .device import graph_to_device, pmisr_device
+
+    S = sp.csr_matrix(S)
+    n = S.shape[0]
+    cols, mask = graph_to_device(S)
+    rng = np.random.default_rng(seed)
+    measure = rng.random(n) + np.diff(S.indptr)
+    if pmis:
+        measure = -measure
+    n_dev = mesh.devices.size
+    rounds = max_luby_steps if max_luby_steps > 0 else 25
+    if n % n_dev == 0:
+        rs = row_sharding(mesh)
+        cols = jax.device_put(cols, rs)
+        mask = jax.device_put(mask, rs)
+        cf0 = jax.device_put(jnp.zeros(n, dtype=jnp.int32), rs)
+        meas = jax.device_put(jnp.asarray(measure), replicated(mesh))
+    else:
+        cf0 = jnp.zeros(n, dtype=jnp.int32)
+        meas = jnp.asarray(measure)
+    cf = pmisr_device(cols, mask, meas, cf0, max_luby_steps=rounds,
+                      pmis=pmis)
+    cf = np.asarray(cf, dtype=np.int64)
+    if pmis:
+        cf = -cf
+    return cf
+
+
 def compute_cf_splitting(A, symmetric: bool = False,
                          strong_threshold: float = 0.5,
                          max_luby_steps: int = -1,
@@ -61,7 +107,8 @@ def compute_cf_splitting(A, symmetric: bool = False,
                          cr_inverse_type=InverseType.ARNOLDI,
                          cr_poly_order: int = CR_POLY_ORDER,
                          cr_sparsity_order: int = 1,
-                         cr_diag_scale: bool = False):
+                         cr_diag_scale: bool = False,
+                         mesh=None):
     """Compute the CF splitting; returns (is_fine, is_coarse) index arrays
     (reference: src/CF_Splitting.F90:235-460)."""
     A = sp.csr_matrix(A)
@@ -80,7 +127,7 @@ def compute_cf_splitting(A, symmetric: bool = False,
                 break
     else:
         cf = first_pass_splitting(A, symmetric, strong_threshold,
-                                  max_luby_steps, t, seed=seed)
+                                  max_luby_steps, t, seed=seed, mesh=mesh)
 
     if strong_threshold != 0.0 and t in (CFSplittingType.PMISR_DDC,
                                          CFSplittingType.DIAG_DOM):

@@ -69,17 +69,127 @@ def _pad_indices(M: sp.csr_matrix):
 
 
 def sai_z(A_ff, A_cf, sparsity_cf, incomplete: bool,
-          batched: bool = True) -> sp.csr_matrix:
-    """Compute Z ~= -A_cf @ inv(A_ff) with the sparsity of ``sparsity_cf``."""
+          batched: bool = True, device: bool | None = None) -> sp.csr_matrix:
+    """Compute Z ~= -A_cf @ inv(A_ff) with the sparsity of ``sparsity_cf``.
+
+    ``device=True`` executes the batched dense QR solves under jit on the
+    accelerator (the Kokkos-sibling parity item, reference:
+    src/SAI_Zk.kokkos.cxx:13: per-row team solves become one batched MXU
+    QR).  Default: host numpy (override with PFLARE_SAI_DEVICE=1)."""
+    import os
+
     A_ff = sp.csr_matrix(A_ff)
     A_ff.sort_indices()
     A_cf = sp.csr_matrix(A_cf)
     A_cf.sort_indices()
     S = sp.csr_matrix(sparsity_cf)
     S.sort_indices()
+    if device is None:
+        device = os.environ.get("PFLARE_SAI_DEVICE") == "1"
+    if device and S.nnz:
+        return _sai_z_device(A_ff, A_cf, S, incomplete)
     if batched and S.nnz:
         return _sai_z_batched(A_ff, A_cf, S, incomplete)
     return _sai_z_loop(A_ff, A_cf, S, incomplete)
+
+
+def _sai_z_device(A_ff, A_cf, S, incomplete: bool) -> sp.csr_matrix:
+    """Device-executed batched SAI solves: block gather + batched QR +
+    triangular solve, one jitted program per chunk-shape bucket.  The
+    gather tables are host-symbolic (like every pattern); only the DENSE
+    LINEAR ALGEBRA runs on device -- the MXU-shaped part."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    n_rows = S.shape[0]
+    J_idx, J_mask, kJ = _pad_indices(S)
+    kmax = J_idx.shape[1]
+    if incomplete:
+        I_idx, I_mask, kI = J_idx, J_mask, kJ
+    else:
+        Sh = sp.csr_matrix(
+            (np.ones(S.nnz), S.indices, S.indptr), shape=S.shape
+        ) @ sp.csr_matrix(
+            (np.ones(A_ff.nnz), A_ff.indices, A_ff.indptr), shape=A_ff.shape
+        )
+        Sh.sort_indices()
+        I_idx, I_mask, kI = _pad_indices(Sh)
+
+    # entry lookup tables, host-built once: position of (row, col) in
+    # A_ff/A_cf (-1 when absent)
+    def lookup_pos(A, rows, cols):
+        keys = _rows_of(A) * np.int64(A.shape[1]) + A.indices
+        q = rows.astype(np.int64) * np.int64(A.shape[1]) + cols.astype(
+            np.int64)
+        pos = np.searchsorted(keys, q.ravel())
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        ok = (len(keys) > 0) & (keys[pos_c] == q.ravel())
+        return np.where(ok, pos_c, -1).reshape(q.shape)
+
+    @partial(jax.jit, static_argnames=("kc",))
+    def solve_chunk(aff_vals, acf_vals, Mpos, Rpos, Jm, kc):
+        # M[b, ic, kc]: values gathered with -1 -> 0
+        M = jnp.where(Mpos >= 0, aff_vals[jnp.maximum(Mpos, 0)], 0.0)
+        aug = (jnp.eye(kc)[None, :, :]
+               * (~Jm)[:, None, :].astype(M.dtype))
+        M_ext = jnp.concatenate([M, aug], axis=1)
+        rhs = -jnp.where(Rpos >= 0, acf_vals[jnp.maximum(Rpos, 0)], 0.0)
+        rhs_ext = jnp.concatenate(
+            [rhs, jnp.zeros((rhs.shape[0], kc), dtype=rhs.dtype)], axis=1)
+        Q, R = jnp.linalg.qr(M_ext)
+        qtb = jnp.einsum("bij,bi->bj", Q, rhs_ext)
+        z = jax.scipy.linalg.solve_triangular(R, qtb[..., None],
+                                              lower=False)[..., 0]
+        rdiag = jnp.abs(jnp.diagonal(R, axis1=1, axis2=2))
+        good = (rdiag.min(axis=1)
+                > 1e-12 * jnp.maximum(rdiag.max(axis=1), 1e-300))
+        good = good & jnp.isfinite(z).all(axis=1)
+        return jnp.where(good[:, None], z, 0.0), good
+
+    out_data = np.zeros((n_rows, kmax))
+    bad_rows: list[int] = []
+    order = np.argsort(-kI, kind="stable")
+    order = order[kJ[order] > 0]
+    rows_per_chunk = max(
+        1, _CHUNK_SCALARS // max(1, kmax * (I_idx.shape[1] + kmax)))
+    aff_vals = jnp.asarray(A_ff.data)
+    acf_vals = jnp.asarray(A_cf.data)
+    for lo in range(0, len(order), rows_per_chunk):
+        sel = order[lo : lo + rows_per_chunk]
+        if len(sel) == 0:
+            continue
+        kc = int(kJ[sel].max())
+        ic = int(kI[sel].max())
+        Jc, Jm = J_idx[sel][:, :kc], J_mask[sel][:, :kc]
+        Ic, Im = I_idx[sel][:, :ic], I_mask[sel][:, :ic]
+        Mpos = lookup_pos(A_ff, Jc[:, None, :], Ic[:, :, None])
+        Mpos = np.where(Im[:, :, None] & Jm[:, None, :], Mpos, -1)
+        Rpos = lookup_pos(A_cf, np.broadcast_to(sel[:, None], Ic.shape), Ic)
+        Rpos = np.where(Im, Rpos, -1)
+        z, good = solve_chunk(aff_vals, acf_vals, jnp.asarray(Mpos),
+                              jnp.asarray(Rpos), jnp.asarray(Jm), kc)
+        z = np.asarray(z)
+        good = np.asarray(good)
+        out_data[sel, :kc] = z
+        bad_rows.extend(int(r) for r in sel[~good])
+
+    if bad_rows:
+        bad = np.asarray(bad_rows)
+        Zf = _sai_z_loop(A_ff, sp.csr_matrix(A_cf[bad]), S[bad], incomplete)
+        Zf.sort_indices()
+        for k, j in enumerate(bad):
+            vals = Zf.data[Zf.indptr[k]:Zf.indptr[k + 1]]
+            out_data[j, : len(vals)] = vals
+
+    rows_coo = np.repeat(np.arange(n_rows), kJ)
+    slot = np.arange(S.nnz, dtype=np.int64) - np.repeat(S.indptr[:-1], kJ)
+    Z = sp.csr_matrix(
+        (out_data[rows_coo, slot], S.indices.copy(), S.indptr.copy()),
+        shape=S.shape,
+    )
+    Z.sort_indices()
+    return Z
 
 
 def _sai_z_batched(A_ff, A_cf, S, incomplete: bool) -> sp.csr_matrix:

@@ -46,11 +46,19 @@ class AIROptions:
     auto_truncate_start_level: int = -1
     auto_truncate_tol: float = 0.1
 
-    # shard agglomeration (the processor-agglomeration analogue)
+    # shard agglomeration (the processor-agglomeration analogue; consumed
+    # by parallel/mesh.py::shard_hierarchy: levels whose rows/shard drop
+    # below process_eq_limit keep fewer active shards, reduced by
+    # processor_agglom_factor -- reference: src/AIR_MG_Setup.F90:645-907)
     processor_agglom: bool = True
     processor_agglom_ratio: float = 2.0
     processor_agglom_factor: int = 2
     process_eq_limit: int = 50
+    # subcomm moves the coefficient reductions onto the active shards only
+    # (reference: src/Repartition.F90:141-163).  On a TPU mesh that regime
+    # is subsumed by shard agglomeration: one-shard levels are replicated,
+    # so their reductions are local already.  Accepted for option parity;
+    # setting it emits a note rather than silently ignoring it.
     subcomm: bool = False
 
     strong_threshold: float = 0.5
@@ -60,6 +68,10 @@ class AIROptions:
     max_luby_steps: int = -1
 
     smooth_order: tuple = (2,)  # "ff": two F smooths
+    # per-level smoothing orders (reference: smooth_order_levels,
+    # src/AIR_Data_Type.F90:333): entry i applies on level i, the last
+    # entry repeats for deeper levels; empty = smooth_order everywhere
+    smooth_order_levels: tuple = ()
     diag_scale_polys: bool = False
     matrix_free_polys: bool = False
     one_point_classical_prolong: bool = True
@@ -79,9 +91,11 @@ class AIROptions:
     poly_order: int = 6
     inverse_sparsity_order: int = 1
 
-    c_inverse_type: InverseType = InverseType.ARNOLDI
-    c_poly_order: int = 6
-    c_inverse_sparsity_order: int = 1
+    # C-point smoother settings DEFAULT TO the F smoother's (reference:
+    # src/AIR_Data_Type.F90:192-200); None means "follow the F smoother"
+    c_inverse_type: InverseType | None = None
+    c_poly_order: int | None = None
+    c_inverse_sparsity_order: int | None = None
 
     coarsest_inverse_type: InverseType = InverseType.ARNOLDI
     coarsest_poly_order: int = 6
@@ -103,7 +117,30 @@ class AIROptions:
 
     @property
     def any_c_smooths(self) -> bool:
-        return any(s < 0 for s in self.smooth_order)
+        orders = self.smooth_order_levels or (self.smooth_order,)
+        return any(s < 0 for so in orders for s in so)
+
+    @property
+    def c_inverse_type_eff(self):
+        return (self.inverse_type if self.c_inverse_type is None
+                else self.c_inverse_type)
+
+    @property
+    def c_poly_order_eff(self) -> int:
+        return (self.poly_order if self.c_poly_order is None
+                else self.c_poly_order)
+
+    @property
+    def c_inverse_sparsity_order_eff(self) -> int:
+        return (self.inverse_sparsity_order
+                if self.c_inverse_sparsity_order is None
+                else self.c_inverse_sparsity_order)
+
+    @property
+    def smooth_arg(self):
+        """What the cycle consumes: per-level orders when configured,
+        else the global smooth_order tuple."""
+        return self.smooth_order_levels or self.smooth_order
 
     def with_smooth_type(self, s: str) -> "AIROptions":
         return replace(self, smooth_order=parse_smooth_order(s))
@@ -111,7 +148,22 @@ class AIROptions:
     def replace(self, **kw) -> "AIROptions":
         if "smooth_order" in kw and isinstance(kw["smooth_order"], str):
             kw["smooth_order"] = parse_smooth_order(kw["smooth_order"])
+        if "smooth_order_levels" in kw:
+            kw["smooth_order_levels"] = tuple(
+                parse_smooth_order(so) if isinstance(so, str) else tuple(so)
+                for so in kw["smooth_order_levels"])
         return replace(self, **kw)
+
+    def __post_init__(self):
+        if self.subcomm or self.coarsest_subcomm:
+            import warnings
+
+            warnings.warn(
+                "subcomm/coarsest_subcomm are subsumed by shard "
+                "agglomeration on a device mesh (replicated small levels "
+                "already reduce locally); the flags are accepted for "
+                "option parity but change nothing",
+                stacklevel=2)
 
 
 @dataclass(frozen=True)

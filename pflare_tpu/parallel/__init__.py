@@ -1,5 +1,5 @@
 from .tsqr import tsqr_r, make_qr_reduce
-from .halo import HaloSpMV
+from .halo import HaloELL, HaloSpMV
 from .repartition import (
     local_nonlocal_nnz_ratio,
     should_agglomerate,
@@ -20,6 +20,7 @@ from .mesh import (
 __all__ = [
     "tsqr_r",
     "HaloSpMV",
+    "HaloELL",
     "make_qr_reduce",
     "local_nonlocal_nnz_ratio",
     "should_agglomerate",

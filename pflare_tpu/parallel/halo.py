@@ -27,6 +27,94 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .mesh import ROW_AXIS, make_mesh, row_sharding
 
 
+@jax.tree_util.register_pytree_node_class
+class HaloELL:
+    """jit-composable banded halo-exchange SpMV (pytree).
+
+    The production form of HaloSpMV: data/lcols are leaves (shardable,
+    passed as jit arguments), the mesh/widths are static aux, and
+    ``matvec`` opens a ``shard_map`` region at trace time -- so it composes
+    inside the jitted Krylov loop (PCAIR.solve_device) exactly where the
+    reference calls MatMult with its PetscSF halo exchange."""
+
+    def __init__(self, data, lcols, mesh, n: int, w: int):
+        self.data = data
+        self.lcols = lcols
+        self.mesh = mesh
+        self.n = int(n)
+        self.w = int(w)
+
+    def tree_flatten(self):
+        return (self.data, self.lcols), (self.mesh, self.n, self.w)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        data, lcols = leaves
+        mesh, n, w = aux
+        return cls(data, lcols, mesh, n, w)
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @staticmethod
+    def from_scipy(A, mesh, dtype=None) -> "HaloELL":
+        """Build from a host CSR; raises ValueError when the partition is
+        not banded (caller falls back to the GSPMD ELL path)."""
+        A = sp.csr_matrix(A)
+        A.sort_indices()
+        S = mesh.devices.size
+        n = A.shape[0]
+        w = -(-n // S)
+        n_pad = S * w
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+        shard_of_row = rows // w
+        shard_of_col = A.indices // w
+        if np.any(np.abs(shard_of_row - shard_of_col) > 1):
+            raise ValueError("matrix is not banded for this partition")
+        K = max(1, int(np.diff(A.indptr).max()))
+        data = np.zeros((n_pad, K), dtype=np.dtype(dtype) if dtype else
+                        A.data.dtype)
+        lcols = np.zeros((n_pad, K), dtype=np.int32)
+        counts = np.diff(A.indptr)
+        slot = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+        ext_base = (shard_of_row * w) - w
+        lcols[rows, slot] = (A.indices - ext_base).astype(np.int32)
+        data[rows, slot] = A.data
+        sh = row_sharding(mesh)
+        return HaloELL(jax.device_put(jnp.asarray(data), sh),
+                       jax.device_put(jnp.asarray(lcols), sh),
+                       mesh, n, w)
+
+    def matvec(self, x):
+        """y = A @ x on padded [S*w] vectors (trace-friendly: call inside
+        jit with x sharded P(rows))."""
+        mesh = self.mesh
+        S = mesh.devices.size
+        fwd = [(i, (i + 1) % S) for i in range(S)]
+        bwd = [(i, (i - 1) % S) for i in range(S)]
+
+        def body(data_s, lcols_s, x_s):
+            from_left = jax.lax.ppermute(x_s, ROW_AXIS, fwd)
+            from_right = jax.lax.ppermute(x_s, ROW_AXIS, bwd)
+            ext = jnp.concatenate([from_left, x_s, from_right])
+            return jnp.sum(data_s * ext[lcols_s], axis=1)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None), P(ROW_AXIS)),
+            out_specs=P(ROW_AXIS),
+            check_vma=False,
+        )(self.data, self.lcols, x)
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+
 class HaloSpMV:
     """Banded-partition SpMV with explicit neighbour exchange.
 

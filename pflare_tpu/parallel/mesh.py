@@ -114,27 +114,131 @@ def _shard_op(op, mesh: Mesh):
     return replicate(op, mesh)
 
 
-def shard_hierarchy(hierarchy, mesh: Mesh, min_rows_per_device: int = 1):
-    """Shard each level's row-dimension operators over the mesh; replicate
-    levels too small to benefit (shard agglomeration)."""
+def _pad_ell_rows_to(op: ELL, n_pad: int) -> ELL:
+    if op.shape[0] == n_pad:
+        return op
+    p = n_pad - op.shape[0]
+    pat = op.pattern
+    indptr = np.concatenate([pat.indptr, np.full(p, pat.indptr[-1])])
+    new_pat = SparsityPattern(indptr, pat.indices, (n_pad, pat.shape[1]))
+    # keep the original K (the padded pattern recomputes K identically)
+    data = jnp.pad(op.data, ((0, p), (0, 0)))
+    cols = jnp.pad(op.cols, ((0, p), (0, 0)))
+    return ELL(new_pat, data, cols)
+
+
+def _pad_op_rows_to(op, n_pad: int):
     from ..sparse.dia import DIA
 
+    if isinstance(op, ELL):
+        return _pad_ell_rows_to(op, n_pad)
+    if isinstance(op, DIA):
+        if op.data.shape[1] == n_pad:
+            return op
+        p = n_pad - op.data.shape[1]
+        return DIA(op.offsets, jnp.pad(op.data, ((0, 0), (0, p))),
+                   (n_pad, max(op.shape[1], n_pad)))
+    return op
+
+
+def _pad_inverse_rows_to(inv, n_pad: int):
+    """Pad a full-space Inverse to the padded row space: matrix-free
+    diagonals extend with ones (harmless divisions on zero inputs),
+    assembled/diagonal values with zeros."""
+    from ..inverse.build import Inverse
+    from ..sparse.dia import DIA
+
+    if inv.kind == "diagonal":
+        d = inv.diag
+        if d.shape[0] < n_pad:
+            d = jnp.pad(d, (0, n_pad - d.shape[0]))
+        return Inverse("diagonal", diag=d, meta=inv.meta)
+    mat = inv.mat
+    if isinstance(mat, (ELL, DIA)):
+        mat = _pad_op_rows_to(mat, n_pad)
+    diag = inv.diag
+    if diag is not None and diag.shape[0] < n_pad:
+        diag = jnp.pad(diag, (0, n_pad - diag.shape[0]),
+                       constant_values=1.0)
+    return Inverse(inv.kind, mat=mat, coefficients=inv.coefficients,
+                   steps=inv.steps, diag=diag, scaled=inv.scaled,
+                   meta=inv.meta)
+
+
+def shard_hierarchy(hierarchy, mesh: Mesh, options=None):
+    """Shard each level over the mesh following the processor-agglomeration
+    schedule (reference: src/AIR_MG_Setup.F90:645-907, Repartition.F90):
+    levels keep ``active <= n_devices`` shards per
+    ``active_shards_schedule``; rows pad to equal blocks (the reference's
+    'simple' interleaved partition) so only the active shards own data, and
+    a one-shard level is simply replicated (the subcomm analogue)."""
+    from ..sparse.dia import DIA
+    from .repartition import active_shards_schedule
+
+    opts = options if options is not None else getattr(hierarchy, "options",
+                                                       None)
     n_dev = mesh.devices.size
-    out_levels = []
-    for lvl in hierarchy.device_levels:
+    dev_levels = hierarchy.device_levels
+    sizes = []
+    for lvl in dev_levels:
         if "mask_f" in lvl:
-            n = int(lvl["mask_f"].shape[0])
+            sizes.append(int(lvl["mask_f"].shape[0]))
         else:
-            n = int(lvl["A_ff"].shape[0]) + int(lvl["A_fc"].shape[1])
-        if n < min_rows_per_device * n_dev or n % n_dev != 0:
+            sizes.append(int(lvl["A_ff"].shape[0])
+                         + int(lvl["A_fc"].shape[1]))
+    if opts is not None and getattr(opts, "processor_agglom", True):
+        schedule = active_shards_schedule(
+            sizes, n_dev,
+            process_eq_limit=getattr(opts, "process_eq_limit", 50),
+            processor_agglom_factor=getattr(opts,
+                                            "processor_agglom_factor", 2))
+        # second trigger: the local/off-block nnz ratio (reference:
+        # src/Repartition.F90:24-60 + AIR_MG_Setup.F90:645-700) -- when a
+        # level's communication share grows past the ratio, halve the
+        # active shards even if the row count allows more
+        import scipy.sparse as _sp
+
+        from .repartition import (local_nonlocal_nnz_ratio,
+                                  should_agglomerate)
+
+        ratio_lim = getattr(opts, "processor_agglom_ratio", 2.0)
+        factor = getattr(opts, "processor_agglom_factor", 2)
+        host_levels = getattr(hierarchy, "levels", [])
+        for i, lvl in enumerate(host_levels):
+            A_host = getattr(lvl, "A", None)
+            if not _sp.issparse(A_host) or schedule[i] <= 1:
+                continue
+            r = local_nonlocal_nnz_ratio(A_host, schedule[i])
+            if should_agglomerate(
+                    sizes[i], schedule[i], r,
+                    getattr(opts, "process_eq_limit", 50), ratio_lim):
+                schedule[i] = max(1, schedule[i] // factor)
+        # keep the schedule monotone non-increasing toward coarse levels
+        for i in range(1, len(schedule)):
+            schedule[i] = min(schedule[i], schedule[i - 1])
+    else:
+        schedule = [n_dev] * len(sizes)
+
+    out_levels = []
+    for lvl, n, active in zip(dev_levels, sizes, schedule):
+        if active <= 1 or "mask_f" not in lvl:
             out_levels.append(replicate(lvl, mesh))
             continue
+        # equal blocks over the active shards; trailing shards own only
+        # padding (active-rank reduction without changing the mesh)
+        w = -(-n // active)
+        n_pad = w * n_dev
         new = {}
+        sh = row_sharding(mesh)
         for key, val in lvl.items():
             if isinstance(val, (ELL, DIA)):
-                new[key] = _shard_op(val, mesh)
-            elif key in ("mask_f", "mask_c") and val.shape[0] % n_dev == 0:
-                new[key] = jax.device_put(val, row_sharding(mesh))
+                new[key] = _shard_op(_pad_op_rows_to(val, n_pad), mesh)
+            elif key in ("mask_f", "mask_c"):
+                m = jnp.pad(val, (0, n_pad - val.shape[0]))
+                new[key] = jax.device_put(m, sh)
+            elif hasattr(val, "kind"):          # Inverse pytree
+                new[key] = _shard_inverse(
+                    _pad_inverse_rows_to(val, n_pad), mesh)
             elif hasattr(val, "dtype"):
                 new[key] = jax.device_put(val, replicated(mesh))
             else:
@@ -142,3 +246,24 @@ def shard_hierarchy(hierarchy, mesh: Mesh, min_rows_per_device: int = 1):
         out_levels.append(new)
     coarse_inv = replicate(hierarchy.coarse_inv, mesh)
     return out_levels, coarse_inv
+
+
+def _shard_inverse(inv, mesh: Mesh):
+    """Row-shard an Inverse's operator/diagonal where divisible."""
+    from ..inverse.build import Inverse
+    from ..sparse.dia import DIA
+
+    n_dev = mesh.devices.size
+    diag = inv.diag
+    if diag is not None and diag.shape[0] % n_dev == 0:
+        diag = jax.device_put(diag, row_sharding(mesh))
+    elif diag is not None:
+        diag = jax.device_put(diag, replicated(mesh))
+    mat = inv.mat
+    if isinstance(mat, (ELL, DIA)):
+        mat = _shard_op(mat, mesh)
+    coeffs = inv.coefficients
+    if coeffs is not None:
+        coeffs = jax.device_put(coeffs, replicated(mesh))
+    return Inverse(inv.kind, mat=mat, coefficients=coeffs, steps=inv.steps,
+                   diag=diag, scaled=inv.scaled, meta=inv.meta)

@@ -50,8 +50,15 @@ def tsqr_r(K, mesh: Mesh):
 
 
 def make_qr_reduce(mesh: Mesh):
-    """A ``qr_reduce`` callable for coefficients_power on sharded inputs."""
+    """A ``qr_reduce`` callable for coefficients_power over the mesh
+    (zero rows pad non-divisible K -- R is unchanged by zero rows)."""
+    n_dev = mesh.devices.size
+
     def qr_reduce(K):
-        return np.asarray(tsqr_r(jnp.asarray(K), mesh), dtype=np.float64)
+        K = jnp.asarray(K)
+        pad = (-K.shape[0]) % n_dev
+        if pad:
+            K = jnp.pad(K, ((0, pad), (0, 0)))
+        return np.asarray(tsqr_r(K, mesh), dtype=np.float64)
 
     return qr_reduce

@@ -71,6 +71,7 @@ def _tols(dtype):
             arnoldi=1e-14,     # relative-residual stop in the Arnoldi
             lucky=1e-30,       # lucky-breakdown tolerance
             rcond=1e-12,       # rank-revealing lstsq cutoff
+            sigma_drop=1e-13,  # PFLARE_TOL_SIGMA_DROP (abs SVD cutoff)
             consistency=1e-14,
             matfree=4e-11,     # debug compare tolerances
             auto_truncate=1e-14,
@@ -82,6 +83,7 @@ def _tols(dtype):
         arnoldi=1e-6,
         lucky=1e-20,
         rcond=1e-6,
+        sigma_drop=1e-6,
         consistency=1e-5,
         matfree=2e-3,
         auto_truncate=1e-6,

@@ -69,6 +69,30 @@ def test_medium_scaling_100():
     assert res.converged, res.iterations
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("n_grid", [200, 400, 800])
+def test_medium_scaling_large(n_grid):
+    """reference: tests/Makefile:1117-1140 -- the medium scaling study:
+    iteration counts stay flat (<= 6 its, rtol 1e-10) from 100^2 to 800^2.
+    Residual history is checked for monotone contraction."""
+    A = adv_diff_2d(n_grid)
+    pc = PCAIR(AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99))
+    pc.setup(A)
+    # the reference driver solves with zero RHS from x0 = 1
+    # (reference: tests/adv_diff_fd.c:178,325) -- rtol is then relative to
+    # ||r0|| = ||A 1||, PETSc's zero-rhs convention
+    b = jnp.zeros(A.shape[0])
+    x0 = jnp.ones(A.shape[0])
+    res = pc.solve(b, x0=x0, rtol=1e-10, atol=1e-50, max_it=6,
+                   side="right")
+    assert res.converged, (n_grid, res.iterations)
+    hist = res.history
+    rel = hist / hist[0]
+    # monotone contraction: every iteration reduces the residual
+    assert np.all(rel[1:] < rel[:-1]), rel
+    assert rel[-1] <= 1e-10, rel
+
+
 def test_grid_complexity_bound():
     """reference: python/run_parse_tests.py:7 -- grid complexity < 3.0."""
     A = adv_diff_2d(40)
@@ -198,13 +222,44 @@ def test_symmetric_ptap():
 
 
 def test_improve_and_constrain():
+    """Constraints on a strongly advective operator: the smoothed
+    near-nullspace decays to noise and the reference's absolute
+    sigma-drop cutoff (src/PETSc_Helper.F90 pseudo_inv +
+    PFLARE_TOL_SIGMA_DROP) zeroes the corrections -- convergence then
+    matches the unconstrained ideal-W setup."""
     A = adv_diff_2d(20)
     pc = PCAIR(AIROptions(one_point_classical_prolong=False,
                           improve_w_its=2, improve_z_its=2,
                           constrain_z=True, constrain_w=True))
     pc.setup(A)
-    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=8)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=10)
     assert res.converged, res.iterations
+
+
+def test_constrain_grid_transfer_projector():
+    """constrain_grid_transfer enforces W B_c = B_f exactly on every row
+    whose support can represent the target (reference:
+    src/Constrain_Z_or_W.F90:223-330), and zeroes the correction when the
+    candidate vectors have decayed to noise (the reference's absolute
+    sigma-drop cutoff in pseudo_inv)."""
+    from pflare_tpu.air.constrain import constrain_grid_transfer
+
+    rng = np.random.default_rng(5)
+    W = sp.random(80, 30, density=0.2, random_state=9, format="csr")
+    W.sort_indices()
+    b_c = [rng.standard_normal(30) + 2.0]
+    b_f = [rng.standard_normal(80)]
+    Wc = constrain_grid_transfer(W, b_f, b_c, is_z=False)
+    # same sparsity, and the constraint holds row-wise where support exists
+    assert Wc.nnz == W.nnz
+    r = np.abs(Wc @ b_c[0] - b_f[0])
+    nz = np.diff(W.indptr) > 0
+    assert r[nz].max() < 1e-10, r[nz].max()
+    # decayed candidates: correction is dropped entirely
+    tiny_c = [v * 1e-12 for v in b_c]
+    tiny_f = [v * 1e-12 for v in b_f]
+    Wt = constrain_grid_transfer(W, tiny_f, tiny_c, is_z=False)
+    assert abs(Wt - W).max() == 0.0
 
 
 def test_adv_diff_3d():
@@ -402,4 +457,73 @@ def test_e05_airg_power():
                jit=False)
     pc.setup(A)
     res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=26)
+    assert res.converged, res.iterations
+
+
+def test_host_memory_economy():
+    """Without sparsity reuse, device materialisation releases host CSR
+    copies beyond the finest operator (reference memory economy:
+    src/AIR_MG_Setup.F90:614-639 matshell placeholder) -- and the
+    storage complexity stays in the documented band (reference:
+    docs/faq.md:150: 10-13 structured)."""
+    from pflare_tpu.air.hierarchy import _HostShim
+
+    A = adv_diff_2d(32)
+    pc = PCAIR(AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99))
+    pc.setup(A)
+    s0 = pc.stats()
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=8)  # materialises
+    assert res.converged
+    assert isinstance(pc.hierarchy.levels[1].A, _HostShim)
+    assert isinstance(pc.hierarchy.levels[0].A_ff, _HostShim)
+    assert not isinstance(pc.hierarchy.levels[0].A, _HostShim)  # top kept
+    # stats identical after compaction (shims carry the nnz census)
+    s1 = pc.stats()
+    assert s0 == s1
+    assert s1["storage_complexity"] < 14.0
+
+
+def test_reuse_keeps_host_state():
+    """With reuse_sparsity the host state must survive device
+    materialisation (same-pattern re-setups consume it)."""
+    A = adv_diff_2d(32)
+    pc = PCAIR(AIROptions(reuse_sparsity=True, reuse_amount=3))
+    pc.setup(A)
+    pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=8)
+    assert sp.issparse(pc.hierarchy.levels[1].A)
+    A2 = A.copy(); A2.data = A2.data * 1.05
+    pc.setup(A2, structure="same")
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=8)
+    assert res.converged
+
+
+def test_per_level_smooth_orders():
+    """reference: smooth_order_levels (src/AIR_Data_Type.F90:333) --
+    per-level smoothing orders, last entry repeating on deeper levels."""
+    A = adv_diff_2d(24)
+    pc = PCAIR(AIROptions().replace(
+        smooth_order_levels=("fcf", "ff", "f")))
+    assert pc.options.smooth_order_levels == ((1, -1, 1), (2,), (1,))
+    assert pc.options.any_c_smooths          # level 0 has a C smooth
+    pc.setup(A)
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=8)
+    assert res.converged, res.iterations
+
+
+def test_c_smoother_defaults_follow_f():
+    """reference: src/AIR_Data_Type.F90:192-200 -- unset C-smoother
+    settings inherit the F smoother's."""
+    o = AIROptions(inverse_type=InverseType.POWER, poly_order=4)
+    assert o.c_inverse_type_eff == InverseType.POWER
+    assert o.c_poly_order_eff == 4
+    o2 = o.replace(c_inverse_type=InverseType.JACOBI, c_poly_order=1)
+    assert o2.c_inverse_type_eff == InverseType.JACOBI
+    assert o2.c_poly_order_eff == 1
+    A = adv_diff_2d(20)
+    pc = PCAIR(AIROptions(inverse_type=InverseType.POWER)
+               .with_smooth_type("fc"))
+    pc.setup(A)
+    lvl = pc.hierarchy.levels[0]
+    assert lvl.inv_Acc is not None
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=10)
     assert res.converged, res.iterations

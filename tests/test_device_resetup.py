@@ -70,6 +70,12 @@ CONFIGS = {
     "ideal_w": dict(one_point_classical_prolong=False),
     "ideal_w_mf": dict(one_point_classical_prolong=False,
                        matrix_free_polys=True),
+    "newton_assembled": dict(inverse_type=InverseType.NEWTON,
+                             poly_order=4),
+    "newton_assembled_coarse": dict(
+        coarsest_inverse_type=InverseType.NEWTON, coarsest_poly_order=6),
+    "newton_mf_smooth_sep": dict(inverse_type=InverseType.NEWTON,
+                                 matrix_free_polys=True, poly_order=4),
 }
 
 
@@ -131,11 +137,11 @@ def test_device_resetup_validation():
     pc3 = PCAIR(AIROptions(), jit=False)
     with pytest.raises(RuntimeError):
         pc3.build_device_resetup()
-    # assembled Newton smoothing is factored, not a monomial plan
+    # assembled Newton smoothing runs the factored accumulation over the
+    # stored (X@A)|_S step plan -- supported since round 2
     pc4 = PCAIR(_base_opts(inverse_type=InverseType.NEWTON), jit=False)
     pc4.setup(A)
-    with pytest.raises(ValueError):
-        pc4.build_device_resetup()
+    assert pc4.build_device_resetup() is not None
 
 
 def test_device_resetup_rejects_wrong_pattern():

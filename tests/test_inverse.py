@@ -303,3 +303,23 @@ def test_sai_batched_matches_loop_oracle():
     Zl = _sai_z_loop(A2, A_cf, S, True)
     assert (Zb.indices == Zl.indices).all()
     assert np.allclose(Zb.data, Zl.data, atol=1e-8)
+
+
+def test_sai_device_matches_host():
+    """Device-jitted batched SAI solves == host numpy path (the Kokkos
+    debug-compare analogue for SAI_Zk, reference: src/SAI_Zk.kokkos.cxx)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from pflare_tpu.inverse.sai import sai_z
+
+    rng = np.random.default_rng(4)
+    A_ff = sp.random(120, 120, density=0.05, random_state=7, format="csr")
+    A_ff = sp.csr_matrix(A_ff + sp.diags(np.full(120, 3.0)))
+    A_ff.sort_indices()
+    A_cf = sp.random(60, 120, density=0.06, random_state=8, format="csr")
+    A_cf.sort_indices()
+    for incomplete in (False, True):
+        Zh = sai_z(A_ff, A_cf, A_cf, incomplete=incomplete, device=False)
+        Zd = sai_z(A_ff, A_cf, A_cf, incomplete=incomplete, device=True)
+        assert Zh.nnz == Zd.nnz
+        assert abs(Zh - Zd).max() < 1e-9, incomplete

@@ -119,3 +119,43 @@ def test_halo_spmv_rejects_wide_band():
                      random_state=np.random.RandomState(0), format="csr")
     with _pt.raises(ValueError, match="banded"):
         HaloSpMV(Abad, mesh)
+
+
+def test_distributed_setup_slice_identical_hierarchy():
+    """VERDICT slice: an 8-shard setup (device PMISR over the mesh +
+    distributed TSQR power coefficients) produces the IDENTICAL hierarchy
+    to the host path (reference: src/PMISR_Module.F90:476-643,
+    src/TSQR.F90:65)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pflare_tpu import PCAIR, AIROptions, InverseType, adv_diff_2d
+    from pflare_tpu.parallel import make_mesh
+
+    A = adv_diff_2d(32)
+    opts = AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99,
+                      max_levels=4, inverse_type=InverseType.POWER,
+                      coarsest_inverse_type=InverseType.POWER)
+    pc_serial = PCAIR(opts)
+    pc_serial.setup(A)
+    pc_dist = PCAIR(opts)
+    pc_dist.setup(A, mesh=make_mesh(8))
+
+    assert pc_dist.n_levels == pc_serial.n_levels
+    for ls, ld in zip(pc_serial.hierarchy.levels, pc_dist.hierarchy.levels):
+        np.testing.assert_array_equal(ls.fine, ld.fine)
+        np.testing.assert_array_equal(ls.coarse, ld.coarse)
+        assert ls.R.nnz == ld.R.nnz
+        np.testing.assert_allclose(ls.R.data, ld.R.data, rtol=1e-12,
+                                   atol=1e-14)
+        if ls.inv_Aff.coefficients is not None:
+            # the distributed TSQR reduces R factors in a different order
+            # than one big host QR: the power basis is ill-conditioned, so
+            # coefficients agree to reduction accuracy, not bitwise
+            np.testing.assert_allclose(
+                np.asarray(ls.inv_Aff.coefficients),
+                np.asarray(ld.inv_Aff.coefficients),
+                rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(pc_serial.hierarchy.coarse_inv.coefficients),
+        np.asarray(pc_dist.hierarchy.coarse_inv.coefficients),
+        rtol=1e-5, atol=1e-7)
