@@ -50,8 +50,10 @@ from ..sparse.dell import (
     compact,
 )
 from ..inverse.build import Inverse
-from ..inverse.gmres_poly import coefficients_arnoldi, coefficients_power, \
-    trim_high_order_zeros
+from ..inverse.gmres_poly import (arnoldi_fixed_device, box_muller,
+                                 coefficients_arnoldi_from_h,
+                                 coefficients_power, reached_order,
+                                 trim_high_order_zeros)
 from ..inverse.newton import build_newton_program, newton_roots
 from ..utils.timers import timer
 
@@ -258,12 +260,18 @@ def _inverse_device(A_ff: DELL, opts, inverse_type, poly_order,
     mv = A_ff.matvec
     if opts.diag_scale_polys:
         mv = lambda v: A_ff.matvec(v) / diag
+    sdiag = diag if opts.diag_scale_polys else None
 
     if inverse_type in (InverseType.NEWTON, InverseType.NEWTON_NO_EXTRA):
+        # one fixed-shape Arnoldi program; roots from its Hessenberg
+        r0 = box_muller(n, A_ff.dtype, seed)
+        beta, H = arnoldi_fixed_device(A_ff, r0, poly_order + 1,
+                                       diag=sdiag)
+        m = reached_order(H, poly_order + 1, tol.lucky)
         wr, wi = newton_roots(
-            mv, n, poly_order, A_ff.dtype,
+            None, n, poly_order, A_ff.dtype,
             add_roots=(inverse_type == InverseType.NEWTON), seed=seed,
-            xp=jnp)
+            precomputed=(beta, H, m))
         steps = build_newton_program(wr, wi, tol.zero)
         coeffs2 = jnp.asarray(np.stack([wr, wi]), dtype=dtype)
         if matrix_free:
@@ -280,8 +288,11 @@ def _inverse_device(A_ff: DELL, opts, inverse_type, poly_order,
         coeffs = coefficients_power(mv, n, poly_order, A_ff.dtype,
                                     seed=seed, xp=jnp)
     elif inverse_type == InverseType.ARNOLDI:
-        coeffs = coefficients_arnoldi(mv, n, poly_order, A_ff.dtype,
-                                      seed=seed, xp=jnp)
+        r0 = box_muller(n, A_ff.dtype, seed)
+        beta, H = arnoldi_fixed_device(A_ff, r0, poly_order + 1,
+                                       diag=sdiag)
+        coeffs = coefficients_arnoldi_from_h(beta, H, poly_order,
+                                             A_ff.dtype)
     else:
         raise ValueError(f"device setup: unsupported inverse {inverse_type}")
 

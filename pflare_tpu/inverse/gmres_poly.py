@@ -98,6 +98,118 @@ def _ls_solve_arnoldi(beta, m, H):
     return y
 
 
+def arnoldi_fixed_device(op, r0, subspace, diag=None):
+    """Whole-Arnoldi as ONE fixed-shape jitted program (device setup path).
+
+    The host loop (arnoldi_host with xp=jnp) dispatches per-step ops whose
+    shapes GROW with j -- O(m^2) distinct XLA programs per matrix size.
+    Here V is a preallocated [subspace+1, n] basis and each step is a
+    masked fixed-shape MGS update inside a lax.scan, so the whole
+    iteration compiles ONCE per (n, subspace).  Lucky breakdown is
+    handled by zero-scaling, which reproduces H[j+1,j] ~ 0 for the
+    host-side coefficient solves.
+
+    ``op``: pytree operator with .matvec (passed as a jit ARGUMENT, not a
+    closure constant); ``diag``: optional right diagonal scaling.
+
+    Returns (beta, H) as host floats/arrays (one small d2h).
+    """
+    beta, H = _arnoldi_fixed_jit(op, diag, r0, subspace,
+                                 diag is not None)
+    return float(beta), np.asarray(H, dtype=np.float64)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("subspace", "diag_scale"))
+def _arnoldi_fixed_core(op, diag, r0, subspace: int, diag_scale: bool):
+    n = r0.shape[0]
+
+    def mv(v):
+        w = op.matvec(v)
+        return w / diag if diag_scale else w
+
+    beta = jnp.linalg.norm(r0)
+    V = jnp.zeros((subspace + 1, n), dtype=r0.dtype)
+    V = V.at[0].set(r0 / beta)
+    H = jnp.zeros((subspace + 1, subspace), dtype=r0.dtype)
+    rows = jnp.arange(subspace + 1)
+
+    def step(carry, j):
+        V, H = carry
+        w = mv(V[j])
+        h = V @ w                       # [subspace+1]; rows > j are zero
+        h = jnp.where(rows <= j, h, 0.0)
+        w = w - h @ V
+        hj1 = jnp.linalg.norm(w)
+        H = jax.lax.dynamic_update_slice(H, h[:, None], (0, j))
+        H = H.at[j + 1, j].set(hj1)
+        scale = jnp.where(hj1 > 0, 1.0 / jnp.where(hj1 > 0, hj1, 1.0), 0.0)
+        V = V.at[j + 1].set(w * scale)
+        return (V, H), None
+
+    (V, H), _ = jax.lax.scan(step, (V, H), jnp.arange(subspace))
+    return beta, H
+
+
+def _arnoldi_fixed_jit(op, diag, r0, subspace, diag_scale):
+    return _arnoldi_fixed_core(op, diag, r0, subspace=subspace,
+                               diag_scale=diag_scale)
+
+
+def reached_order(H, subspace, lucky_tol) -> int:
+    """Numerically reached Arnoldi order: first j with H[j+1,j] below the
+    lucky-breakdown tolerance (else the full subspace)."""
+    for j in range(subspace):
+        if H[j + 1, j] < lucky_tol:
+            return j + 1
+    return subspace
+
+
+def cn_from_h(beta, H, subspace) -> np.ndarray:
+    """Reconstruct the Krylov->Arnoldi map C_n (V_n = K_n C_n) from the
+    Hessenberg alone -- the incremental recurrence of arnoldi_host
+    replayed on host (tiny, O(m^3) scalars)."""
+    C = np.zeros((subspace + 1, subspace + 1))
+    C[0, 0] = 1.0 / beta
+    for j in range(subspace):
+        hj1 = H[j + 1, j]
+        if hj1 == 0.0:
+            break
+        c_j = np.zeros(subspace + 1)
+        c_j[1 : j + 2] = C[: j + 1, j]
+        for i in range(j + 1):
+            c_j[: i + 1] -= C[: i + 1, i] * H[i, j]
+        C[: j + 2, j + 1] = c_j[: j + 2] / hj1
+    return C
+
+
+def coefficients_arnoldi_from_h(beta, H, poly_order, dtype=jnp.float64
+                                ) -> np.ndarray:
+    """Arnoldi-basis coefficients from a precomputed (beta, H) -- the
+    device-Arnoldi companion of coefficients_arnoldi, replaying its
+    early-stop least-squares schedule on host."""
+    tol = tolerances(dtype)
+    subspace = poly_order + 1
+    C = cn_from_h(beta, H, subspace)
+    y = np.zeros(subspace)
+    m = 0
+    for j in range(subspace):
+        m = j + 1
+        y = _ls_solve_arnoldi(beta, m, H)
+        if H[j + 1, j] < tol.lucky:
+            break
+        res = np.linalg.norm(H[: m + 1, :m] @ y[:m]
+                             - beta * np.eye(m + 1)[:, 0])
+        if res / beta < tol.arnoldi:
+            break
+    coeffs = np.zeros(poly_order + 1)
+    coeffs[:] = (C[: poly_order + 1, : poly_order + 1]
+                 @ y[: poly_order + 1])[: poly_order + 1]
+    return coeffs
+
+
 def coefficients_arnoldi(matvec, n, poly_order, dtype=jnp.float64,
                          seed: int = 17, xp=jnp) -> np.ndarray:
     """Arnoldi-basis polynomial coefficients per Nachtigal et al. 1992

@@ -140,15 +140,21 @@ def compute_extra_roots(real_roots, imag_roots, tol_zero):
 
 
 def newton_roots(matvec, n, poly_order, dtype, add_roots=True, seed: int = 17,
-                 xp=None):
+                 xp=None, precomputed=None):
     """Harmonic Ritz values in modified-Leja order (reference:
-    src/Gmres_Poly_Newton.F90:379-712).  Returns (real, imag) arrays."""
+    src/Gmres_Poly_Newton.F90:379-712).  Returns (real, imag) arrays.
+
+    ``precomputed``: optional (beta, H, m) from a device Arnoldi
+    (gmres_poly.arnoldi_fixed_device) -- skips the iteration here."""
     import jax.numpy as jnp
     if xp is None:
         xp = jnp
     tol = tolerances(dtype)
-    beta, H, m, _, _ = arnoldi_host(matvec, n, poly_order, dtype, tol.lucky,
-                                    seed=seed, xp=xp)
+    if precomputed is not None:
+        beta, H, m = precomputed
+    else:
+        beta, H, m, _, _ = arnoldi_host(matvec, n, poly_order, dtype,
+                                        tol.lucky, seed=seed, xp=xp)
     d = poly_order + 1
     # Harmonic Ritz: H_sq + f e_d^T with f = H[d,d-1]^2 * (H_sq^-T e_d)
     H_sq = H[:d, :d].copy()

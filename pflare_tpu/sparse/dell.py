@@ -168,16 +168,23 @@ def drop_rows(cols, vals, tol, relative: bool, lump: bool, diag_of_row=None):
     return jnp.where(keep, cols, PADCOL), jnp.where(keep, vals, 0.0)
 
 
+@partial(jax.jit, static_argnames=("new_K",))
 def compact(cols, vals, new_K: int):
-    """Push live entries left (sort) and slice the padded width down."""
+    """Push live entries left (sort) and slice the padded width down
+    (one program per shape -- sort + slices fused)."""
     c, v = sort_rows(cols, vals)
     return c[:, :new_K], v[:, :new_K]
+
+
+@jax.jit
+def _row_count_max(cols):
+    return jnp.max(jnp.sum(cols < PADCOL, axis=1))
 
 
 def max_row_count(cols) -> int:
     """SCALAR device->host readback: the max live-entries-per-row.  The one
     sync point per product (shape discovery)."""
-    return int(jnp.max(jnp.sum(cols < PADCOL, axis=1)))
+    return int(_row_count_max(cols))
 
 
 # ~~~~~~~~~~~~~~~~~~ SpGEMM ~~~~~~~~~~~~~~~~~~
