@@ -68,7 +68,9 @@ def device_setup_supported(opts: AIROptions) -> bool:
         or opts.full_smoothing_up_and_down
         or opts.z_type != ZType.PRODUCT
         or not opts.one_point_classical_prolong
-        or opts.cf_splitting_type not in (CFSplittingType.PMISR_DDC,)
+        or opts.cf_splitting_type not in (CFSplittingType.PMISR_DDC,
+                                          CFSplittingType.PMIS,
+                                          CFSplittingType.PMIS_DIST2)
         or opts.auto_truncate_start_level > 0
         or opts.inverse_sparsity_order != 1
         or opts.c_inverse_sparsity_order_eff != 1
@@ -94,11 +96,13 @@ def _strength_cols(A: DELL, theta):
     return jnp.where(keep, A.cols, PADCOL)
 
 
-@partial(jax.jit, static_argnames=("n_rounds",))
-def _luby_rounds(gcols, measure, cf0, n_rounds):
-    """PMISR Luby rounds over the padded symmetric graph (device sibling of
-    src/PMISR_Modulek.kokkos.cxx; same logic as cf/device.py::pmisr_device
-    but on PADCOL-padded cols and with a traced round count)."""
+@partial(jax.jit, static_argnames=("n_rounds", "pmis"))
+def _luby_rounds(gcols, measure, cf0, n_rounds, pmis: bool = False):
+    """PMISR/PMIS Luby rounds over the padded symmetric graph (device
+    sibling of src/PMISR_Modulek.kokkos.cxx; same logic as
+    cf/device.py::pmisr_device but on PADCOL-padded cols).  PMIS passes a
+    negated measure and the caller flips the markers afterwards; the
+    zero-measure value follows the host pre-flip convention."""
     n = measure.shape[0]
     gidx = jnp.arange(n, dtype=jnp.int32)
     mask = gcols < PADCOL
@@ -107,7 +111,8 @@ def _luby_rounds(gcols, measure, cf0, n_rounds):
     assigned = cf != 0
 
     zero_nodes = (~assigned) & (jnp.abs(measure) < 1)
-    cf = jnp.where(zero_nodes, F_POINT, cf)
+    zero_val = C_POINT if pmis else F_POINT
+    cf = jnp.where(zero_nodes, zero_val, cf)
     assigned = assigned | zero_nodes
 
     def round_fn(carry, _):
@@ -162,30 +167,63 @@ def _ddc_pass(A: DELL, cf, fraction_swap):
     return jnp.where(swap, -cf, cf)
 
 
-def _cf_split_device(A: DELL, opts: AIROptions):
-    """Device CF splitting: strength -> PMISR Luby -> DDC.  Only the random
-    measure crosses h2d; markers stay on device."""
+def _sym_graph(A: DELL, theta, square: bool = False):
+    """Symmetrized (optionally squared, for distance-2) strength graph as
+    padded cols [n, K] (reference: src/SAbs.F90 symmetrize/square)."""
     n = A.data.shape[0]
-    scols = _strength_cols(A, float(opts.strong_threshold))
+    scols = _strength_cols(A, theta)
     tcols = transpose_pattern(DELL(jnp.zeros_like(A.data), scols, n))
-    gfull = union_patterns(
-        scols, jnp.pad(tcols, ((0, 0), (0, max(scols.shape[1] -
-                                               tcols.shape[1], 0))),
-                       constant_values=PADCOL)
-        if tcols.shape[1] < scols.shape[1] else tcols)
+    if tcols.shape[1] < scols.shape[1]:
+        tcols = jnp.pad(tcols,
+                        ((0, 0), (0, scols.shape[1] - tcols.shape[1])),
+                        constant_values=PADCOL)
+    gfull = union_patterns(scols, tcols)
     gcols = gfull[:, :max(max_row_count(gfull), 1)]
     gcols = jnp.sort(gcols, axis=1)
+    if square:
+        # S'S + S with symmetric S = S@S union S, diagonal dropped
+        ones = (gcols < PADCOL).astype(A.dtype)
+        S1 = DELL(ones, gcols, n)
+        S2 = spgemm_drop_dell(S1, S1, 0.0, relative=True, lump=False)
+        isd = S2.cols == jnp.arange(n, dtype=S2.cols.dtype)[:, None]
+        c2 = jnp.where(isd, PADCOL, S2.cols)
+        if c2.shape[1] < gcols.shape[1]:
+            c2 = jnp.pad(c2, ((0, 0), (0, gcols.shape[1] - c2.shape[1])),
+                         constant_values=PADCOL)
+        elif gcols.shape[1] < c2.shape[1]:
+            gcols = jnp.pad(
+                gcols, ((0, 0), (0, c2.shape[1] - gcols.shape[1])),
+                constant_values=PADCOL)
+        gfull = union_patterns(gcols, c2)
+        gcols = gfull[:, :max(max_row_count(gfull), 1)]
+        gcols = jnp.sort(gcols, axis=1)
+    return gcols
+
+
+def _cf_split_device(A: DELL, opts: AIROptions):
+    """Device CF splitting: strength -> PMISR/PMIS Luby -> DDC.  Only the
+    random measure crosses h2d; markers stay on device."""
+    n = A.data.shape[0]
+    t = CFSplittingType(opts.cf_splitting_type)
+    pmis = t in (CFSplittingType.PMIS, CFSplittingType.PMIS_DIST2)
+    gcols = _sym_graph(A, float(opts.strong_threshold),
+                       square=(t == CFSplittingType.PMIS_DIST2))
 
     rng = np.random.default_rng(opts.seed)
     rand = jnp.asarray(rng.random(n), dtype=A.dtype)
-    degree = jnp.sum(scols < PADCOL, axis=1).astype(A.dtype)
+    degree = jnp.sum(gcols < PADCOL, axis=1).astype(A.dtype)
     measure = rand + degree
+    if pmis:
+        measure = -measure
     # 25 unbounded-equivalent rounds: Luby assigns everything in O(log n)
     # w.h.p.; leftovers become C exactly like the fixed-step reference mode
     rounds = opts.max_luby_steps if opts.max_luby_steps > 0 else 25
     cf = _luby_rounds(gcols, measure, jnp.zeros(n, dtype=jnp.int32),
-                      rounds)
-    if opts.strong_threshold != 0.0:
+                      rounds, pmis=pmis)
+    if pmis:
+        cf = -cf
+    if opts.strong_threshold != 0.0 and t in (CFSplittingType.PMISR_DDC,
+                                              CFSplittingType.DIAG_DOM):
         for _ in range(opts.ddc_its):
             cf = _ddc_pass(A, cf, float(opts.ddc_fraction))
     return cf

@@ -169,3 +169,18 @@ class TestDeviceHierarchy:
         f_dev = h_dev.levels[0].n_f / h_dev.levels[0].n
         f_host = len(h_host.levels[0].fine) / h_host.levels[0].n
         assert abs(f_dev - f_host) < 0.1
+
+    def test_pmis_variants(self):
+        """Device PMIS / PMIS-dist2 splittings converge like the host
+        (reference: src/CF_Splitting.F90:130-155 strength variants)."""
+        from pflare_tpu import CFSplittingType
+
+        A = adv_diff_2d(32)
+        b = jnp.asarray(
+            np.random.default_rng(3).standard_normal(A.shape[0]))
+        for t in (CFSplittingType.PMIS, CFSplittingType.PMIS_DIST2):
+            pc = PCAIR(AIROptions(cf_splitting_type=t, max_levels=5))
+            pc.setup_device(A, dtype=jnp.float64)
+            assert not hasattr(pc.hierarchy.levels[0], "A")  # device-built
+            res = pc.solve(b, rtol=1e-6, max_it=30)
+            assert res.converged, (t, res.iterations)
