@@ -187,6 +187,10 @@ def build_inverse(
     else:
         n = A_scipy.shape[0]
         dtype = A_scipy.data.dtype
+    # asking jnp for f64 with x64 disabled emits a warning per call; the
+    # downcast is intended (device arrays follow the jax x64 setting)
+    if np.dtype(dtype) == np.float64 and not jax.config.jax_enable_x64:
+        dtype = None
     poly_order, sparsity_order = _clamp_orders(n, poly_order, sparsity_order)
     tol = tolerances(dtype)
 
