@@ -41,12 +41,15 @@ if _plat:
     jax.config.update("jax_platforms", _plat)
 if X64:
     jax.config.update("jax_enable_x64", True)
-try:  # persistent compile cache: repeat runs skip XLA compilation
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("PFLARE_JAX_CACHE",
-                                     "/tmp/pflare_jax_cache"))
+try:  # persistent compile cache: repeat runs skip XLA compilation.
+    # Keyed by backend: CPU AOT entries are machine-feature specific and a
+    # remote compile service may write entries the local host cannot run.
+    _CACHE = os.environ.get(
+        "PFLARE_JAX_CACHE",
+        f"/tmp/pflare_jax_cache_{jax.default_backend()}")
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
 except Exception:
-    pass
+    _CACHE = "/tmp/pflare_jax_cache"
 import jax.numpy as jnp  # noqa: E402
 
 from pflare_tpu import PCAIR, AIROptions, InverseType, adv_diff_2d  # noqa: E402
@@ -59,6 +62,51 @@ RTOL = 1e-10 if X64 else 1e-5
 MAX_IT = int(os.environ.get("PFLARE_BENCH_MAXIT", "10"))
 MODE = os.environ.get("PFLARE_BENCH_MODE", "auto")
 BASELINE_DOF_PER_S = 1.0e6
+
+
+def _device_probe_ok() -> bool:
+    """Bound the device-path attempt: run the full device setup once in a
+    SUBPROCESS under a wall-clock budget (its XLA compiles land in the
+    shared persistent cache, so the in-process timed runs afterwards are
+    compile-warm).  On a backend where first-time compilation is
+    pathologically slow (e.g. a remote-compile tunnel), the probe times
+    out and the bench reports the host path instead of hanging."""
+    budget = int(os.environ.get("PFLARE_BENCH_DEVICE_BUDGET", "900"))
+    if budget <= 0:
+        return True      # explicit opt-out of the guard
+    import subprocess
+
+    code = (
+        "import os\n"
+        f"os.environ.setdefault('PFLARE_JAX_CACHE', {_CACHE!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " os.environ['PFLARE_JAX_CACHE'])\n"
+        f"plat = {os.environ.get('PFLARE_BENCH_PLATFORM', '')!r}\n"
+        "plat and jax.config.update('jax_platforms', plat)\n"
+        "import jax.numpy as jnp\n"
+        "from pflare_tpu import PCAIR, AIROptions, InverseType, adv_diff_2d\n"
+        f"A = adv_diff_2d({N_GRID})\n"
+        "opts = AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99,"
+        f" max_levels={MAX_LEVELS},"
+        " coarsest_inverse_type=InverseType.NEWTON, coarsest_poly_order=16,"
+        " coarsest_matrix_free_polys=True)\n"
+        "pc = PCAIR(opts, dtype=jnp.float32)\n"
+        "pc.setup_device(A)\n"
+        "pc.hierarchy.coarse_A.data.block_until_ready()\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=budget,
+                           capture_output=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        if r.returncode != 0:
+            print(f"# device probe failed: {r.stderr[-400:]!r}",
+                  file=sys.stderr)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        print(f"# device probe exceeded {budget}s (first-time XLA "
+              "compilation); reporting the host path", file=sys.stderr)
+        return False
 
 
 def _time_setup(opts, A, dtype, device: bool):
@@ -97,12 +145,14 @@ def main():
     )
 
     runs = []
-    if MODE in ("device", "auto") and not X64:
+    if MODE in ("host", "auto"):
+        runs.append(("host",) + _time_setup(opts, A, dtype, False))
+    if MODE in ("device", "auto") and not X64 and _device_probe_ok():
         try:
             runs.append(("device",) + _time_setup(opts, A, dtype, True))
         except Exception as e:  # fall back to host setup
             print(f"# device setup failed: {e!r}", file=sys.stderr)
-    if MODE in ("host", "auto") or not runs:
+    if not runs:
         runs.append(("host",) + _time_setup(opts, A, dtype, False))
     setup_mode, t_setup, pc = min(runs, key=lambda r: r[1])
 
