@@ -409,9 +409,15 @@ class _LevelMeta:
     lump: bool = False
     has_c: bool = False
     ideal_w: bool = False
+    strong_r: bool = False
     nnz_w: int = 0
     nnz_wdrop: int = 0
     invc_meta: _InvMeta = None
+
+
+def _pattern_diag_only(M: sp.csr_matrix) -> bool:
+    rows = np.repeat(np.arange(M.shape[0]), np.diff(M.indptr))
+    return bool(np.all(rows == M.indices))
 
 
 def _match_arrays(src: sp.csr_matrix, dst: sp.csr_matrix, lump: bool):
@@ -483,7 +489,9 @@ class DeviceResetup:
             cf_mat = sp.csr_matrix(A[coarse][:, fine])
             cf_mat.sort_indices()
         arrs["cf"] = jnp.asarray(_submatrix_map(A, cf_mat, coarse, fine))
-        if cf_mat.nnz != pats["Z_numeric_plan"].pat_A.nnz:
+        z_amat = (pats["Acf_drop"] if opts.strong_r_threshold != 0.0
+                  else cf_mat)
+        if z_amat.nnz != pats["Z_numeric_plan"].pat_A.nnz:
             raise ValueError("A_cf pattern differs from the stored Z plan")
 
         # smoothing inverse
@@ -498,27 +506,50 @@ class DeviceResetup:
         #   diag-own: A_ff is diagonal-only but the smoother is mf
         #   same: the smoothing assembled inverse doubles as Z's
         #   sep: a separately assembled dropped inverse (mf smoothing)
+        strong_r = opts.strong_r_threshold != 0.0
+        if strong_r:
+            if "Aff_drop" not in pats or "Acf_drop" not in pats:
+                raise ValueError(
+                    "device re-setup with strong_r_threshold needs the "
+                    "stored dropped patterns (setup with reuse_sparsity, "
+                    "amount>=2)")
+            arrs["ffd"] = _match_arrays(lvl.A_ff, pats["Aff_drop"],
+                                        lump=False)
+            arrs["cfd"] = _match_arrays(cf_mat, pats["Acf_drop"],
+                                        lump=False)
+            if (not opts.one_point_classical_prolong
+                    and pats.get("Afc_drop") is not None):
+                arrs["fcd"] = _match_arrays(lvl.A_fc, pats["Afc_drop"],
+                                            lump=False)
         aff_rows = np.repeat(np.arange(lvl.A_ff.shape[0]),
                              np.diff(lvl.A_ff.indptr))
         aff_diag_only = bool(np.all(aff_rows == lvl.A_ff.indices))
         invh_meta = None
-        if lvl.inv_Aff.kind == "diagonal":
+        if lvl.inv_Aff.kind == "diagonal" and not strong_r:
             z_src = "diag-same"
-        elif aff_diag_only:
+        elif aff_diag_only and not strong_r:
             z_src = "diag-own"
             dpos = SparsityPattern(lvl.A_ff.indptr, lvl.A_ff.indices,
                                    lvl.A_ff.shape).diag_positions()
             arrs["invh_diag_pos"] = jnp.asarray(dpos)
         elif (lvl.inv_Aff.kind == "assembled"
-              and not opts.matrix_free_polys):
+              and not opts.matrix_free_polys and not strong_r):
             z_src = "same"
+        elif strong_r and _pattern_diag_only(pats["Aff_drop"]):
+            # the DROPPED A_ff is diagonal-only: its inverse is 1/diag
+            z_src = "diag-drop"
+            dpos = SparsityPattern(pats["Aff_drop"].indptr,
+                                   pats["Aff_drop"].indices,
+                                   pats["Aff_drop"].shape).diag_positions()
+            arrs["invh_diag_pos"] = jnp.asarray(dpos)
         else:
             z_src = "sep"
             plan = pats.get("inv_aff_drop_poly_plan")
             if plan is None:
                 raise ValueError(
-                    "device re-setup with matrix-free smoothing needs the "
-                    "dropped-inverse numeric plan (reuse_amount>=3)")
+                    "device re-setup with matrix-free smoothing or "
+                    "strong-R dropping needs the dropped-inverse numeric "
+                    "plan (reuse_amount>=3)")
             coeffs = _dropped_inverse_coeffs(lvl, opts)
             invh_meta = _InvMeta(kind="assembled", order=plan.order,
                                  nnz_s=plan.pat_S.nnz)
@@ -533,6 +564,7 @@ class DeviceResetup:
                 "coeffs": jnp.asarray(coeffs),
             }
         invh_same = z_src in ("diag-same", "same")
+
         # inverse values (CSR order on its own pattern) feeding the Z plan
         zplan = pats.get("Z_numeric_plan")
         if zplan is None:
@@ -544,7 +576,7 @@ class DeviceResetup:
         # poly plan's S pattern)
         pat_b = zplan.pat_B
         b_keys = _keys(pat_b.indptr, pat_b.indices, pat_b.shape[1])
-        if z_src in ("diag-same", "diag-own"):
+        if z_src in ("diag-same", "diag-own", "diag-drop"):
             arrs["invh_rows"] = jnp.asarray(pat_b.row_of_pos())
         else:
             src_plan = (pats["inv_aff_poly_plan"] if z_src == "same"
@@ -604,7 +636,7 @@ class DeviceResetup:
             # inverse values onto the W plan's A pattern
             pa = wplan.pat_A
             a_keys = _keys(pa.indptr, pa.indices, pa.shape[1])
-            if z_src in ("diag-same", "diag-own"):
+            if z_src in ("diag-same", "diag-own", "diag-drop"):
                 arrs["w_inv_rows"] = jnp.asarray(pa.row_of_pos())
             else:
                 src_plan = (pats["inv_aff_poly_plan"] if z_src == "same"
@@ -709,6 +741,7 @@ class DeviceResetup:
             lump=opts.a_lump,
             has_c=has_c,
             ideal_w=ideal_w,
+            strong_r=strong_r,
             nnz_w=nnz_w,
             nnz_wdrop=nnz_wdrop,
             invc_meta=invc_meta,
@@ -786,6 +819,15 @@ class DeviceResetup:
             aff = a_flat[arrs["ff"]]
             afc = a_flat[arrs["fc"]]
             acf = a_flat[arrs["cf"]]
+            if meta.strong_r:
+                affd = aff[arrs["ffd"]["src"]] * arrs["ffd"]["ok"]
+                acf_z = acf[arrs["cfd"]["src"]] * arrs["cfd"]["ok"]
+                afc_w = (afc[arrs["fcd"]["src"]] * arrs["fcd"]["ok"]
+                         if "fcd" in arrs else afc)
+            else:
+                affd = aff
+                acf_z = acf
+                afc_w = afc
             # smoothing inverse (full-space)
             A_ff_ext = _build_op(meta.op_kinds["A_ff"], arrs["op_A_ff"],
                                  meta.op_aux["A_ff"],
@@ -815,23 +857,26 @@ class DeviceResetup:
             elif meta.z_src == "diag-own":
                 dvals = _diag_gather(arrs["invh_diag_pos"], aff)
                 invh_flat = jnp.where(dvals != 0, 1.0 / dvals, 0.0)
+            elif meta.z_src == "diag-drop":
+                dvals = _diag_gather(arrs["invh_diag_pos"], affd)
+                invh_flat = jnp.where(dvals != 0, 1.0 / dvals, 0.0)
             else:  # sep
                 im = meta.invh_meta
                 if im.newton_wr is not None:
                     invh_flat = _exec_newton_poly(
                         arrs["invh"]["poly"], im.newton_wr, im.newton_wi,
-                        im.nnz_s, aff, im.tol_zero)
+                        im.nnz_s, affd, im.tol_zero)
                 else:
                     invh_flat = _exec_poly(
-                        arrs["invh"]["poly"], im.order, im.nnz_s, aff,
+                        arrs["invh"]["poly"], im.order, im.nnz_s, affd,
                         arrs["invh"]["coeffs"])
             # lay the inverse onto the Z plan's B pattern
             if "invh_rows" in arrs:
                 z_b = invh_flat[arrs["invh_rows"]]
             else:
                 z_b = invh_flat[arrs["invh_map"]]
-            # Z = -(A_cf @ inv)
-            z_flat = -_exec_product(arrs["z"], acf, z_b, meta.nnz_z)
+            # Z = -(A_cf_drop @ inv)
+            z_flat = -_exec_product(arrs["z"], acf_z, z_b, meta.nnz_z)
             zdrop = z_flat[arrs["zdrop"]["src"]] * arrs["zdrop"]["ok"]
             # R values
             r_flat = jnp.where(arrs["r_ident"] > 0, 1.0,
@@ -845,7 +890,8 @@ class DeviceResetup:
                     w_b = invh_flat[arrs["w_inv_rows"]]
                 else:
                     w_b = invh_flat[arrs["w_inv_map"]]
-                w_flat = -_exec_product(arrs["w"], w_b, afc, meta.nnz_w)
+                w_flat = -_exec_product(arrs["w"], w_b, afc_w,
+                                        meta.nnz_w)
                 wdrop = (w_flat[arrs["wdrop"]["src"]]
                          * arrs["wdrop"]["ok"])
                 p_flat = jnp.where(arrs["p_ident"] > 0, 1.0,
@@ -979,15 +1025,19 @@ class DeviceResetup:
 
 def _dropped_inverse_coeffs(lvl, opts) -> np.ndarray:
     """Coefficients of the dropped assembled inverse used by Z (not stored
-    on LevelData; recovered once at plan-build time)."""
-    from ..inverse.gmres_poly import coefficients_arnoldi, coefficients_power
+    on LevelData; recovered once at plan-build time).  Under strong-R
+    dropping the inverse acts on the DROPPED A_ff."""
     from ..inverse.build import build_inverse
 
+    A_use = (lvl.patterns.get("Aff_drop")
+             if opts.strong_r_threshold != 0.0 else lvl.A_ff)
+    if A_use is None:
+        A_use = lvl.A_ff
     inv = build_inverse(
-        ELL.from_scipy(lvl.A_ff), opts.inverse_type,
+        None, opts.inverse_type,
         poly_order=opts.poly_order,
         sparsity_order=opts.inverse_sparsity_order, matrix_free=False,
-        diag_scale=opts.diag_scale_polys, A_scipy=lvl.A_ff, seed=opts.seed)
+        diag_scale=opts.diag_scale_polys, A_scipy=A_use, seed=opts.seed)
     if inv.coefficients is None:
         raise ValueError("dropped inverse has no polynomial coefficients")
     return np.asarray(inv.coefficients)
@@ -997,8 +1047,6 @@ def _validate(opts: AIROptions, hierarchy):
     bad = []
     if opts.symmetric:
         bad.append("symmetric")
-    if opts.strong_r_threshold != 0.0:
-        bad.append("strong_r_threshold")
     if opts.improve_w_its or opts.improve_z_its:
         bad.append("improve_w/z")
     if opts.constrain_w or opts.constrain_z:

@@ -354,12 +354,29 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
         A_ff, A_fc, A_cf, A_cc = extract_submatrices(A, fine, coarse,
                                                      need_acc=need_acc)
 
-    # strong-R dropped copies used only for the grid transfers
+    # strong-R dropped copies used only for the grid transfers.  On a
+    # same-pattern re-setup the DROPPED patterns are reuse slots: values
+    # restrict onto the stored structure instead of re-discovering it
+    # (reference: the MAT_*_DROP reuse slots, src/AIR_Data_Type.F90:388;
+    # remove_from_sparse_match src/PETSc_Helper.F90:490)
     with timer("air_drop"):
-        A_ff_drop, A_cf_drop, A_fc_drop = strong_r_drop(
-            A, fine, coarse, opts.strong_r_threshold,
-            need_afc=not opts.one_point_classical_prolong,
-        )
+        if (prev is not None and opts.strong_r_threshold != 0.0
+                and "Aff_drop" in patterns):
+            A_ff_drop = remove_from_sparse_match(A_ff, patterns["Aff_drop"])
+            A_cf_drop = remove_from_sparse_match(A_cf, patterns["Acf_drop"])
+            A_fc_drop = (remove_from_sparse_match(A_fc,
+                                                  patterns["Afc_drop"])
+                         if patterns.get("Afc_drop") is not None else None)
+        else:
+            A_ff_drop, A_cf_drop, A_fc_drop = strong_r_drop(
+                A, fine, coarse, opts.strong_r_threshold,
+                need_afc=not opts.one_point_classical_prolong,
+            )
+            if (A_ff_drop is not None and opts.reuse_sparsity
+                    and opts.reuse_amount >= 2):
+                patterns["Aff_drop"] = A_ff_drop
+                patterns["Acf_drop"] = A_cf_drop
+                patterns["Afc_drop"] = A_fc_drop
     if A_ff_drop is None:
         A_ff_drop, A_cf_drop, A_fc_drop = A_ff, A_cf, A_fc
 

@@ -76,6 +76,11 @@ CONFIGS = {
         coarsest_inverse_type=InverseType.NEWTON, coarsest_poly_order=6),
     "newton_mf_smooth_sep": dict(inverse_type=InverseType.NEWTON,
                                  matrix_free_polys=True, poly_order=4),
+    "strong_r": dict(strong_r_threshold=0.01),
+    "strong_r_mf": dict(strong_r_threshold=0.01, matrix_free_polys=True),
+    "strong_r_dense": dict(strong_r_threshold=1e-6),
+    "strong_r_ideal_w": dict(strong_r_threshold=0.01,
+                             one_point_classical_prolong=False),
 }
 
 
