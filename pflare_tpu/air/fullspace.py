@@ -33,9 +33,19 @@ from ..inverse.build import Inverse
 
 
 def make_op(M_host: sp.csr_matrix, dtype=None):
-    """Device operator: DIA when the offset structure pays, else ELL."""
+    """Device operator: DIA when the offset structure pays; else, on TPU,
+    the banded Pallas windowed SpMV when the bandwidth allows (arbitrary
+    gathers measure ~50x slower than slices on TPU, docs/tpu.md); else
+    gather ELL."""
     if DIA.viable(M_host):
         return DIA.from_scipy(M_host, dtype=dtype)
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from ..sparse.banded import BandedSpMV
+
+        if BandedSpMV.viable(M_host):
+            return BandedSpMV.from_scipy(M_host, dtype=dtype or jnp.float32)
     return ELL.from_scipy(M_host, dtype=dtype)
 
 

@@ -45,6 +45,7 @@ class PCAIR:
         self.hierarchy: Hierarchy | None = None
         self._apply_jit = None
         self._frozen = False  # KSPSetReusePreconditioner analogue
+        self._perm = None     # reorder="rcm" row/col permutation
 
     # ~~~~~~~~~~ option mutation resets the PC ~~~~~~~~~~
     def set_options(self, **kw):
@@ -87,6 +88,7 @@ class PCAIR:
         if self._frozen and self.hierarchy is not None:
             return self
         A = sp.csr_matrix(A)
+        A = self._apply_reorder(A)
         with timer("air_setup"):
             previous = None
             if (structure == "same" and self.hierarchy is not None
@@ -137,12 +139,47 @@ class PCAIR:
             return self
         if not device_setup_supported(self.options):
             return self.setup(A)
+        A = self._apply_reorder(sp.csr_matrix(A))
         dtype = dtype or self.dtype or jnp.float32
         with timer("air_setup"):
             self.hierarchy = setup_hierarchy_device(A, self.options,
                                                     dtype=dtype)
         self._build_apply()
         return self
+
+    def _apply_reorder(self, A):
+        """Optional bandwidth-reducing reordering before setup
+        (options.reorder == "rcm"): reverse Cuthill-McKee bands the
+        matrix so its operators reach the slice-based SpMV paths
+        (DIA / banded Pallas) instead of the ~50x-slower TPU gather
+        (docs/tpu.md).  Vectors permute transparently in apply/solve."""
+        if self.options.reorder == "none":
+            self._perm = None
+            return A
+        if self.options.reorder != "rcm":
+            raise ValueError(f"unknown reorder {self.options.reorder!r}")
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        pat = sp.csr_matrix(
+            (np.ones(A.nnz), A.indices, A.indptr), shape=A.shape)
+        pat = sp.csr_matrix(pat + pat.T)
+        perm = np.asarray(reverse_cuthill_mckee(pat, symmetric_mode=True),
+                          dtype=np.int64)
+        self._perm = perm
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(len(perm))
+        self._iperm = iperm
+        self._perm_dev = jnp.asarray(perm, dtype=jnp.int32)
+        self._iperm_dev = jnp.asarray(iperm, dtype=jnp.int32)
+        Ap = sp.csr_matrix(A[perm][:, perm])
+        Ap.sort_indices()
+        return Ap
+
+    def _to_internal(self, v):
+        return jnp.take(v, self._perm_dev) if self._perm is not None else v
+
+    def _from_internal(self, v):
+        return jnp.take(v, self._iperm_dev) if self._perm is not None else v
 
     def _top_operator(self):
         """The finest-level operator as a device matvec object."""
@@ -175,8 +212,10 @@ class PCAIR:
     def apply(self, r):
         if self.hierarchy is None:
             raise RuntimeError("PCAIR not set up")
-        return self._apply_jit(self.hierarchy.device_levels,
-                               self.hierarchy.coarse_inv, jnp.asarray(r))
+        r = self._to_internal(jnp.asarray(r))
+        y = self._apply_jit(self.hierarchy.device_levels,
+                            self.hierarchy.coarse_inv, r)
+        return self._from_internal(y)
 
     def __call__(self, r):
         return self.apply(r)
@@ -189,6 +228,12 @@ class PCAIR:
             raise RuntimeError("PCAIR not set up")
         E = self._top_operator()
         b = jnp.asarray(b, dtype=self.dtype) if self.dtype else jnp.asarray(b)
+        if self._perm is not None:
+            # solve in the internal (reordered) space with the INTERNAL
+            # preconditioner; permute b in and x out
+            res = self._solve_internal(E, b, x0, ksp, rtol, atol, max_it,
+                                       side, restart)
+            return res
         if ksp == "gmres":
             return gmres(E, b, x0=x0, M=self.apply, side=side, rtol=rtol,
                          atol=atol, max_it=max_it, restart=restart)
@@ -199,6 +244,28 @@ class PCAIR:
             return richardson(E, b, x0=x0, M=self.apply, rtol=rtol,
                               atol=atol, max_it=max_it)
         raise ValueError(ksp)
+
+    def _solve_internal(self, E, b, x0, ksp, rtol, atol, max_it, side,
+                        restart):
+        from ..solvers import gmres, richardson, fgmres
+
+        bi = self._to_internal(b)
+        x0i = self._to_internal(jnp.asarray(x0)) if x0 is not None else None
+        M = lambda r: self._apply_jit(self.hierarchy.device_levels,
+                                      self.hierarchy.coarse_inv, r)
+        if ksp == "gmres":
+            res = gmres(E, bi, x0=x0i, M=M, side=side, rtol=rtol,
+                        atol=atol, max_it=max_it, restart=restart)
+        elif ksp == "fgmres":
+            res = fgmres(E, bi, x0=x0i, M=M, rtol=rtol, atol=atol,
+                         max_it=max_it, restart=restart)
+        elif ksp == "richardson":
+            res = richardson(E, bi, x0=x0i, M=M, rtol=rtol, atol=atol,
+                             max_it=max_it)
+        else:
+            raise ValueError(ksp)
+        res.x = self._from_internal(res.x)
+        return res
 
     def solve_device(self, b, max_it: int = 10, ksp: str = "richardson",
                      x0=None, mesh=None):
@@ -221,6 +288,7 @@ class PCAIR:
         if self.hierarchy is None:
             raise RuntimeError("PCAIR not set up")
         b = jnp.asarray(b, dtype=self.dtype) if self.dtype else jnp.asarray(b)
+        b = self._to_internal(b)
         n = b.shape[0]
         if mesh is not None:
             E, levels, coarse_inv = self._distributed_state(mesh)
@@ -246,7 +314,7 @@ class PCAIR:
         x, norms = run(E, levels, coarse_inv, b)
         if x.shape[0] > n:
             x = x[:n]
-        return x, norms
+        return self._from_internal(x), norms
 
     def _distributed_state(self, mesh):
         """(top operator, sharded levels, coarse inverse) for a mesh --

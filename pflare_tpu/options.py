@@ -61,6 +61,13 @@ class AIROptions:
     # setting it emits a note rather than silently ignoring it.
     subcomm: bool = False
 
+    # row/column reordering applied before setup ("none" | "rcm"):
+    # reverse Cuthill-McKee bands the matrix so unstructured operators
+    # reach the slice-based SpMV paths (DIA / banded Pallas) instead of
+    # the ~50x-slower TPU gather (docs/tpu.md) -- a TPU-first design
+    # choice with no reference analogue (PETSc keeps natural ordering)
+    reorder: str = "none"
+
     strong_threshold: float = 0.5
     ddc_its: int = 1
     ddc_fraction: float = 0.1

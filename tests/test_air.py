@@ -527,3 +527,31 @@ def test_c_smoother_defaults_follow_f():
     assert lvl.inv_Acc is not None
     res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=10)
     assert res.converged, res.iterations
+
+
+def test_rcm_reorder_solve():
+    """reorder="rcm" bands the operator (docs/tpu.md: slice SpMV vs TPU
+    gather) and the permutation is transparent to the user: the returned
+    x solves the ORIGINAL system."""
+    from pflare_tpu.sparse.banded import BandedSpMV
+
+    A = adv_diff_2d(24)
+    # scramble the ordering to emulate an unstructured numbering
+    rng = np.random.default_rng(8)
+    p = rng.permutation(A.shape[0])
+    As = sp.csr_matrix(A[p][:, p])
+    assert BandedSpMV.bandwidth(As) > 500     # scrambled: no band
+
+    pc = PCAIR(AIROptions(reorder="rcm"))
+    pc.setup(As)
+    bw = BandedSpMV.bandwidth(pc.hierarchy.levels[0].A)
+    assert bw < 60, bw                        # re-banded by RCM
+    b = rhs(As.shape[0])
+    res = pc.solve(b, rtol=1e-6, max_it=10)
+    assert res.converged, res.iterations
+    x = np.asarray(res.x)
+    r = np.linalg.norm(As @ x - np.asarray(b)) / np.linalg.norm(np.asarray(b))
+    assert r < 1e-5, r
+    # apply() is also in the original space
+    y = np.asarray(pc.apply(b))
+    assert y.shape == x.shape
