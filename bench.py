@@ -184,11 +184,11 @@ def main():
 
     # compile + device warmup (excluded like the reference's prelim solve)
     xw, _ = solve(E, levels, coarse_inv, b)
-    xw.block_until_ready()
-
+    float(jnp.sum(xw))           # full value sync (block_until_ready is
+    #                              not reliable on tunneled backends)
     t1 = time.perf_counter()
     x_dev, norms_dev = solve(E, levels, coarse_inv, b)
-    x_dev.block_until_ready()
+    float(jnp.sum(x_dev))
     t_solve = time.perf_counter() - t1
 
     norms = np.asarray(norms_dev)

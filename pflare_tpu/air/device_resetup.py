@@ -410,6 +410,9 @@ class _LevelMeta:
     has_c: bool = False
     ideal_w: bool = False
     strong_r: bool = False
+    improve_w: int = 0
+    improve_z: int = 0
+    improve_diag: str = ""
     nnz_w: int = 0
     nnz_wdrop: int = 0
     invc_meta: _InvMeta = None
@@ -673,6 +676,44 @@ class DeviceResetup:
             psrc[nzp] = ppos
             arrs["p_src"] = jnp.asarray(psrc)
             arrs["p_ident"] = jnp.asarray(is_ident_p.astype(np.float64))
+        # fixed-sparsity Richardson improvement of W/Z (reference:
+        # src/Grid_Transfer_Improve.F90): residual values OUTSIDE the
+        # transfer pattern are discarded by the match, so the device form
+        # needs only products restricted onto the transfer pattern
+        if opts.improve_w_its > 0 or opts.improve_z_its > 0:
+            from ..sparse.spgemm import build_spgemm_plan
+
+            patA_ff = SparsityPattern(lvl.A_ff.indptr, lvl.A_ff.indices,
+                                      lvl.A_ff.shape)
+            # D = diag of the APPROXIMATE INVERSE feeding the transfers
+            # (reference: src/Grid_Transfer_Improve.F90:60-66)
+            if z_src in ("diag-same", "diag-own", "diag-drop"):
+                meta_imp_diag = "direct"       # invh_flat IS the diagonal
+            else:
+                src_plan3 = (pats["inv_aff_poly_plan"] if z_src == "same"
+                             else pats["inv_aff_drop_poly_plan"])
+                arrs["imp_dpos"] = jnp.asarray(
+                    src_plan3.pat_S.diag_positions())
+                meta_imp_diag = "pattern"
+        if opts.improve_z_its > 0:
+            pat_Z = zplan.pat_C
+            z_csr = sp.csr_matrix(
+                (np.ones(pat_Z.nnz), pat_Z.indices, pat_Z.indptr),
+                shape=pat_Z.shape)
+            arrs["zimp"] = _product_arrays(
+                build_spgemm_plan(pat_Z, patA_ff, pat_Z))
+            arrs["zimp_acf"] = _match_arrays(cf_mat, z_csr, lump=False)
+            arrs["zimp_cols"] = jnp.asarray(pat_Z.indices)
+        if opts.improve_w_its > 0 and ideal_w:
+            wplan2 = pats["W_numeric_plan"]
+            pat_W = wplan2.pat_C
+            w_csr2 = sp.csr_matrix(
+                (np.ones(pat_W.nnz), pat_W.indices, pat_W.indptr),
+                shape=pat_W.shape)
+            arrs["wimp"] = _product_arrays(
+                build_spgemm_plan(patA_ff, pat_W, pat_W))
+            arrs["wimp_afc"] = _match_arrays(lvl.A_fc, w_csr2, lump=False)
+            arrs["wimp_rows"] = jnp.asarray(pat_W.row_of_pos())
         rap_csr = sp.csr_matrix(
             (np.ones(rap_plan.pat_C.nnz), rap_plan.pat_C.indices,
              rap_plan.pat_C.indptr), shape=rap_plan.pat_C.shape)
@@ -742,6 +783,10 @@ class DeviceResetup:
             has_c=has_c,
             ideal_w=ideal_w,
             strong_r=strong_r,
+            improve_w=opts.improve_w_its,
+            improve_z=opts.improve_z_its,
+            improve_diag=(meta_imp_diag if (opts.improve_w_its
+                                            or opts.improve_z_its) else ""),
             nnz_w=nnz_w,
             nnz_wdrop=nnz_wdrop,
             invc_meta=invc_meta,
@@ -877,6 +922,17 @@ class DeviceResetup:
                 z_b = invh_flat[arrs["invh_map"]]
             # Z = -(A_cf_drop @ inv)
             z_flat = -_exec_product(arrs["z"], acf_z, z_b, meta.nnz_z)
+            if meta.improve_z > 0 or meta.improve_w > 0:
+                if meta.improve_diag == "direct":
+                    dinv = invh_flat
+                else:
+                    dinv = _diag_gather(arrs["imp_dpos"], invh_flat)
+            for _ in range(meta.improve_z):
+                za = _exec_product(arrs["zimp"], z_flat, aff, meta.nnz_z)
+                acf_on_z = (acf[arrs["zimp_acf"]["src"]]
+                            * arrs["zimp_acf"]["ok"])
+                z_flat = z_flat - (acf_on_z + za) * dinv[
+                    arrs["zimp_cols"]]
             zdrop = z_flat[arrs["zdrop"]["src"]] * arrs["zdrop"]["ok"]
             # R values
             r_flat = jnp.where(arrs["r_ident"] > 0, 1.0,
@@ -892,6 +948,13 @@ class DeviceResetup:
                     w_b = invh_flat[arrs["w_inv_map"]]
                 w_flat = -_exec_product(arrs["w"], w_b, afc_w,
                                         meta.nnz_w)
+                for _ in range(meta.improve_w):
+                    aw = _exec_product(arrs["wimp"], aff, w_flat,
+                                       meta.nnz_w)
+                    afc_on_w = (afc[arrs["wimp_afc"]["src"]]
+                                * arrs["wimp_afc"]["ok"])
+                    w_flat = w_flat - dinv[arrs["wimp_rows"]] * (
+                        afc_on_w + aw)
                 wdrop = (w_flat[arrs["wdrop"]["src"]]
                          * arrs["wdrop"]["ok"])
                 p_flat = jnp.where(arrs["p_ident"] > 0, 1.0,
@@ -1047,8 +1110,6 @@ def _validate(opts: AIROptions, hierarchy):
     bad = []
     if opts.symmetric:
         bad.append("symmetric")
-    if opts.improve_w_its or opts.improve_z_its:
-        bad.append("improve_w/z")
     if opts.constrain_w or opts.constrain_z:
         bad.append("constrain_w/z")
     if opts.full_smoothing_up_and_down:

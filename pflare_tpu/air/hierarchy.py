@@ -423,8 +423,15 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
 
     inv_diag_Aff = None
     if opts.improve_w_its > 0 or opts.improve_z_its > 0:
-        d = A_ff.diagonal()
-        inv_diag_Aff = np.where(d != 0, 1.0 / d, 0.0)
+        # reference: the diagonal of the approximate inverse itself
+        # (src/Grid_Transfer_Improve.F90:60-66)
+        if inv_Aff_host is not None:
+            inv_diag_Aff = np.asarray(inv_Aff_host.diagonal())
+        elif inv_Aff.kind in ("assembled", "diagonal"):
+            inv_diag_Aff = np.asarray(_assembled_host(inv_Aff).diagonal())
+        else:
+            d = A_ff.diagonal()
+            inv_diag_Aff = np.where(d != 0, 1.0 / d, 0.0)
 
     # ~~~~~~~~~~ W (prolongator component) ~~~~~~~~~~
     W_drop = None
@@ -441,8 +448,9 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                 if opts.improve_w_its > 0:
                     W = improve_transfer(W, A_ff, A_fc, inv_diag_Aff,
                                          opts.improve_w_its, is_z=False)
+                # (improve keeps W's pattern fixed, so the plan stays
+                # valid with improve_w_its > 0)
                 if (opts.reuse_sparsity and opts.reuse_amount >= 2
-                        and opts.improve_w_its == 0
                         and inv_Aff_host is not None
                         and "W_numeric_plan" not in patterns):
                     patterns["W_numeric_plan"] = _make_product_plan(
@@ -493,9 +501,6 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                                opts.lair_distance,
                                incomplete=(opts.z_type == ZType.LAIR))
         if opts.improve_z_its > 0:
-            if inv_diag_Aff is None:
-                d = A_ff.diagonal()
-                inv_diag_Aff = np.where(d != 0, 1.0 / d, 0.0)
             Z = improve_transfer(Z, A_ff, A_cf, inv_diag_Aff,
                                  opts.improve_z_its, is_z=True)
 

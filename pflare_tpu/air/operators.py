@@ -99,20 +99,23 @@ def compute_w_ideal(inv_Aff: sp.csr_matrix, A_fc_drop: sp.csr_matrix):
 
 
 def improve_transfer(M: sp.csr_matrix, A_ff: sp.csr_matrix,
-                     A_other: sp.csr_matrix, inv_diag_Aff: np.ndarray,
+                     A_other: sp.csr_matrix, inv_diag: np.ndarray,
                      its: int, is_z: bool) -> sp.csr_matrix:
     """Fixed-sparsity Richardson improvement of W or Z (reference:
-    src/Grid_Transfer_Improve.F90:25-200):
-      W <- W + D^-1 (-A_fc - A_ff W)|_S(W)
-      Z <- Z + (-A_cf - Z A_ff) D^-1 |_S(Z)
+    src/Grid_Transfer_Improve.F90:25-376):
+      W <- W - D (A_ff W + A_fc) |_S(W)
+      Z <- Z - (Z A_ff + A_cf) D |_S(Z)
+    with D = diag(inv(A_ff)) -- the diagonal of the APPROXIMATE INVERSE
+    (the reference always pulls diag(A_ff_inv), :60-66), scaling BOTH
+    residual terms.
     """
-    D = sp.diags(inv_diag_Aff)
+    D = sp.diags(inv_diag)
     for _ in range(its):
         if is_z:
-            resid = -A_other - (M @ A_ff) @ D
+            resid = (M @ A_ff + A_other) @ D
         else:
-            resid = D @ (-A_other - A_ff @ M)
-        M = remove_from_sparse_match(sp.csr_matrix(M + resid), M)
+            resid = D @ (A_ff @ M + A_other)
+        M = remove_from_sparse_match(sp.csr_matrix(M - resid), M)
     return M
 
 

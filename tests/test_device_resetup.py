@@ -79,6 +79,9 @@ CONFIGS = {
     "strong_r": dict(strong_r_threshold=0.01),
     "strong_r_mf": dict(strong_r_threshold=0.01, matrix_free_polys=True),
     "strong_r_dense": dict(strong_r_threshold=1e-6),
+    "improve_z": dict(improve_z_its=2),
+    "improve_wz_ideal": dict(one_point_classical_prolong=False,
+                             improve_w_its=2, improve_z_its=1),
     "strong_r_ideal_w": dict(strong_r_threshold=0.01,
                              one_point_classical_prolong=False),
 }
