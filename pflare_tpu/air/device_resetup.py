@@ -20,10 +20,13 @@ pytree: on backends that re-stream program constants per dispatch (see
 axon notes) closure-captured arrays would dominate the launch cost.
 
 Supported configuration (others raise ValueError at plan build):
-one-point classical OR ideal (-inv(A_ff) A_fc) prolongation, AIRG product
-Z, no strong-R dropping, no improve/constrain, non-symmetric, F/C (not
-full) smoothing, setup done with ``reuse_sparsity=True`` and
-``reuse_amount >= 3``.
+AIRG product Z with one-point classical, ideal (-inv(A_ff) A_fc) or
+symmetric (P = R^T) transfers, assembled power/Arnoldi/Newton or
+matrix-free/diagonal inverses, strong-R dropping, improve_w/z iterations,
+F/C (not full) smoothing, setup done with ``reuse_sparsity=True`` and
+``reuse_amount >= 3``.  Not covered (loud rejects): lAIR/SAI Z, the
+near-nullspace constraints, full up/down smoothing, auto-truncated
+hierarchies.
 """
 
 from __future__ import annotations
@@ -413,6 +416,7 @@ class _LevelMeta:
     improve_w: int = 0
     improve_z: int = 0
     improve_diag: str = ""
+    symmetric: bool = False
     nnz_w: int = 0
     nnz_wdrop: int = 0
     invc_meta: _InvMeta = None
@@ -625,9 +629,30 @@ class DeviceResetup:
             raise ValueError("device re-setup needs AP/RAP numeric plans")
         arrs["ap"] = _product_arrays(ap_plan)
         arrs["rap"] = _product_arrays(rap_plan)
-        ideal_w = not opts.one_point_classical_prolong
+        ideal_w = (not opts.one_point_classical_prolong
+                   and not opts.symmetric)
         nnz_w = nnz_wdrop = 0
-        if not ideal_w:
+        if opts.symmetric:
+            # P = R^T exactly: P values are a static transpose permutation
+            # of R values (reference: src/AIR_Operators_Setup.F90:919-922)
+            Pm0 = lvl.P
+            prows0 = np.repeat(np.arange(Pm0.shape[0], dtype=np.int64),
+                               np.diff(Pm0.indptr))
+            m0 = _pos_in(R, Pm0.indices.astype(np.int64)
+                         * np.int64(R.shape[1]) + prows0)
+            if np.any(m0 < 0):
+                raise ValueError("P is not R^T")
+            arrs["p_from_r"] = jnp.asarray(m0)
+            from .fullspace import _map_cols as _mc0
+            P_ext0 = _mc0(Pm0, coarse, n)
+            op0 = dev["P"]
+            kind0, oarrs0, oaux0 = _op_layout(op0, P_ext0)
+            kinds_sym = (kind0, oaux0)
+            arrs["op_P"] = oarrs0
+            arrs["perm_P"] = jnp.asarray(
+                _perm_between(Pm0, P_ext0, row_map=None, col_map=coarse))
+            self._sym_p_kind = kinds_sym
+        elif not ideal_w:
             arrs["p_vals"] = jnp.asarray(lvl.P.data)   # static (one-point)
         else:
             wplan = pats.get("W_numeric_plan")
@@ -765,6 +790,8 @@ class DeviceResetup:
                 dev["A_cc"], opts)
             arrs["invc"] = invc_arrs
 
+        if opts.symmetric:
+            kinds["P"], auxs["P"] = self._sym_p_kind
         meta = _LevelMeta(
             n=n,
             nnz_inv_host=(lvl.inv_Aff_host.nnz
@@ -787,6 +814,7 @@ class DeviceResetup:
             improve_z=opts.improve_z_its,
             improve_diag=(meta_imp_diag if (opts.improve_w_its
                                             or opts.improve_z_its) else ""),
+            symmetric=opts.symmetric,
             nnz_w=nnz_w,
             nnz_wdrop=nnz_wdrop,
             invc_meta=invc_meta,
@@ -962,6 +990,11 @@ class DeviceResetup:
                 lv["P"] = _build_op(meta.op_kinds["P"], arrs["op_P"],
                                     meta.op_aux["P"],
                                     p_flat[arrs["perm_P"]], dtype)
+            elif meta.symmetric:
+                p_flat = r_flat[arrs["p_from_r"]]
+                lv["P"] = _build_op(meta.op_kinds["P"], arrs["op_P"],
+                                    meta.op_aux["P"],
+                                    p_flat[arrs["perm_P"]], dtype)
             else:
                 p_flat = arrs["p_vals"]
             ap = _exec_product(arrs["ap"], a_flat, p_flat,
@@ -1108,8 +1141,6 @@ def _dropped_inverse_coeffs(lvl, opts) -> np.ndarray:
 
 def _validate(opts: AIROptions, hierarchy):
     bad = []
-    if opts.symmetric:
-        bad.append("symmetric")
     if opts.constrain_w or opts.constrain_z:
         bad.append("constrain_w/z")
     if opts.full_smoothing_up_and_down:

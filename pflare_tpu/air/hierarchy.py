@@ -533,7 +533,7 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
         ap_plan = patterns.get("AP_numeric_plan")
         rap_plan = patterns.get("RAP_numeric_plan")
         if (prev is not None and "RAP_drop" in patterns
-                and ap_plan is not None and not opts.symmetric
+                and ap_plan is not None
                 and ap_plan.pat_A.nnz == A.nnz
                 and ap_plan.pat_B.nnz == P.nnz):
             AP = _plan_product_host(ap_plan, A, P)
@@ -548,8 +548,9 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
             coarse_A = remove_from_sparse_match(RAP, patterns["RAP_drop"],
                                                 lump=opts.a_lump)
         else:
-            want_plans = (opts.reuse_sparsity and opts.reuse_amount >= 2
-                          and not opts.symmetric)
+            # symmetric PtAP shares the plan structure: P = R^T exactly,
+            # so RAP = P^T (A P) = R (A P) -- same two products
+            want_plans = (opts.reuse_sparsity and opts.reuse_amount >= 2)
             coarse_A, RAP = compute_coarse_matrix(A, R, P, opts.a_drop,
                                                   opts.a_lump, opts.symmetric,
                                                   need_rap=want_plans)

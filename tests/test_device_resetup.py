@@ -80,6 +80,7 @@ CONFIGS = {
     "strong_r_mf": dict(strong_r_threshold=0.01, matrix_free_polys=True),
     "strong_r_dense": dict(strong_r_threshold=1e-6),
     "improve_z": dict(improve_z_its=2),
+    "symmetric_ptap": dict(symmetric=True),
     "improve_wz_ideal": dict(one_point_classical_prolong=False,
                              improve_w_its=2, improve_z_its=1),
     "strong_r_ideal_w": dict(strong_r_threshold=0.01,
@@ -137,10 +138,12 @@ def test_device_resetup_validation():
     pc.setup(A)
     with pytest.raises(ValueError, match="reuse_sparsity"):
         pc.build_device_resetup()
+    from pflare_tpu import ZType
+
     pc2 = PCAIR(AIROptions(reuse_sparsity=True, reuse_amount=3,
-                           symmetric=True), jit=False)
-    pc2.setup(A + A.T)
-    with pytest.raises(ValueError, match="symmetric"):
+                           z_type=ZType.LAIR), jit=False)
+    pc2.setup(A)
+    with pytest.raises(ValueError, match="z_type"):
         pc2.build_device_resetup()
     pc3 = PCAIR(AIROptions(), jit=False)
     with pytest.raises(RuntimeError):
