@@ -40,7 +40,7 @@ import scipy.sparse as sp
 
 from ..inverse.build import Inverse
 from ..options import AIROptions
-from ..params import InverseType
+from ..params import InverseType, ZType
 from ..sparse import ELL
 from ..sparse.dia import DIA
 from ..sparse.pattern import SparsityPattern
@@ -270,6 +270,7 @@ class _InvMeta:
     newton_wr: tuple = None         # assembled Newton: static root schedule
     newton_wi: tuple = None
     tol_zero: float = 0.0
+    sai: bool = False               # assembled SAI/ISAI (solve tables)
 
 
 def _inverse_plan(inv: Inverse, A_ff: sp.csr_matrix, patterns: dict,
@@ -298,6 +299,34 @@ def _inverse_plan(inv: Inverse, A_ff: sp.csr_matrix, patterns: dict,
         arrs["w"] = jnp.asarray(w)
         meta.order = n
         return meta, arrs
+    if inv.kind == "assembled" and inv.meta.get("type") in (
+            int(InverseType.SAI), int(InverseType.ISAI)):
+        # SAI/ISAI re-solve: static gather tables + batched in-jit SVD
+        # least squares (the Kokkos re-solve sibling,
+        # src/SAI_Zk.kokkos.cxx:13)
+        from ..inverse.sai import SAISolvePlan
+
+        S_csr = inv.host_csr
+        if S_csr is None:
+            raise ValueError("SAI re-solve needs the host inverse copy")
+        S_pat = sp.csr_matrix(
+            (np.ones(S_csr.nnz), S_csr.indices, S_csr.indptr),
+            shape=S_csr.shape)
+        sai_plan = SAISolvePlan(
+            A_ff, None, S_pat,
+            incomplete=(inv.meta.get("type") == int(InverseType.ISAI)))
+        arrs["sai"] = sai_plan.device_tables()
+        meta.sai = True
+        meta.nnz_s = S_pat.nnz
+        from .fullspace import _map_both as _mb2
+        M_ext = _mb2(S_pat, fine, fine, n)
+        kind, oarrs, oaux = _op_layout(_ext_like(ext_op, M_ext), M_ext)
+        meta.op_kind, meta.op_aux = kind, oaux
+        arrs["op"] = oarrs
+        arrs["ext_perm"] = jnp.asarray(_perm_between(S_pat, M_ext,
+                                                     row_map=fine,
+                                                     col_map=fine))
+        return meta, arrs
     if inv.kind == "assembled":
         plan = patterns.get(plan_key)
         if plan is None:
@@ -308,8 +337,7 @@ def _inverse_plan(inv: Inverse, A_ff: sp.csr_matrix, patterns: dict,
         if inv.coefficients is None:
             raise ValueError(
                 "assembled inverse without stored coefficients is not "
-                "supported by device re-setup (SAI/ISAI re-solve is a "
-                "host-path rebuild)")
+                "supported by device re-setup")
         arrs["poly"] = _poly_plan_arrays(plan)
         if inv.meta.get("type") in (int(InverseType.NEWTON),
                                     int(InverseType.NEWTON_NO_EXTRA)):
@@ -364,7 +392,11 @@ def _exec_inverse(meta: _InvMeta, arrs: dict, aff_flat, ext_A_op, n: int,
         d = _gather_place(arrs["fine_g"], dinv, dtype)
         return Inverse("diagonal", diag=d, meta=meta.meta)
     if meta.kind == "assembled":
-        if meta.newton_wr is not None:
+        if meta.sai:
+            from ..inverse.sai import sai_execute
+
+            m_flat = sai_execute(arrs["sai"], aff_flat)
+        elif meta.newton_wr is not None:
             m_flat = _exec_newton_poly(arrs["poly"], meta.newton_wr,
                                        meta.newton_wi, meta.nnz_s,
                                        aff_flat, meta.tol_zero)
@@ -374,8 +406,10 @@ def _exec_inverse(meta: _InvMeta, arrs: dict, aff_flat, ext_A_op, n: int,
         ext_vals = m_flat[arrs["ext_perm"]]
         op = _build_op(meta.op_kind, arrs["op"], meta.op_aux, ext_vals,
                        dtype)
+        coeffs = arrs.get("coeffs")
         return Inverse("assembled", mat=op, meta=meta.meta,
-                       coefficients=arrs["coeffs"].astype(dtype))
+                       coefficients=(coeffs.astype(dtype)
+                                     if coeffs is not None else None))
     # matrix-free kinds run against the full-space A_ff operator
     diag = None
     if "diag_pos" in arrs:
@@ -417,6 +451,7 @@ class _LevelMeta:
     improve_z: int = 0
     improve_diag: str = ""
     symmetric: bool = False
+    z_lair: bool = False
     nnz_w: int = 0
     nnz_wdrop: int = 0
     invc_meta: _InvMeta = None
@@ -496,10 +531,13 @@ class DeviceResetup:
             cf_mat = sp.csr_matrix(A[coarse][:, fine])
             cf_mat.sort_indices()
         arrs["cf"] = jnp.asarray(_submatrix_map(A, cf_mat, coarse, fine))
-        z_amat = (pats["Acf_drop"] if opts.strong_r_threshold != 0.0
-                  else cf_mat)
-        if z_amat.nnz != pats["Z_numeric_plan"].pat_A.nnz:
-            raise ValueError("A_cf pattern differs from the stored Z plan")
+        z_is_lair = opts.z_type != ZType.PRODUCT
+        if not z_is_lair:
+            z_amat = (pats["Acf_drop"] if opts.strong_r_threshold != 0.0
+                      else cf_mat)
+            if z_amat.nnz != pats["Z_numeric_plan"].pat_A.nnz:
+                raise ValueError(
+                    "A_cf pattern differs from the stored Z plan")
 
         # smoothing inverse
         ext_A_op = dev["A_ff"]
@@ -532,7 +570,26 @@ class DeviceResetup:
                              np.diff(lvl.A_ff.indptr))
         aff_diag_only = bool(np.all(aff_rows == lvl.A_ff.indices))
         invh_meta = None
-        if lvl.inv_Aff.kind == "diagonal" and not strong_r:
+        if z_is_lair:
+            # lAIR / SAI-lAIR: Z rows re-solve as batched local least
+            # squares over the stored distance-d sparsity (reference:
+            # src/SAI_Zk.kokkos.cxx:13)
+            from ..inverse.sai import SAISolvePlan
+
+            lair_pat = pats.get("Z_lair_sparsity")
+            if lair_pat is None:
+                raise ValueError(
+                    "device re-setup with lAIR needs the stored "
+                    "distance-d sparsity (setup with reuse_sparsity, "
+                    "amount>=2)")
+            z_src = "lair"
+            z_plan_sai = SAISolvePlan(
+                lvl.A_ff, cf_mat, lair_pat,
+                incomplete=(opts.z_type == ZType.LAIR))
+            arrs["z_sai"] = z_plan_sai.device_tables()
+            z_pat_for_drop = lair_pat
+            nnz_z_val = lair_pat.nnz
+        elif lvl.inv_Aff.kind == "diagonal" and not strong_r:
             z_src = "diag-same"
         elif aff_diag_only and not strong_r:
             z_src = "diag-own"
@@ -572,35 +629,49 @@ class DeviceResetup:
             }
         invh_same = z_src in ("diag-same", "same")
 
-        # inverse values (CSR order on its own pattern) feeding the Z plan
-        zplan = pats.get("Z_numeric_plan")
-        if zplan is None:
-            raise ValueError("device re-setup needs Z_numeric_plan "
-                             "(setup with reuse_sparsity, amount>=2)")
-        arrs["z"] = _product_arrays(zplan)
-        # map the rebuilt inverse values onto zplan's B pattern (the host
-        # assembled inverse may have dropped explicit zeros relative to the
-        # poly plan's S pattern)
-        pat_b = zplan.pat_B
-        b_keys = _keys(pat_b.indptr, pat_b.indices, pat_b.shape[1])
-        if z_src in ("diag-same", "diag-own", "diag-drop"):
-            arrs["invh_rows"] = jnp.asarray(pat_b.row_of_pos())
-        else:
-            src_plan = (pats["inv_aff_poly_plan"] if z_src == "same"
-                        else pats["inv_aff_drop_poly_plan"])
-            s_csr = sp.csr_matrix(
-                (np.ones(src_plan.pat_S.nnz), src_plan.pat_S.indices,
-                 src_plan.pat_S.indptr), shape=src_plan.pat_S.shape)
-            m = _pos_in(s_csr, b_keys)
-            if np.any(m < 0):
-                raise ValueError("assembled-inverse pattern does not cover "
-                                 "the stored Z plan pattern")
-            arrs["invh_map"] = jnp.asarray(m)
+        if not z_is_lair:
+            # inverse values (CSR order, own pattern) feeding the Z plan
+            zplan = pats.get("Z_numeric_plan")
+            if zplan is None:
+                raise ValueError("device re-setup needs Z_numeric_plan "
+                                 "(setup with reuse_sparsity, amount>=2)")
+            arrs["z"] = _product_arrays(zplan)
+            # map the rebuilt inverse values onto zplan's B pattern (the
+            # host assembled inverse may have dropped explicit zeros
+            # relative to the poly plan's S pattern)
+            pat_b = zplan.pat_B
+            b_keys = _keys(pat_b.indptr, pat_b.indices, pat_b.shape[1])
+            if z_src in ("diag-same", "diag-own", "diag-drop"):
+                arrs["invh_rows"] = jnp.asarray(pat_b.row_of_pos())
+            else:
+                if z_src == "same" and inv_meta.sai:
+                    # the SAI/ISAI inverse's own (solve sparsity) pattern
+                    hc = lvl.inv_Aff.host_csr
+                    s_csr = sp.csr_matrix(
+                        (np.ones(hc.nnz), hc.indices, hc.indptr),
+                        shape=hc.shape)
+                else:
+                    src_plan = (pats["inv_aff_poly_plan"]
+                                if z_src == "same"
+                                else pats["inv_aff_drop_poly_plan"])
+                    s_csr = sp.csr_matrix(
+                        (np.ones(src_plan.pat_S.nnz),
+                         src_plan.pat_S.indices,
+                         src_plan.pat_S.indptr),
+                        shape=src_plan.pat_S.shape)
+                m = _pos_in(s_csr, b_keys)
+                if np.any(m < 0):
+                    raise ValueError(
+                        "assembled-inverse pattern does not cover the "
+                        "stored Z plan pattern")
+                arrs["invh_map"] = jnp.asarray(m)
+            z_pat_for_drop = sp.csr_matrix(
+                (np.ones(zplan.pat_C.nnz), zplan.pat_C.indices,
+                 zplan.pat_C.indptr), shape=zplan.pat_C.shape)
+            nnz_z_val = zplan.pat_C.nnz
         # Z -> Z_drop subset
-        z_pat_csr = sp.csr_matrix(
-            (np.ones(zplan.pat_C.nnz), zplan.pat_C.indices,
-             zplan.pat_C.indptr), shape=zplan.pat_C.shape)
-        arrs["zdrop"] = _match_arrays(z_pat_csr, pats["Z_drop"], lump=False)
+        arrs["zdrop"] = _match_arrays(z_pat_for_drop, pats["Z_drop"],
+                                      lump=False)
 
         # R values: Z_drop entries + identity ones
         R = lvl.R
@@ -721,6 +792,9 @@ class DeviceResetup:
                     src_plan3.pat_S.diag_positions())
                 meta_imp_diag = "pattern"
         if opts.improve_z_its > 0:
+            if z_is_lair:
+                raise ValueError("device re-setup: improve_z with lAIR "
+                                 "is not supported (host path covers it)")
             pat_Z = zplan.pat_C
             z_csr = sp.csr_matrix(
                 (np.ones(pat_Z.nnz), pat_Z.indices, pat_Z.indptr),
@@ -796,7 +870,7 @@ class DeviceResetup:
             n=n,
             nnz_inv_host=(lvl.inv_Aff_host.nnz
                           if lvl.inv_Aff_host is not None else 0),
-            nnz_z=zplan.pat_C.nnz,
+            nnz_z=nnz_z_val,
             nnz_zdrop=pats["Z_drop"].nnz,
             nnz_ap=ap_plan.pat_C.nnz,
             nnz_rap=rap_plan.pat_C.nnz,
@@ -815,6 +889,7 @@ class DeviceResetup:
             improve_diag=(meta_imp_diag if (opts.improve_w_its
                                             or opts.improve_z_its) else ""),
             symmetric=opts.symmetric,
+            z_lair=(z_src == "lair"),
             nnz_w=nnz_w,
             nnz_wdrop=nnz_wdrop,
             invc_meta=invc_meta,
@@ -913,9 +988,15 @@ class DeviceResetup:
                                           A_ff_ext, meta.n, dtype)
             # assembled inverse values for the Z product (f64 throughout
             # the setup math; cast at the op build)
-            if meta.z_src == "same":
+            if meta.z_lair:
+                invh_flat = None
+            elif meta.z_src == "same":
                 im = meta.inv_meta
-                if im.newton_wr is not None:
+                if im.sai:
+                    from ..inverse.sai import sai_execute as _sai_exec2
+
+                    invh_flat = _sai_exec2(arrs["inv"]["sai"], aff)
+                elif im.newton_wr is not None:
                     invh_flat = _exec_newton_poly(
                         arrs["inv"]["poly"], im.newton_wr, im.newton_wi,
                         im.nnz_s, aff, im.tol_zero)
@@ -943,13 +1024,20 @@ class DeviceResetup:
                     invh_flat = _exec_poly(
                         arrs["invh"]["poly"], im.order, im.nnz_s, affd,
                         arrs["invh"]["coeffs"])
-            # lay the inverse onto the Z plan's B pattern
-            if "invh_rows" in arrs:
-                z_b = invh_flat[arrs["invh_rows"]]
+            if meta.z_lair:
+                from ..inverse.sai import sai_execute as _sai_exec
+
+                # lAIR: Z rows from batched local solves on the stored
+                # sparsity (UNdropped operators, like the host)
+                z_flat = _sai_exec(arrs["z_sai"], aff, acf)
             else:
-                z_b = invh_flat[arrs["invh_map"]]
-            # Z = -(A_cf_drop @ inv)
-            z_flat = -_exec_product(arrs["z"], acf_z, z_b, meta.nnz_z)
+                # lay the inverse onto the Z plan's B pattern
+                if "invh_rows" in arrs:
+                    z_b = invh_flat[arrs["invh_rows"]]
+                else:
+                    z_b = invh_flat[arrs["invh_map"]]
+                # Z = -(A_cf_drop @ inv)
+                z_flat = -_exec_product(arrs["z"], acf_z, z_b, meta.nnz_z)
             if meta.improve_z > 0 or meta.improve_w > 0:
                 if meta.improve_diag == "direct":
                     dinv = invh_flat
@@ -1145,8 +1233,11 @@ def _validate(opts: AIROptions, hierarchy):
         bad.append("constrain_w/z")
     if opts.full_smoothing_up_and_down:
         bad.append("full_smoothing_up_and_down")
-    if opts.z_type.name != "PRODUCT":
-        bad.append(f"z_type={opts.z_type.name}")
+    if (opts.z_type.name != "PRODUCT"
+            and not opts.one_point_classical_prolong):
+        bad.append("z_type=lair with ideal prolongator")
+    if opts.z_type.name != "PRODUCT" and opts.symmetric:
+        bad.append("z_type=lair with symmetric")
     if not opts.reuse_sparsity or opts.reuse_amount < 3:
         bad.append("reuse_sparsity/amount")
     if hierarchy.auto_truncated:

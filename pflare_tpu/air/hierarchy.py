@@ -497,9 +497,16 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                     patterns["Z_numeric_plan"] = _make_product_plan(
                         A_cf_drop, inv_Aff_host, Z)
         else:
+            lair_pat = patterns.get("Z_lair_sparsity")
             Z = compute_z_lair(A_ff, A_cf, A_ff_drop, A_cf_drop,
                                opts.lair_distance,
-                               incomplete=(opts.z_type == ZType.LAIR))
+                               incomplete=(opts.z_type == ZType.LAIR),
+                               sparsity=lair_pat)
+            if (lair_pat is None and opts.reuse_sparsity
+                    and opts.reuse_amount >= 2):
+                patterns["Z_lair_sparsity"] = sp.csr_matrix(
+                    (np.ones(Z.nnz), Z.indices.copy(), Z.indptr.copy()),
+                    shape=Z.shape)
         if opts.improve_z_its > 0:
             Z = improve_transfer(Z, A_ff, A_cf, inv_diag_Aff,
                                  opts.improve_z_its, is_z=True)

@@ -73,18 +73,24 @@ def compute_z_airg(A_cf_drop: sp.csr_matrix, inv_Aff: sp.csr_matrix):
     return Z
 
 
-def compute_z_lair(A_ff, A_cf, A_ff_drop, A_cf_drop, distance: int,
-                   incomplete: bool):
-    """lAIR / SAI-lAIR: per-row dense solves on the distance-d sparsity
-    A_cf_drop @ A_ff_drop^(d-1) (reference:
-    src/AIR_Operators_Setup.F90:700-782)."""
+def lair_sparsity(A_ff_drop, A_cf_drop, distance: int) -> sp.csr_matrix:
+    """Distance-d lAIR sparsity A_cf_drop @ A_ff_drop^(d-1) (symbolic;
+    reference: src/AIR_Operators_Setup.F90:700-782)."""
     if distance == 1:
-        sparsity = A_cf_drop
-    else:
-        P = A_ff_drop
-        for _ in range(3, distance + 1):
-            P = symbolic_matmat(A_ff_drop, P)
-        sparsity = symbolic_matmat(A_cf_drop, P)
+        return A_cf_drop
+    P = A_ff_drop
+    for _ in range(3, distance + 1):
+        P = symbolic_matmat(A_ff_drop, P)
+    return symbolic_matmat(A_cf_drop, P)
+
+
+def compute_z_lair(A_ff, A_cf, A_ff_drop, A_cf_drop, distance: int,
+                   incomplete: bool, sparsity=None):
+    """lAIR / SAI-lAIR: per-row dense solves on the distance-d sparsity
+    (reference: src/AIR_Operators_Setup.F90:700-782).  ``sparsity`` may be
+    supplied from the reuse slots to skip the symbolic products."""
+    if sparsity is None:
+        sparsity = lair_sparsity(A_ff_drop, A_cf_drop, distance)
     # solve against the UN-dropped matrices; sparsity came from the dropped
     return sai_z(A_ff, A_cf, sparsity, incomplete=incomplete)
 

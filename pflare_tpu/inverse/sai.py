@@ -271,6 +271,161 @@ def _sai_z_batched(A_ff, A_cf, S, incomplete: bool) -> sp.csr_matrix:
     return Z
 
 
+class SAISolvePlan:
+    """Static-table plan for re-solving SAI/ISAI/lAIR rows on device.
+
+    Built once from the (fixed) patterns; ``execute(aff_flat, acf_flat)``
+    is pure jit-traceable: per size-bucketed chunk it gathers the dense
+    local blocks from the CSR value arrays, runs one batched SVD
+    least-squares (the reference's per-row gels/gesv,
+    src/SAI_Zk.kokkos.cxx:13, as MXU batches), and reassembles the Z/M
+    values in CSR entry order through a static gather -- no scatters.
+    """
+
+    def __init__(self, A_ff: sp.csr_matrix, A_cf, S: sp.csr_matrix,
+                 incomplete: bool):
+        import numpy as _np
+
+        A_ff = sp.csr_matrix(A_ff)
+        A_ff.sort_indices()
+        S = sp.csr_matrix(S)
+        S.sort_indices()
+        self.identity_rhs = A_cf is None
+        if A_cf is not None:
+            A_cf = sp.csr_matrix(A_cf)
+            A_cf.sort_indices()
+        n_rows = S.shape[0]
+        J_idx, J_mask, kJ = _pad_indices(S)
+        if incomplete:
+            I_idx, I_mask, kI = J_idx, J_mask, kJ
+        else:
+            Sh = sp.csr_matrix(
+                (np.ones(S.nnz), S.indices, S.indptr), shape=S.shape
+            ) @ sp.csr_matrix(
+                (np.ones(A_ff.nnz), A_ff.indices, A_ff.indptr),
+                shape=A_ff.shape)
+            Sh.sort_indices()
+            I_idx, I_mask, kI = _pad_indices(Sh)
+
+        def lookup_pos(A, rows, cols):
+            keys = _rows_of(A) * np.int64(A.shape[1]) + A.indices
+            q = (rows.astype(np.int64) * np.int64(A.shape[1])
+                 + cols.astype(np.int64))
+            pos = np.searchsorted(keys, q.ravel())
+            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+            ok = (len(keys) > 0) & (keys[pos_c] == q.ravel())
+            return np.where(ok, pos_c, -1).reshape(q.shape)
+
+        order = np.argsort(-kI, kind="stable")
+        order = order[kJ[order] > 0]
+        rows_per_chunk = max(
+            1, _CHUNK_SCALARS // max(1, int(J_idx.shape[1])
+                                     * (int(I_idx.shape[1])
+                                        + int(J_idx.shape[1]))))
+        self.chunks = []
+        # CSR entry -> (position within the concatenated chunk outputs)
+        out_src = np.zeros(S.nnz, dtype=np.int64)
+        out_ok = np.zeros(S.nnz, dtype=bool)
+        offset = 0
+        for lo in range(0, len(order), rows_per_chunk):
+            sel = order[lo : lo + rows_per_chunk]
+            if len(sel) == 0:
+                continue
+            kc = int(kJ[sel].max())
+            ic = int(kI[sel].max())
+            Jc, Jm = J_idx[sel][:, :kc], J_mask[sel][:, :kc]
+            Ic, Im = I_idx[sel][:, :ic], I_mask[sel][:, :ic]
+            Mpos = lookup_pos(A_ff, Jc[:, None, :], Ic[:, :, None])
+            Mpos = np.where(Im[:, :, None] & Jm[:, None, :], Mpos, -1)
+            if self.identity_rhs:
+                # A_cf = -I: rhs = +e_row restricted to I
+                rhs_fix = np.where(
+                    (Ic == sel[:, None]) & Im, 1.0, 0.0)
+                chunk = dict(Mpos=Mpos, rhs_fix=rhs_fix, Jm=Jm, kc=kc)
+            else:
+                Rpos = lookup_pos(
+                    A_cf, np.broadcast_to(sel[:, None], Ic.shape), Ic)
+                Rpos = np.where(Im, Rpos, -1)
+                chunk = dict(Mpos=Mpos, Rpos=Rpos, Jm=Jm, kc=kc)
+            self.chunks.append(chunk)
+            # output layout: chunk emits [b, kc] values; entry (row, slot)
+            for bi, r in enumerate(sel):
+                s0, s1 = S.indptr[r], S.indptr[r + 1]
+                m = s1 - s0
+                out_src[s0:s1] = offset + bi * kc + np.arange(m)
+                out_ok[s0:s1] = True
+            offset += len(sel) * kc
+        self.out_src = out_src
+        self.out_ok = out_ok
+        self.total = offset
+        self.nnz = S.nnz
+        self.pat_S = S
+
+    def device_tables(self):
+        """Static tables as a jit-arg pytree (tuple of per-chunk dicts +
+        the output gather maps) -- passed as ARGUMENTS, not closure
+        constants, like every other static map in the re-setup plans."""
+        import jax.numpy as jnp
+
+        chunks = []
+        for ch in self.chunks:
+            d = {"Mpos": jnp.asarray(ch["Mpos"]),
+                 "Jm": jnp.asarray(ch["Jm"])}
+            if self.identity_rhs:
+                d["rhs_fix"] = jnp.asarray(ch["rhs_fix"])
+            else:
+                d["Rpos"] = jnp.asarray(ch["Rpos"])
+            chunks.append(d)
+        return {
+            "chunks": tuple(chunks),
+            "out_src": jnp.asarray(np.maximum(self.out_src, 0)),
+            "out_ok": jnp.asarray(self.out_ok),
+        }
+
+    def execute(self, aff_flat, acf_flat=None, tables=None):
+        """Z/M values in S's CSR entry order (traced; device math)."""
+        if tables is None:
+            tables = self.device_tables()
+        return sai_execute(tables, aff_flat, acf_flat)
+
+
+def sai_execute(tables, aff_flat, acf_flat=None):
+    """Run the batched local solves of a SAISolvePlan from its jit-arg
+    tables (see SAISolvePlan.device_tables)."""
+    import jax.numpy as jnp
+
+    outs = []
+    for ch in tables["chunks"]:
+        Mpos = ch["Mpos"]
+        Jm = ch["Jm"]
+        kc = Jm.shape[1]
+        M = jnp.where(Mpos >= 0, aff_flat[jnp.maximum(Mpos, 0)], 0.0)
+        aug = (jnp.eye(kc, dtype=M.dtype)[None, :, :]
+               * (~Jm)[:, None, :].astype(M.dtype))
+        M_ext = jnp.concatenate([M, aug], axis=1)       # [b, ic+kc, kc]
+        if "rhs_fix" in ch:
+            rhs = ch["rhs_fix"].astype(M.dtype)
+        else:
+            Rpos = ch["Rpos"]
+            rhs = -jnp.where(Rpos >= 0,
+                             acf_flat[jnp.maximum(Rpos, 0)], 0.0)
+        rhs_ext = jnp.concatenate(
+            [rhs, jnp.zeros((rhs.shape[0], kc), dtype=rhs.dtype)],
+            axis=1)
+        # batched SVD least squares (rank-revealing: the reference's
+        # gels/pseudo-inverse semantics, relative cutoff)
+        U, sv, Vt = jnp.linalg.svd(M_ext, full_matrices=False)
+        smax = jnp.max(sv, axis=1, keepdims=True)
+        sinv = jnp.where(sv > 1e-12 * jnp.maximum(smax, 1e-300),
+                         1.0 / jnp.where(sv != 0, sv, 1.0), 0.0)
+        utb = jnp.einsum("bij,bi->bj", U, rhs_ext)
+        z = jnp.einsum("bji,bj->bi", Vt, sinv * utb)     # [b, kc]
+        outs.append(z.reshape(-1))
+    flat = jnp.concatenate(outs) if outs else jnp.zeros(
+        0, dtype=aff_flat.dtype)
+    return jnp.where(tables["out_ok"], flat[tables["out_src"]], 0.0)
+
+
 def _sai_z_loop(A_ff, A_cf, S, incomplete: bool) -> sp.csr_matrix:
     """Per-row reference solve (kept as the rank-deficient fallback and the
     oracle for the batched path)."""

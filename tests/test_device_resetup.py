@@ -81,6 +81,10 @@ CONFIGS = {
     "strong_r_dense": dict(strong_r_threshold=1e-6),
     "improve_z": dict(improve_z_its=2),
     "symmetric_ptap": dict(symmetric=True),
+    "lair": dict(z_type=__import__("pflare_tpu").ZType.LAIR),
+    "sai_lair": dict(z_type=__import__("pflare_tpu").ZType.LAIR_SAI),
+    "sai_smoother": dict(inverse_type=InverseType.SAI),
+    "isai_smoother": dict(inverse_type=InverseType.ISAI),
     "improve_wz_ideal": dict(one_point_classical_prolong=False,
                              improve_w_its=2, improve_z_its=1),
     "strong_r_ideal_w": dict(strong_r_threshold=0.01,
@@ -138,12 +142,10 @@ def test_device_resetup_validation():
     pc.setup(A)
     with pytest.raises(ValueError, match="reuse_sparsity"):
         pc.build_device_resetup()
-    from pflare_tpu import ZType
-
     pc2 = PCAIR(AIROptions(reuse_sparsity=True, reuse_amount=3,
-                           z_type=ZType.LAIR), jit=False)
+                           constrain_z=True), jit=False)
     pc2.setup(A)
-    with pytest.raises(ValueError, match="z_type"):
+    with pytest.raises(ValueError, match="constrain"):
         pc2.build_device_resetup()
     pc3 = PCAIR(AIROptions(), jit=False)
     with pytest.raises(RuntimeError):
