@@ -80,3 +80,14 @@ for step in range(3):
 # On a real TPU chip at 512x512 the warm device re-setup measures ~5 ms
 # against ~2.2 s first-time setup.  Freezing (`pc.freeze(True)`) skips
 # re-setup entirely -- the `KSPSetReusePreconditioner` analogue.
+
+# %% [markdown]
+# ## Round-2 envelope
+#
+# The device re-setup plan now covers AIRG / lAIR / SAI-lAIR restrictors,
+# one-point / ideal / symmetric (P = R^T) transfers, every inverse kind
+# (assembled power/Arnoldi/Newton, SAI/ISAI re-solves as batched in-jit
+# least squares, matrix-free, diagonal), strong-R dropping and
+# improve_w/z iterations.  And for FIRST-time setup on an attached TPU,
+# `pc.setup_device(A)` runs pattern discovery itself on the accelerator
+# (see docs/tpu.md).
