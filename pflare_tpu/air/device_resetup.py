@@ -20,13 +20,14 @@ pytree: on backends that re-stream program constants per dispatch (see
 axon notes) closure-captured arrays would dominate the launch cost.
 
 Supported configuration (others raise ValueError at plan build):
-AIRG product Z with one-point classical, ideal (-inv(A_ff) A_fc) or
-symmetric (P = R^T) transfers, assembled power/Arnoldi/Newton or
-matrix-free/diagonal inverses, strong-R dropping, improve_w/z iterations,
+AIRG / lAIR / SAI-lAIR restrictors, one-point classical, ideal
+(-inv(A_ff) A_fc) or symmetric (P = R^T) transfers, every inverse kind
+(assembled power/Arnoldi/Newton, SAI/ISAI re-solves, matrix-free,
+diagonal), strong-R dropping, improve_w/z iterations, near-nullspace
+constraints (device-smoothed candidates + batched projector corrections),
 F/C (not full) smoothing, setup done with ``reuse_sparsity=True`` and
-``reuse_amount >= 3``.  Not covered (loud rejects): lAIR/SAI Z, the
-near-nullspace constraints, full up/down smoothing, auto-truncated
-hierarchies.
+``reuse_amount >= 3``.  Not covered (loud rejects): full up/down
+smoothing, improve with lAIR, auto-truncated hierarchies.
 """
 
 from __future__ import annotations
@@ -426,6 +427,93 @@ def _exec_inverse(meta: _InvMeta, arrs: dict, aff_flat, ext_A_op, n: int,
                    meta=meta.meta)
 
 
+# ~~~~~~~~~~~~~~~~~~~~~ near-nullspace constraints ~~~~~~~~~~~~~~~~~~~~~
+
+
+def _matvec_arrays(M: sp.csr_matrix, transpose: bool = False) -> dict:
+    """Static arrays for y = M x (or M^T x) from CSR values: gather x at
+    the column of each entry, segment-sum into rows.  For the transpose
+    the entries re-sort by column (a static permutation)."""
+    rows = np.repeat(np.arange(M.shape[0], dtype=np.int64),
+                     np.diff(M.indptr))
+    cols = M.indices.astype(np.int64)
+    if transpose:
+        order = np.argsort(cols, kind="stable")
+        return {"perm": jnp.asarray(order),
+                "x_at": jnp.asarray(rows[order]),
+                "out": jnp.asarray(cols[order])}
+    return {"perm": None, "x_at": jnp.asarray(cols),
+            "out": jnp.asarray(rows)}
+
+
+def _exec_matvec(arrs: dict, m_flat, x, n_out: int):
+    vals = m_flat if arrs["perm"] is None else m_flat[arrs["perm"]]
+    return jax.ops.segment_sum(vals * x[arrs["x_at"]], arrs["out"],
+                               num_segments=n_out, indices_are_sorted=True)
+
+
+def _exec_null_smooth(mv_arrs: dict, m_flat, dpos, v, n: int, its: int):
+    """Self-scaled Richardson + Jacobi on Mx=0 from guess v (the device
+    form of air/constrain.py::_richardson_smooth, reference:
+    src/Constrain_Z_or_W.F90:118-218)."""
+    dvals = _diag_gather(dpos, m_flat)
+    dinv = jnp.where(dvals != 0, 1.0 / jnp.where(dvals != 0, dvals, 1.0),
+                     0.0)
+
+    def body(x, _):
+        r = -_exec_matvec(mv_arrs, m_flat, x, n)
+        z = dinv * r
+        Az = _exec_matvec(mv_arrs, m_flat, z, n)
+        denom = jnp.dot(Az, Az)
+        alpha = jnp.where(denom != 0, jnp.dot(Az, r)
+                          / jnp.where(denom != 0, denom, 1.0), 0.0)
+        return x + alpha * z, None
+
+    x, _ = jax.lax.scan(body, v, None, length=its)
+    return x
+
+
+def _constrain_tables(M_pat: sp.csr_matrix):
+    """Support-size-bucketed static tables for the row-wise projector
+    correction (air/constrain.py::constrain_grid_transfer as in-jit
+    batched SVD pseudo-inverses with the reference's absolute sigma
+    cutoff)."""
+    indptr, indices = M_pat.indptr, M_pat.indices
+    row_len = np.diff(indptr)
+    buckets = []
+    for m in np.unique(row_len):
+        if m == 0:
+            continue
+        rows = np.nonzero(row_len == m)[0]
+        idx = indptr[rows][:, None] + np.arange(m)[None, :]
+        buckets.append({
+            "pos": jnp.asarray(idx),                  # entry positions
+            "rows": jnp.asarray(rows),
+            "cols": jnp.asarray(indices[idx].astype(np.int64)),
+        })
+    return tuple(buckets)
+
+
+def _exec_constrain(buckets, data, b_row, b_col, sigma_drop: float):
+    """data: [nnz] transfer values on the fixed pattern; b_row/b_col:
+    [n_rows, k] / [n_cols, k] stacked null vectors.  Returns corrected
+    data (same pattern)."""
+    for bk in buckets:
+        Bj = b_col[bk["cols"]]                        # [R, m, k]
+        G = jnp.einsum("rmk,rml->rkl", Bj, Bj)
+        vals = data[bk["pos"]]                        # [R, m]
+        diff = jnp.einsum("rm,rmk->rk", vals, Bj) - b_row[bk["rows"]]
+        U, sv, Vt = jnp.linalg.svd(G)
+        sinv = jnp.where(jnp.abs(sv) > sigma_drop,
+                         1.0 / jnp.where(sv != 0, sv, 1.0), 0.0)
+        piv = jnp.einsum("rij,rj,rkj->rik",
+                         jnp.swapaxes(Vt, 1, 2), sinv, U)
+        corr = jnp.einsum("rkl,rl->rk", piv, diff)
+        new_vals = vals - jnp.einsum("rmk,rk->rm", Bj, corr)
+        data = data.at[bk["pos"].reshape(-1)].set(new_vals.reshape(-1))
+    return data
+
+
 # ~~~~~~~~~~~~~~~~~~~~~ the per-level plan ~~~~~~~~~~~~~~~~~~~~~
 
 
@@ -452,6 +540,9 @@ class _LevelMeta:
     improve_diag: str = ""
     symmetric: bool = False
     z_lair: bool = False
+    constrain_w: bool = False
+    constrain_z: bool = False
+    sigma_drop: float = 1e-13
     nnz_w: int = 0
     nnz_wdrop: int = 0
     invc_meta: _InvMeta = None
@@ -813,6 +904,31 @@ class DeviceResetup:
                 build_spgemm_plan(patA_ff, pat_W, pat_W))
             arrs["wimp_afc"] = _match_arrays(lvl.A_fc, w_csr2, lump=False)
             arrs["wimp_rows"] = jnp.asarray(pat_W.row_of_pos())
+        if opts.constrain_w or opts.constrain_z:
+            # near-nullspace machinery (reference: src/Constrain_Z_or_W.F90)
+            patA_full = SparsityPattern(A.indptr, A.indices, A.shape)
+            arrs["cn_dpos"] = jnp.asarray(patA_full.diag_positions())
+            arrs["cn_fine"] = jnp.asarray(fine)
+            arrs["cn_coarse"] = jnp.asarray(coarse)
+            if opts.constrain_z:
+                arrs["cn_mv_t"] = _matvec_arrays(A, transpose=True)
+                zd = pats["Z_drop"]
+                zdT = sp.csr_matrix(zd.T)
+                zdT.sort_indices()
+                arrs["cnz_tables"] = _constrain_tables(zdT)
+                # Z_drop entry <-> transposed entry permutations
+                zrows = np.repeat(np.arange(zd.shape[0], dtype=np.int64),
+                                  np.diff(zd.indptr))
+                order_t = np.argsort(
+                    zd.indices.astype(np.int64) * np.int64(zd.shape[0])
+                    + zrows, kind="stable")
+                inv_t = np.empty_like(order_t)
+                inv_t[order_t] = np.arange(len(order_t))
+                arrs["cnz_to_t"] = jnp.asarray(order_t)
+                arrs["cnz_from_t"] = jnp.asarray(inv_t)
+            if opts.constrain_w:
+                arrs["cn_mv"] = _matvec_arrays(A)
+                arrs["cnw_tables"] = _constrain_tables(pats["W_drop"])
         rap_csr = sp.csr_matrix(
             (np.ones(rap_plan.pat_C.nnz), rap_plan.pat_C.indices,
              rap_plan.pat_C.indptr), shape=rap_plan.pat_C.shape)
@@ -890,6 +1006,11 @@ class DeviceResetup:
                                             or opts.improve_z_its) else ""),
             symmetric=opts.symmetric,
             z_lair=(z_src == "lair"),
+            constrain_w=opts.constrain_w,
+            constrain_z=opts.constrain_z,
+            sigma_drop=float(__import__(
+                "pflare_tpu.params", fromlist=["tolerances"]
+            ).tolerances(np.float64).sigma_drop),
             nnz_w=nnz_w,
             nnz_wdrop=nnz_wdrop,
             invc_meta=invc_meta,
@@ -959,11 +1080,27 @@ class DeviceResetup:
 
     # ~~~~~~~~~~ device execution ~~~~~~~~~~
 
-    def _execute(self, arrays, coarse_arrays, a_flat):
+    def _execute(self, arrays, coarse_arrays, a_flat, nulls):
         dtype = self.dtype
         levels_vals = []
+        left_v, right_v = nulls
         for meta, arrs in zip(self.meta, arrays):
             lv: dict = {}
+            n_lvl = meta.n
+            if meta.constrain_z:
+                # smooth the left vectors on A^T (reference:
+                # src/Constrain_Z_or_W.F90:118-218), per candidate column
+                left_v = jnp.stack([
+                    _exec_null_smooth(arrs["cn_mv_t"], a_flat,
+                                      arrs["cn_dpos"], left_v[:, k],
+                                      n_lvl, 15)
+                    for k in range(left_v.shape[1])], axis=1)
+            if meta.constrain_w:
+                right_v = jnp.stack([
+                    _exec_null_smooth(arrs["cn_mv"], a_flat,
+                                      arrs["cn_dpos"], right_v[:, k],
+                                      n_lvl, 15)
+                    for k in range(right_v.shape[1])], axis=1)
             aff = a_flat[arrs["ff"]]
             afc = a_flat[arrs["fc"]]
             acf = a_flat[arrs["cf"]]
@@ -1050,6 +1187,12 @@ class DeviceResetup:
                 z_flat = z_flat - (acf_on_z + za) * dinv[
                     arrs["zimp_cols"]]
             zdrop = z_flat[arrs["zdrop"]["src"]] * arrs["zdrop"]["ok"]
+            if meta.constrain_z:
+                zt = zdrop[arrs["cnz_to_t"]]
+                zt = _exec_constrain(
+                    arrs["cnz_tables"], zt, left_v[arrs["cn_fine"]],
+                    left_v[arrs["cn_coarse"]], meta.sigma_drop)
+                zdrop = zt[arrs["cnz_from_t"]]
             # R values
             r_flat = jnp.where(arrs["r_ident"] > 0, 1.0,
                                zdrop[arrs["r_src"]])
@@ -1073,6 +1216,11 @@ class DeviceResetup:
                         afc_on_w + aw)
                 wdrop = (w_flat[arrs["wdrop"]["src"]]
                          * arrs["wdrop"]["ok"])
+                if meta.constrain_w:
+                    wdrop = _exec_constrain(
+                        arrs["cnw_tables"], wdrop,
+                        right_v[arrs["cn_fine"]],
+                        right_v[arrs["cn_coarse"]], meta.sigma_drop)
                 p_flat = jnp.where(arrs["p_ident"] > 0, 1.0,
                                    wdrop[arrs["p_src"]])
                 lv["P"] = _build_op(meta.op_kinds["P"], arrs["op_P"],
@@ -1105,6 +1253,10 @@ class DeviceResetup:
                 lv["inv_Acc"] = _exec_inverse(
                     meta.invc_meta, arrs["invc"], acc, lv["A_cc"],
                     meta.n, dtype)
+            if meta.constrain_z:
+                left_v = left_v[arrs["cn_coarse"]]
+            if meta.constrain_w:
+                right_v = right_v[arrs["cn_coarse"]]
             levels_vals.append(lv)
             a_flat = coarse_vals
         coarse_inv = self._exec_coarse(coarse_arrays, a_flat)
@@ -1179,8 +1331,18 @@ class DeviceResetup:
         # the approximate-inverse hierarchy doesn't need f64 assembly (and
         # f64 is emulated on TPU); the dense coarse inverse upcasts itself
         a_flat = jnp.asarray(vals, dtype=self.dtype)
+        opts = self.hierarchy.options
+        n0 = self.hierarchy.levels[0].n if self.hierarchy.levels else 0
+        nn = self.hierarchy.near_nullspace
+        if nn is None:
+            nn = [np.ones(n0)]
+        stacked = jnp.asarray(np.stack(nn, axis=1), dtype=self.dtype)
+        zerow = jnp.zeros((n0, 0), dtype=self.dtype)
+        nulls = (stacked if opts.constrain_z else zerow,
+                 stacked if opts.constrain_w else zerow)
         lvl_vals, coarse_inv = self._jitted(self.arrays,
-                                            self.coarse_arrays, a_flat)
+                                            self.coarse_arrays, a_flat,
+                                            nulls)
         # merge: static leaves (masks, index vectors, P) come from the
         # existing device levels; rebuilt operators replace the rest
         out_levels = []
@@ -1229,8 +1391,6 @@ def _dropped_inverse_coeffs(lvl, opts) -> np.ndarray:
 
 def _validate(opts: AIROptions, hierarchy):
     bad = []
-    if opts.constrain_w or opts.constrain_z:
-        bad.append("constrain_w/z")
     if opts.full_smoothing_up_and_down:
         bad.append("full_smoothing_up_and_down")
     if (opts.z_type.name != "PRODUCT"

@@ -110,6 +110,7 @@ class Hierarchy:
     options: AIROptions
     auto_truncated: bool = False
     _device_levels: list | None = None
+    near_nullspace: list | None = None
 
     @property
     def n_levels(self):
@@ -332,8 +333,10 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
                     qr_reduce=qr_reduce,
                 )
 
-    return Hierarchy(levels, A, coarse_inv, opts,
-                     auto_truncated=auto_truncated)
+    h = Hierarchy(levels, A, coarse_inv, opts,
+                  auto_truncated=auto_truncated)
+    h.near_nullspace = near_nullspace     # device re-setup re-smooths these
+    return h
 
 
 def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,

@@ -85,6 +85,9 @@ CONFIGS = {
     "sai_lair": dict(z_type=__import__("pflare_tpu").ZType.LAIR_SAI),
     "sai_smoother": dict(inverse_type=InverseType.SAI),
     "isai_smoother": dict(inverse_type=InverseType.ISAI),
+    "constrain_z": dict(constrain_z=True),
+    "constrain_wz_ideal": dict(one_point_classical_prolong=False,
+                               constrain_w=True, constrain_z=True),
     "improve_wz_ideal": dict(one_point_classical_prolong=False,
                              improve_w_its=2, improve_z_its=1),
     "strong_r_ideal_w": dict(strong_r_threshold=0.01,
@@ -143,9 +146,9 @@ def test_device_resetup_validation():
     with pytest.raises(ValueError, match="reuse_sparsity"):
         pc.build_device_resetup()
     pc2 = PCAIR(AIROptions(reuse_sparsity=True, reuse_amount=3,
-                           constrain_z=True), jit=False)
+                           full_smoothing_up_and_down=True), jit=False)
     pc2.setup(A)
-    with pytest.raises(ValueError, match="constrain"):
+    with pytest.raises(ValueError, match="full_smoothing"):
         pc2.build_device_resetup()
     pc3 = PCAIR(AIROptions(), jit=False)
     with pytest.raises(RuntimeError):
