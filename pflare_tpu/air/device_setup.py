@@ -71,7 +71,6 @@ def device_setup_supported(opts: AIROptions) -> bool:
         or opts.cf_splitting_type not in (CFSplittingType.PMISR_DDC,
                                           CFSplittingType.PMIS,
                                           CFSplittingType.PMIS_DIST2)
-        or opts.auto_truncate_start_level > 0
         or opts.inverse_sparsity_order != 1
         or opts.c_inverse_sparsity_order_eff != 1
         or opts.any_c_smooths
@@ -261,6 +260,22 @@ class DeviceHierarchy:
     @property
     def n_levels(self):
         return len(self.levels) + 1
+
+
+def _ensure_diag(A: DELL) -> DELL:
+    """Append a structural diagonal slot where missing (the polynomial c0
+    term must land; cheap no-op column when already present)."""
+    n = A.data.shape[0]
+    ridx = jnp.arange(n, dtype=A.cols.dtype)
+    has = jnp.any(A.cols == ridx[:, None], axis=1)
+    if bool(jnp.all(has)):
+        return A
+    extra_c = jnp.where(has, PADCOL, ridx)[:, None]
+    cols = jnp.concatenate([A.cols, extra_c], axis=1)
+    data = jnp.concatenate(
+        [A.data, jnp.zeros((n, 1), dtype=A.dtype)], axis=1)
+    c, v = sort_rows(cols, data)
+    return DELL(v, c, A.n_cols)
 
 
 def _inverse_device(A_ff: DELL, opts, inverse_type, poly_order,
@@ -478,9 +493,31 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
     top_A = A
 
     levels: list[DeviceLevel] = []
+    auto_truncated = False
     level_idx = 0
     while level_idx < opts.max_levels - 1:
         n = A.shape[0]
+
+        # auto-truncation probe (reference: src/AIR_MG_Setup.F90:158-256):
+        # build the coarsest solver HERE and stop if it already reduces a
+        # random residual below the tolerance -- one scalar readback
+        if (opts.auto_truncate_start_level > 0
+                and level_idx + 1 >= opts.auto_truncate_start_level):
+            with timer("air_inverse"):
+                probe_inv = _inverse_device(
+                    _ensure_diag(A), opts, opts.coarsest_inverse_type,
+                    opts.coarsest_poly_order,
+                    opts.coarsest_matrix_free_polys, opts.seed, dtype)
+            rng_p = np.random.default_rng(opts.seed + 101)
+            b_p = jnp.asarray(rng_p.standard_normal(n), dtype=A.dtype)
+            x_p = probe_inv.apply(b_p)
+            r_p = b_p - A.matvec(x_p)
+            quality = float(jnp.linalg.norm(r_p) / jnp.linalg.norm(b_p))
+            if quality <= opts.auto_truncate_tol:
+                auto_truncated = True
+                coarse_inv = probe_inv
+                break
+
         with timer("air_coarsen"):
             cf = _cf_split_device(A, opts)
             n_f = int(jnp.sum(cf == F_POINT))
@@ -575,10 +612,12 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
         A = A_next
         level_idx += 1
 
-    with timer("air_inverse"):
-        coarse_inv = _inverse_device(
-            A, opts, opts.coarsest_inverse_type, opts.coarsest_poly_order,
-            opts.coarsest_matrix_free_polys, opts.seed, dtype)
+    if not auto_truncated:
+        with timer("air_inverse"):
+            coarse_inv = _inverse_device(
+                A, opts, opts.coarsest_inverse_type,
+                opts.coarsest_poly_order,
+                opts.coarsest_matrix_free_polys, opts.seed, dtype)
 
     h = DeviceHierarchy(levels, A, coarse_inv, opts, top_A=top_A)
     h.device_levels = [lvl.device for lvl in levels]

@@ -184,3 +184,20 @@ class TestDeviceHierarchy:
             assert not hasattr(pc.hierarchy.levels[0], "A")  # device-built
             res = pc.solve(b, rtol=1e-6, max_it=30)
             assert res.converged, (t, res.iterations)
+
+    def test_auto_truncation(self):
+        """Device auto-truncation probe (reference:
+        src/AIR_MG_Setup.F90:158-256): the hierarchy stops early when the
+        coarsest solver already meets the tolerance."""
+        A = adv_diff_2d(32)
+        pc = PCAIR(AIROptions(
+            max_levels=10, auto_truncate_start_level=3,
+            auto_truncate_tol=0.5,
+            coarsest_inverse_type=InverseType.NEWTON,
+            coarsest_poly_order=12, coarsest_matrix_free_polys=True))
+        pc.setup_device(A, dtype=jnp.float64)
+        assert pc.n_levels < 10
+        b = jnp.asarray(
+            np.random.default_rng(5).standard_normal(A.shape[0]))
+        res = pc.solve(b, rtol=1e-7, max_it=20)
+        assert res.converged, res.iterations
