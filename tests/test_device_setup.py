@@ -201,3 +201,37 @@ class TestDeviceHierarchy:
             np.random.default_rng(5).standard_normal(A.shape[0]))
         res = pc.solve(b, rtol=1e-7, max_it=20)
         assert res.converged, res.iterations
+
+    def test_sharded_device_setup_parity(self):
+        """The device first setup is GSPMD-distributable: with the input
+        operator row-sharded over a mesh, the sparse products/sorts
+        compile SPMD and the produced hierarchy is IDENTICAL (the
+        distributed-setup analogue of the reference's MPI SpGEMMs,
+        src/AIR_Operators_Setup.F90:993-1033)."""
+        from pflare_tpu.air.device_setup import setup_hierarchy_device
+        from pflare_tpu.parallel import make_mesh, row_sharding
+        from pflare_tpu.sparse.dell import DELL
+
+        A = adv_diff_2d(48)                  # 2304 rows, divisible by 8
+        opts = AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99,
+                          max_levels=4)
+        d = DELL.from_scipy(A, dtype=jnp.float64)
+        mesh = make_mesh(8)
+        sh = row_sharding(mesh)
+        d_sh = DELL(jax.device_put(d.data, sh),
+                    jax.device_put(d.cols, sh), d.n_cols)
+        h1 = setup_hierarchy_device(d, opts, dtype=jnp.float64)
+        h2 = setup_hierarchy_device(d_sh, opts, dtype=jnp.float64)
+        assert h1.n_levels == h2.n_levels
+        for l1, l2 in zip(h1.levels, h2.levels):
+            assert l1.n_f == l2.n_f
+            np.testing.assert_allclose(
+                np.asarray(l1.device["R"].data),
+                np.asarray(l2.device["R"].data), atol=1e-12)
+            np.testing.assert_allclose(
+                np.asarray(l1.device["inv_Aff"].mat.data
+                           if l1.device["inv_Aff"].kind == "assembled"
+                           else l1.device["inv_Aff"].diag),
+                np.asarray(l2.device["inv_Aff"].mat.data
+                           if l2.device["inv_Aff"].kind == "assembled"
+                           else l2.device["inv_Aff"].diag), atol=1e-12)
