@@ -11,6 +11,8 @@ from .ops import (
     symbolic_matmat,
 )
 from .spgemm import SpGEMMPlan, build_spgemm_plan, FixedSparsityPolyPlan, scipy_matmat
+from .dell import DELL
+from .banded import BandedSpMV
 
 __all__ = [
     "SparsityPattern",
@@ -28,4 +30,6 @@ __all__ = [
     "build_spgemm_plan",
     "FixedSparsityPolyPlan",
     "scipy_matmat",
+    "DELL",
+    "BandedSpMV",
 ]
