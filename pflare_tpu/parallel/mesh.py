@@ -172,6 +172,7 @@ def shard_hierarchy(hierarchy, mesh: Mesh, options=None):
     ``active_shards_schedule``; rows pad to equal blocks (the reference's
     'simple' interleaved partition) so only the active shards own data, and
     a one-shard level is simply replicated (the subcomm analogue)."""
+    from ..inverse.build import Inverse
     from ..sparse.dia import DIA
     from .repartition import active_shards_schedule
 
@@ -221,7 +222,18 @@ def shard_hierarchy(hierarchy, mesh: Mesh, options=None):
 
     out_levels = []
     for lvl, n, active in zip(dev_levels, sizes, schedule):
-        if active <= 1 or "mask_f" not in lvl:
+        # device-built hierarchies carry DELL operators, whose padded
+        # sharding is not implemented yet: replicate those levels (GSPMD
+        # still shards the vectors / top matvec)
+        def _op_shardable(v):
+            if isinstance(v, Inverse):
+                m = v.mat
+                return m is None or isinstance(m, (ELL, DIA))
+            if hasattr(v, "matvec"):
+                return isinstance(v, (ELL, DIA))
+            return True
+        shardable = all(_op_shardable(v) for v in lvl.values())
+        if active <= 1 or "mask_f" not in lvl or not shardable:
             out_levels.append(replicate(lvl, mesh))
             continue
         # equal blocks over the active shards; trailing shards own only

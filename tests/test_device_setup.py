@@ -235,3 +235,19 @@ class TestDeviceHierarchy:
                 np.asarray(l2.device["inv_Aff"].mat.data
                            if l2.device["inv_Aff"].kind == "assembled"
                            else l2.device["inv_Aff"].diag), atol=1e-12)
+
+    def test_device_hierarchy_mesh_solve(self):
+        """setup_device + solve_device(mesh=...): DELL levels replicate
+        safely (their padded sharding is future work) and the sharded
+        solve matches the single-device one exactly."""
+        from pflare_tpu.parallel import make_mesh
+
+        A = adv_diff_2d(32)
+        pc = PCAIR(AIROptions(max_levels=4))
+        pc.setup_device(A, dtype=jnp.float64)
+        b = jnp.asarray(
+            np.random.default_rng(0).standard_normal(A.shape[0]))
+        x1, _ = pc.solve_device(b, max_it=8)
+        x2, _ = pc.solve_device(b, max_it=8, mesh=make_mesh(8))
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                   atol=1e-12)
