@@ -70,7 +70,8 @@ def device_setup_supported(opts: AIROptions) -> bool:
         or not opts.one_point_classical_prolong
         or opts.cf_splitting_type not in (CFSplittingType.PMISR_DDC,
                                           CFSplittingType.PMIS,
-                                          CFSplittingType.PMIS_DIST2)
+                                          CFSplittingType.PMIS_DIST2,
+                                          CFSplittingType.CR)
         or opts.inverse_sparsity_order != 1
         or opts.c_inverse_sparsity_order_eff != 1
         or opts.any_c_smooths
@@ -199,11 +200,92 @@ def _sym_graph(A: DELL, theta, square: bool = False):
     return gcols
 
 
+def _cr_split_device(A: DELL, opts: AIROptions):
+    """Compatible-relaxation splitting on device (reference:
+    src/CR_Splitting.F90): habituated relaxation sweeps with the device
+    assembled inverse; the rate is the only scalar readback per pass."""
+    from ..cf.cr import CR_CANDIDATE, CR_MAX_ITS, CR_NU, CR_NU_POLY
+
+    n = A.data.shape[0]
+    target = opts.strong_threshold       # carries the CR rate target
+    cf = jnp.full(n, F_POINT, dtype=jnp.int32)
+    rng = np.random.default_rng(opts.seed)
+    rand_full = jnp.asarray(rng.random(n), dtype=A.dtype)
+    for _ in range(CR_MAX_ITS):
+        n_f = int(jnp.sum(cf == F_POINT))
+        if n_f == 0:
+            break
+        is_f = cf == F_POINT
+        fine_idx = jnp.nonzero(is_f, size=n_f)[0].astype(jnp.int32)
+        f_newidx = jnp.cumsum(is_f) - 1
+        Aff = extract_dell(A, fine_idx, is_f, f_newidx, n_f,
+                           ensure_diag=True)
+        use_poly = (opts.inverse_type not in (InverseType.JACOBI,
+                                              InverseType.WJACOBI)
+                    and n_f > opts.poly_order + 1)
+        nu = CR_NU_POLY if use_poly else CR_NU
+        forced_c = jnp.zeros(n_f, dtype=bool)
+        if use_poly:
+            inv = _inverse_device(Aff, opts, opts.inverse_type,
+                                  opts.poly_order, False, opts.seed,
+                                  A.dtype)
+            apply_inv = inv.apply
+        else:
+            d = Aff.diagonal()
+            forced_c = d == 0.0
+            dsafe = jnp.where(forced_c, 1.0, d)
+            weight = 1.0
+            if opts.inverse_type != InverseType.JACOBI:
+                dsq = jnp.where(jnp.abs(dsafe) > 0,
+                                1.0 / jnp.sqrt(jnp.abs(dsafe)), 0.0)
+                safe = jnp.minimum(Aff.cols, n_f - 1)
+                scaled = jnp.abs(Aff.data * dsq[:, None] * dsq[safe])
+                norm_inf = jnp.max(jnp.sum(scaled, axis=1))
+                weight = jnp.where(norm_inf != 0,
+                                   3.0 / (4.0 * norm_inf), 1.0)
+            dinv = jnp.where(forced_c, 0.0, weight / dsafe)
+            apply_inv = lambda v: dinv * v
+        e = rand_full[fine_idx]
+        norm_e0 = jnp.linalg.norm(e)
+        for _ in range(nu):
+            e = e - apply_inv(Aff.matvec(e))
+        rate = float((jnp.linalg.norm(e)
+                      / jnp.where(norm_e0 != 0, norm_e0, 1.0))
+                     ** (1.0 / nu))
+        if rate <= target:
+            break
+        e_inf = jnp.max(jnp.abs(e))
+        meas = jnp.where(forced_c, 2.0,
+                         jnp.abs(e) / jnp.where(e_inf != 0, e_inf, 1.0))
+        small = meas < CR_CANDIDATE
+        cr_meas = 10.0 - (meas - rand_full[fine_idx] / 1e10)
+        cr_meas = jnp.where(small, jnp.finfo(A.dtype).max, cr_meas)
+        cf_aff0 = jnp.where(small, C_POINT, 0).astype(jnp.int32)
+        # Luby over Aff + Aff^T
+        tcols = transpose_pattern(Aff)
+        w = max(Aff.cols.shape[1], tcols.shape[1])
+        pad = lambda c: jnp.pad(c, ((0, 0), (0, w - c.shape[1])),
+                                constant_values=PADCOL)
+        gfull = union_patterns(pad(Aff.cols), pad(tcols))
+        gcols = jnp.sort(gfull, axis=1)[:, :max(max_row_count(gfull), 1)]
+        cf_aff = _luby_rounds(gcols, cr_meas, cf_aff0, 25)
+        swap = cf_aff == F_POINT
+        # F rows that stay slowest become C on the full grid
+        flip = jnp.zeros(n, dtype=bool).at[fine_idx].set(swap)
+        cf = jnp.where(flip, -cf, cf)
+        if int(jnp.sum(swap)) == 0:
+            break
+    return cf
+
+
 def _cf_split_device(A: DELL, opts: AIROptions):
-    """Device CF splitting: strength -> PMISR/PMIS Luby -> DDC.  Only the
-    random measure crosses h2d; markers stay on device."""
+    """Device CF splitting: strength -> PMISR/PMIS Luby -> DDC (or the
+    compatible-relaxation loop).  Only the random measures cross h2d;
+    markers stay on device."""
     n = A.data.shape[0]
     t = CFSplittingType(opts.cf_splitting_type)
+    if t == CFSplittingType.CR:
+        return _cr_split_device(A, opts)
     pmis = t in (CFSplittingType.PMIS, CFSplittingType.PMIS_DIST2)
     gcols = _sym_graph(A, float(opts.strong_threshold),
                        square=(t == CFSplittingType.PMIS_DIST2))

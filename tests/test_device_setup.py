@@ -251,3 +251,18 @@ class TestDeviceHierarchy:
         x2, _ = pc.solve_device(b, max_it=8, mesh=make_mesh(8))
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
                                    atol=1e-12)
+
+    def test_cr_splitting(self):
+        """Device compatible-relaxation splitting (reference:
+        src/CR_Splitting.F90) converges like the host CR path."""
+        from pflare_tpu import CFSplittingType
+
+        A = adv_diff_2d(24)
+        pc = PCAIR(AIROptions(cf_splitting_type=CFSplittingType.CR,
+                              strong_threshold=0.5, max_levels=4))
+        pc.setup_device(A, dtype=jnp.float64)
+        assert not hasattr(pc.hierarchy.levels[0], "A")
+        b = jnp.asarray(
+            np.random.default_rng(4).standard_normal(A.shape[0]))
+        res = pc.solve(b, rtol=1e-6, max_it=30)
+        assert res.converged, res.iterations
