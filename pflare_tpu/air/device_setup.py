@@ -49,6 +49,7 @@ from ..sparse.dell import (
     union_patterns,
     compact,
 )
+from ..sparse.dia import DIA
 from ..inverse.build import Inverse
 from ..inverse.gmres_poly import (arnoldi_fixed_device, box_muller,
                                  coefficients_arnoldi_from_h,
@@ -703,4 +704,51 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
 
     h = DeviceHierarchy(levels, A, coarse_inv, opts, top_A=top_A)
     h.device_levels = [lvl.device for lvl in levels]
+    _optimize_layouts(h)
     return h
+
+
+def _dell_to_dia(op: DELL):
+    """DELL -> DIA when the offset structure pays (device-side rebuild:
+    only the offset SET crosses d2h).  Arbitrary-index gathers measure
+    ~50x slower than offset slices on TPU (docs/tpu.md), so device-built
+    hierarchies get the same DIA fast path as host-built ones."""
+    n, K = op.data.shape
+    if op.n_cols != n:
+        return None
+    ridx = jnp.arange(n, dtype=op.cols.dtype)[:, None]
+    live = op.cols < PADCOL
+    offs = jnp.where(live, op.cols - ridx, jnp.int32(2**30))
+    uniq = np.unique(np.asarray(jnp.sort(offs.reshape(-1))))
+    uniq = uniq[uniq < 2**29]
+    nnz = int(jnp.sum(live))
+    if len(uniq) > 8 or len(uniq) * n > 3 * max(nnz, 1):
+        return None
+    rows = []
+    for off in uniq:
+        rows.append(jnp.sum(jnp.where(offs == int(off), op.data, 0.0),
+                            axis=1))
+    return DIA(uniq.tolist(), jnp.stack(rows), (n, n))
+
+
+def _optimize_layouts(h: "DeviceHierarchy"):
+    """Upgrade gather (DELL) operators to DIA where viable."""
+    for dev in h.device_levels:
+        for key in ("A_ff", "A_fc", "R", "P"):
+            op = dev.get(key)
+            if isinstance(op, DELL):
+                dia = _dell_to_dia(op)
+                if dia is not None:
+                    dev[key] = dia
+        inv = dev.get("inv_Aff")
+        if inv is not None and inv.kind == "assembled" and isinstance(
+                inv.mat, DELL):
+            dia = _dell_to_dia(inv.mat)
+            if dia is not None:
+                inv.mat = dia
+        # matrix-free inverses share the (possibly upgraded) A_ff op
+        if (inv is not None and inv.kind in ("poly_mf", "newton_mf",
+                                             "neumann_mf")
+                and isinstance(inv.mat, DELL)
+                and isinstance(dev.get("A_ff"), DIA)):
+            inv.mat = dev["A_ff"]
