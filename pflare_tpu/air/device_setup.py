@@ -370,6 +370,13 @@ def _inverse_device(A_ff: DELL, opts, inverse_type, poly_order,
     inverse_type = InverseType(inverse_type)
     n = A_ff.shape[0]
     tol = tolerances(jnp.float64)
+    # requesting f64 leaves with x64 off warns per call; the downcast is
+    # the intended dtype policy (device arrays follow the jax x64 setting)
+    import jax as _jax
+
+    if (np.dtype(dtype) == np.float64
+            and not _jax.config.jax_enable_x64):
+        dtype = None
     if poly_order + 1 > n:
         poly_order = max(n - 1, 0)
 

@@ -266,3 +266,16 @@ class TestDeviceHierarchy:
             np.random.default_rng(4).standard_normal(A.shape[0]))
         res = pc.solve(b, rtol=1e-6, max_it=30)
         assert res.converged, res.iterations
+
+    def test_tiny_matrix_single_level(self):
+        """Below coarse_eq_limit the device setup yields a 1-level
+        (coarse-solve-only) preconditioner, like the host fallback
+        (reference: src/AIR_MG_Setup.F90:1158-1175)."""
+        A = sp.csr_matrix(np.diag(np.arange(1.0, 7.0))
+                          + 0.1 * np.eye(6, k=1))
+        A.sort_indices()
+        pc = PCAIR(AIROptions())
+        pc.setup_device(A, dtype=jnp.float64)
+        assert pc.n_levels == 1
+        x, _ = pc.solve_device(jnp.ones(6), max_it=10)
+        assert np.linalg.norm(A @ np.asarray(x) - 1.0) < 1e-8
