@@ -143,6 +143,25 @@ def _op_layout(op, M_host: sp.csr_matrix | None = None):
         n = op.data.shape[1]
         arrs = _invert_scatter(slot * np.int64(n) + rows, d * n)
         return "dia", arrs, (op.offsets, op.shape, op.data.shape)
+    from ..sparse.banded import BandedSpMV
+
+    if isinstance(op, BandedSpMV):
+        # transposed [K, n_pad] layout: entry (row, slot) -> slot*n_pad+row
+        # (sparse/banded.py::from_scipy)
+        if M_host is None:
+            raise ValueError("banded layout needs the host matrix (no d2h)")
+        M = sp.csr_matrix(M_host)
+        M.sort_indices()
+        counts = np.diff(M.indptr)
+        rows = np.repeat(np.arange(M.shape[0], dtype=np.int64), counts)
+        slot = np.arange(M.nnz, dtype=np.int64) - np.repeat(
+            M.indptr[:-1], counts)
+        n_pad = op.data.shape[1]
+        arrs = _invert_scatter(slot * np.int64(n_pad) + rows,
+                               op.data.shape[0] * n_pad)
+        arrs["lcols"] = op.lcols
+        return "banded", arrs, (op.data.shape, op.n, op.n_cols, op.w,
+                                op.W, op.precision)
     # ELL
     pat = op.pattern
     arrs = _invert_scatter(pat.slot_of_pos, op.data.shape[0] * op.data.shape[1])
@@ -155,6 +174,13 @@ def _build_op(kind: str, arrs: dict, aux, vals, dtype):
         offsets, shape, dshape = aux
         data = _gather_place(arrs, vals, dtype).reshape(dshape)
         return DIA(offsets, data, shape)
+    if kind == "banded":
+        from ..sparse.banded import BandedSpMV
+
+        dshape, n, n_cols, w, W, prec = aux
+        data = _gather_place(arrs, vals, dtype).reshape(dshape)
+        return BandedSpMV(data, arrs["lcols"], n, n_cols, w, W,
+                          precision=prec)
     pat, dshape = aux
     flat = _gather_place(arrs, vals, dtype)
     return ELL(pat, flat.reshape(dshape), arrs["cols"])
@@ -543,6 +569,7 @@ class _LevelMeta:
     constrain_w: bool = False
     constrain_z: bool = False
     sigma_drop: float = 1e-13
+    full_smooth: bool = False
     nnz_w: int = 0
     nnz_wdrop: int = 0
     invc_meta: _InvMeta = None
@@ -630,11 +657,22 @@ class DeviceResetup:
                 raise ValueError(
                     "A_cf pattern differs from the stored Z plan")
 
-        # smoothing inverse
-        ext_A_op = dev["A_ff"]
-        inv_meta, inv_arrs = _inverse_plan(
-            lvl.inv_Aff, lvl.A_ff, pats, "inv_aff_poly_plan", fine, n,
-            ext_A_op, opts)
+        # smoothing inverse.  In full-smoothing mode the smoother acts on
+        # the WHOLE level matrix in its own space: the "full-space
+        # extension" becomes the identity (fine = arange), so the same
+        # machinery serves both layouts (reference: PCMAT smoothing,
+        # src/AIR_MG_Setup.F90:1014-1048)
+        full_smooth = opts.full_smoothing_up_and_down
+        if full_smooth:
+            ext_A_op = dev["A"]
+            inv_meta, inv_arrs = _inverse_plan(
+                lvl.inv_Aff, lvl.A, pats, "inv_aff_poly_plan",
+                np.arange(n, dtype=np.int64), n, ext_A_op, opts)
+        else:
+            ext_A_op = dev["A_ff"]
+            inv_meta, inv_arrs = _inverse_plan(
+                lvl.inv_Aff, lvl.A_ff, pats, "inv_aff_poly_plan", fine, n,
+                ext_A_op, opts)
         arrs["inv"] = inv_arrs
 
         # the assembled inverse used for Z: one of four sources
@@ -661,7 +699,39 @@ class DeviceResetup:
                              np.diff(lvl.A_ff.indptr))
         aff_diag_only = bool(np.all(aff_rows == lvl.A_ff.indices))
         invh_meta = None
-        if z_is_lair:
+        if (full_smooth and not z_is_lair and not strong_r
+                and (lvl.inv_Aff.kind == "diagonal" or aff_diag_only)):
+            # full smoothing with a Jacobi inverse (or diagonal A_ff): the
+            # smoother's diag lives in the FULL space; Z's dropped inverse
+            # is 1/diag(A_ff) gathered from the compressed values
+            z_src = "diag-own"
+            dpos = SparsityPattern(lvl.A_ff.indptr, lvl.A_ff.indices,
+                                   lvl.A_ff.shape).diag_positions()
+            arrs["invh_diag_pos"] = jnp.asarray(dpos)
+        elif full_smooth and not z_is_lair and not strong_r:
+            # full smoothing: the smoothing inverse acts on the WHOLE
+            # matrix, so Z always rebuilds its own dropped inverse
+            # (reference: src/AIR_MG_Setup.F90:1014-1048 + Z on A_ff)
+            z_src = "sep"
+            plan = pats.get("inv_aff_drop_poly_plan")
+            if plan is None:
+                raise ValueError(
+                    "device re-setup with full smoothing needs the "
+                    "dropped-inverse numeric plan (reuse_amount>=3)")
+            coeffs = _dropped_inverse_coeffs(lvl, opts)
+            invh_meta = _InvMeta(kind="assembled", order=plan.order,
+                                 nnz_s=plan.pat_S.nnz)
+            if opts.inverse_type in (InverseType.NEWTON,
+                                     InverseType.NEWTON_NO_EXTRA):
+                invh_meta.newton_wr = tuple(float(v) for v in coeffs[0])
+                invh_meta.newton_wi = tuple(float(v) for v in coeffs[1])
+                from ..params import tolerances as _tols
+                invh_meta.tol_zero = float(_tols(jnp.float64).zero)
+            arrs["invh"] = {
+                "poly": _poly_plan_arrays(plan),
+                "coeffs": jnp.asarray(coeffs),
+            }
+        elif z_is_lair:
             # lAIR / SAI-lAIR: Z rows re-solve as batched local least
             # squares over the stored distance-d sparsity (reference:
             # src/SAI_Zk.kokkos.cxx:13)
@@ -806,13 +876,15 @@ class DeviceResetup:
                 raise ValueError("P is not R^T")
             arrs["p_from_r"] = jnp.asarray(m0)
             from .fullspace import _map_cols as _mc0
-            P_ext0 = _mc0(Pm0, coarse, n)
+            # full-smoothing levels keep P in its own compressed space
+            P_ext0 = Pm0 if full_smooth else _mc0(Pm0, coarse, n)
             op0 = dev["P"]
             kind0, oarrs0, oaux0 = _op_layout(op0, P_ext0)
             kinds_sym = (kind0, oaux0)
             arrs["op_P"] = oarrs0
             arrs["perm_P"] = jnp.asarray(
-                _perm_between(Pm0, P_ext0, row_map=None, col_map=coarse))
+                _perm_between(Pm0, P_ext0, row_map=None,
+                              col_map=None if full_smooth else coarse))
             self._sym_p_kind = kinds_sym
         elif not ideal_w:
             arrs["p_vals"] = jnp.asarray(lvl.P.data)   # static (one-point)
@@ -940,15 +1012,28 @@ class DeviceResetup:
         from .fullspace import _map_both, _map_rows
 
         from .fullspace import _map_cols as _mc
-        ext_maps = {
-            "A_ff": (_map_both(lvl.A_ff, fine, fine, n), lvl.A_ff,
-                     fine, fine),
-            "A_fc": (_map_both(lvl.A_fc, fine, coarse, n), lvl.A_fc,
-                     fine, coarse),
-            "R": (_map_rows(R, coarse, n), R, coarse, None),
-        }
-        if ideal_w:
-            ext_maps["P"] = (_mc(lvl.P, coarse, n), lvl.P, None, coarse)
+        if full_smooth:
+            # compressed layouts: the full-smoothing cycle consumes A, R,
+            # P directly in their own spaces (air/smooth.py::vcycle_full)
+            ext_maps = {
+                "A": (A, A, None, None),
+                "A_ff": (lvl.A_ff, lvl.A_ff, None, None),
+                "A_fc": (lvl.A_fc, lvl.A_fc, None, None),
+                "R": (R, R, None, None),
+            }
+            if ideal_w:
+                ext_maps["P"] = (lvl.P, lvl.P, None, None)
+        else:
+            ext_maps = {
+                "A_ff": (_map_both(lvl.A_ff, fine, fine, n), lvl.A_ff,
+                         fine, fine),
+                "A_fc": (_map_both(lvl.A_fc, fine, coarse, n), lvl.A_fc,
+                         fine, coarse),
+                "R": (_map_rows(R, coarse, n), R, coarse, None),
+            }
+            if ideal_w:
+                ext_maps["P"] = (_mc(lvl.P, coarse, n), lvl.P, None,
+                                 coarse)
         for name, (ext, comp, rmap, cmap) in ext_maps.items():
             op = dev[name]
             kind, oarrs, oaux = _op_layout(op, ext)
@@ -1006,6 +1091,7 @@ class DeviceResetup:
                                             or opts.improve_z_its) else ""),
             symmetric=opts.symmetric,
             z_lair=(z_src == "lair"),
+            full_smooth=full_smooth,
             constrain_w=opts.constrain_w,
             constrain_z=opts.constrain_z,
             sigma_drop=float(__import__(
@@ -1113,7 +1199,8 @@ class DeviceResetup:
                 affd = aff
                 acf_z = acf
                 afc_w = afc
-            # smoothing inverse (full-space)
+            # smoothing inverse (full-space; full-smoothing mode rebuilds
+            # the level matrix itself and an inverse on it instead)
             A_ff_ext = _build_op(meta.op_kinds["A_ff"], arrs["op_A_ff"],
                                  meta.op_aux["A_ff"],
                                  aff[arrs["perm_A_ff"]], dtype)
@@ -1121,8 +1208,16 @@ class DeviceResetup:
             lv["A_fc"] = _build_op(meta.op_kinds["A_fc"], arrs["op_A_fc"],
                                    meta.op_aux["A_fc"],
                                    afc[arrs["perm_A_fc"]], dtype)
-            lv["inv_Aff"] = _exec_inverse(meta.inv_meta, arrs["inv"], aff,
-                                          A_ff_ext, meta.n, dtype)
+            if meta.full_smooth:
+                lv["A"] = _build_op(meta.op_kinds["A"], arrs["op_A"],
+                                    meta.op_aux["A"],
+                                    a_flat[arrs["perm_A"]], dtype)
+                lv["inv_Aff"] = _exec_inverse(meta.inv_meta, arrs["inv"],
+                                              a_flat, lv["A"], meta.n,
+                                              dtype)
+            else:
+                lv["inv_Aff"] = _exec_inverse(meta.inv_meta, arrs["inv"],
+                                              aff, A_ff_ext, meta.n, dtype)
             # assembled inverse values for the Z product (f64 throughout
             # the setup math; cast at the op build)
             if meta.z_lair:
@@ -1391,13 +1486,13 @@ def _dropped_inverse_coeffs(lvl, opts) -> np.ndarray:
 
 def _validate(opts: AIROptions, hierarchy):
     bad = []
-    if opts.full_smoothing_up_and_down:
-        bad.append("full_smoothing_up_and_down")
     if (opts.z_type.name != "PRODUCT"
             and not opts.one_point_classical_prolong):
         bad.append("z_type=lair with ideal prolongator")
     if opts.z_type.name != "PRODUCT" and opts.symmetric:
         bad.append("z_type=lair with symmetric")
+    if opts.z_type.name != "PRODUCT" and opts.improve_z_its > 0:
+        bad.append("improve_z with lAIR (host path covers it)")
     if not opts.reuse_sparsity or opts.reuse_amount < 3:
         bad.append("reuse_sparsity/amount")
     if hierarchy.auto_truncated:

@@ -74,3 +74,19 @@ def test_roundtrip_and_viability():
     assert not BandedSpMV.viable(Awide)
     # tiny matrices aren't worth the kernel
     assert not BandedSpMV.viable(_band_matrix(100, 5, 5))
+
+
+def test_resetup_layout_roundtrip():
+    """Device re-setup can rebuild a BandedSpMV op from CSR values (the
+    layout only arises on the TPU backend; exercised here directly)."""
+    from pflare_tpu.air.device_resetup import _build_op, _op_layout
+
+    A = _band_matrix(900, 25, 3)
+    M = BandedSpMV.from_scipy(A, dtype=jnp.float64)
+    kind, arrs, aux = _op_layout(M, A)
+    assert kind == "banded"
+    M2 = _build_op(kind, arrs, aux, jnp.asarray(A.data), jnp.float64)
+    assert abs(M2.to_scipy() - A).max() < 1e-12
+    # rebuilt from scaled values -> scaled operator
+    M3 = _build_op(kind, arrs, aux, jnp.asarray(2.0 * A.data), jnp.float64)
+    assert abs(M3.to_scipy() - 2.0 * A).max() < 1e-12

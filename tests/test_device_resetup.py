@@ -92,6 +92,15 @@ CONFIGS = {
                              improve_w_its=2, improve_z_its=1),
     "strong_r_ideal_w": dict(strong_r_threshold=0.01,
                              one_point_classical_prolong=False),
+    "full_smooth": dict(full_smoothing_up_and_down=True),
+    "full_smooth_mf": dict(full_smoothing_up_and_down=True,
+                           matrix_free_polys=True),
+    "full_smooth_jac": dict(full_smoothing_up_and_down=True,
+                            inverse_type=InverseType.JACOBI),
+    "full_smooth_ideal": dict(full_smoothing_up_and_down=True,
+                              one_point_classical_prolong=False),
+    "full_smooth_sym": dict(full_smoothing_up_and_down=True,
+                            symmetric=True),
 }
 
 
@@ -107,12 +116,12 @@ def test_device_resetup_solve_parity(name):
     pc.setup(A)
     plan = pc.build_device_resetup()
     plan.install(pc, A2)
-    r_dev = pc.solve(b, rtol=1e-8, max_it=25)
+    r_dev = pc.solve(b, rtol=1e-8, max_it=80)
 
     pc_ref = PCAIR(opts, jit=False)
     pc_ref.setup(A)
     pc_ref.setup(A2, structure="same")
-    r_ref = pc_ref.solve(b, rtol=1e-8, max_it=25)
+    r_ref = pc_ref.solve(b, rtol=1e-8, max_it=80)
 
     assert r_dev.converged and r_ref.converged
     assert r_dev.iterations == r_ref.iterations
@@ -146,9 +155,10 @@ def test_device_resetup_validation():
     with pytest.raises(ValueError, match="reuse_sparsity"):
         pc.build_device_resetup()
     pc2 = PCAIR(AIROptions(reuse_sparsity=True, reuse_amount=3,
-                           full_smoothing_up_and_down=True), jit=False)
+                           z_type=__import__("pflare_tpu").ZType.LAIR,
+                           improve_z_its=1), jit=False)
     pc2.setup(A)
-    with pytest.raises(ValueError, match="full_smoothing"):
+    with pytest.raises(ValueError, match="improve_z with lAIR"):
         pc2.build_device_resetup()
     pc3 = PCAIR(AIROptions(), jit=False)
     with pytest.raises(RuntimeError):
