@@ -948,6 +948,28 @@ class DeviceResetup:
             # (reference: src/Grid_Transfer_Improve.F90:60-66)
             if z_src in ("diag-same", "diag-own", "diag-drop"):
                 meta_imp_diag = "direct"       # invh_flat IS the diagonal
+            elif z_is_lair:
+                # no dropped inverse exists under lAIR: the host takes the
+                # SMOOTHING inverse's diagonal (1/diag(A_ff) for mf kinds)
+                if full_smooth:
+                    raise ValueError("device re-setup: improve_z with "
+                                     "lAIR under full smoothing is not "
+                                     "supported (host path covers it)")
+                if lvl.inv_Aff.kind == "diagonal":
+                    meta_imp_diag = "smooth-diag"
+                elif lvl.inv_Aff.kind == "assembled" and inv_meta.sai:
+                    meta_imp_diag = "smooth-sai"
+                    S_host = lvl.inv_Aff.host_csr
+                    arrs["imp_dpos"] = jnp.asarray(SparsityPattern(
+                        S_host.indptr, S_host.indices,
+                        S_host.shape).diag_positions())
+                elif lvl.inv_Aff.kind == "assembled":
+                    meta_imp_diag = "smooth-pattern"
+                    arrs["imp_dpos"] = jnp.asarray(
+                        pats["inv_aff_poly_plan"].pat_S.diag_positions())
+                else:
+                    meta_imp_diag = "aff-recip"
+                    arrs["imp_dpos"] = jnp.asarray(patA_ff.diag_positions())
             else:
                 src_plan3 = (pats["inv_aff_poly_plan"] if z_src == "same"
                              else pats["inv_aff_drop_poly_plan"])
@@ -956,9 +978,10 @@ class DeviceResetup:
                 meta_imp_diag = "pattern"
         if opts.improve_z_its > 0:
             if z_is_lair:
-                raise ValueError("device re-setup: improve_z with lAIR "
-                                 "is not supported (host path covers it)")
-            pat_Z = zplan.pat_C
+                pat_Z = SparsityPattern(lair_pat.indptr, lair_pat.indices,
+                                        lair_pat.shape)
+            else:
+                pat_Z = zplan.pat_C
             z_csr = sp.csr_matrix(
                 (np.ones(pat_Z.nnz), pat_Z.indices, pat_Z.indptr),
                 shape=pat_Z.shape)
@@ -1273,8 +1296,31 @@ class DeviceResetup:
             if meta.improve_z > 0 or meta.improve_w > 0:
                 if meta.improve_diag == "direct":
                     dinv = invh_flat
-                else:
+                elif meta.improve_diag == "pattern":
                     dinv = _diag_gather(arrs["imp_dpos"], invh_flat)
+                elif meta.improve_diag == "smooth-diag":
+                    dvals = _diag_gather(arrs["inv"]["diag_pos"], aff)
+                    dinv = jnp.where(dvals != 0,
+                                     arrs["inv"]["w"] / dvals, 0.0)
+                elif meta.improve_diag == "smooth-sai":
+                    from ..inverse.sai import sai_execute as _sai_exec3
+
+                    dinv = _diag_gather(arrs["imp_dpos"],
+                                        _sai_exec3(arrs["inv"]["sai"], aff))
+                elif meta.improve_diag == "smooth-pattern":
+                    im2 = meta.inv_meta
+                    if im2.newton_wr is not None:
+                        m2 = _exec_newton_poly(
+                            arrs["inv"]["poly"], im2.newton_wr,
+                            im2.newton_wi, im2.nnz_s, aff, im2.tol_zero)
+                    else:
+                        m2 = _exec_poly(arrs["inv"]["poly"], im2.order,
+                                        im2.nnz_s, aff,
+                                        arrs["inv"]["coeffs"])
+                    dinv = _diag_gather(arrs["imp_dpos"], m2)
+                else:                     # aff-recip (mf smoothing kinds)
+                    dvals = _diag_gather(arrs["imp_dpos"], aff)
+                    dinv = jnp.where(dvals != 0, 1.0 / dvals, 0.0)
             for _ in range(meta.improve_z):
                 za = _exec_product(arrs["zimp"], z_flat, aff, meta.nnz_z)
                 acf_on_z = (acf[arrs["zimp_acf"]["src"]]
@@ -1491,8 +1537,6 @@ def _validate(opts: AIROptions, hierarchy):
         bad.append("z_type=lair with ideal prolongator")
     if opts.z_type.name != "PRODUCT" and opts.symmetric:
         bad.append("z_type=lair with symmetric")
-    if opts.z_type.name != "PRODUCT" and opts.improve_z_its > 0:
-        bad.append("improve_z with lAIR (host path covers it)")
     if not opts.reuse_sparsity or opts.reuse_amount < 3:
         bad.append("reuse_sparsity/amount")
     if hierarchy.auto_truncated:

@@ -101,6 +101,15 @@ CONFIGS = {
                               one_point_classical_prolong=False),
     "full_smooth_sym": dict(full_smoothing_up_and_down=True,
                             symmetric=True),
+    "lair_improve_z": dict(z_type=__import__("pflare_tpu").ZType.LAIR,
+                           improve_z_its=2),
+    "lair_improve_z_mf": dict(z_type=__import__("pflare_tpu").ZType.LAIR,
+                              improve_z_its=2, matrix_free_polys=True),
+    "sai_lair_improve_z": dict(
+        z_type=__import__("pflare_tpu").ZType.LAIR_SAI, improve_z_its=1),
+    "lair_improve_z_sai_inv": dict(
+        z_type=__import__("pflare_tpu").ZType.LAIR,
+        inverse_type=InverseType.SAI, improve_z_its=1),
 }
 
 
@@ -156,9 +165,9 @@ def test_device_resetup_validation():
         pc.build_device_resetup()
     pc2 = PCAIR(AIROptions(reuse_sparsity=True, reuse_amount=3,
                            z_type=__import__("pflare_tpu").ZType.LAIR,
-                           improve_z_its=1), jit=False)
+                           symmetric=True), jit=False)
     pc2.setup(A)
-    with pytest.raises(ValueError, match="improve_z with lAIR"):
+    with pytest.raises(ValueError, match="lair with symmetric"):
         pc2.build_device_resetup()
     pc3 = PCAIR(AIROptions(), jit=False)
     with pytest.raises(RuntimeError):
