@@ -950,23 +950,34 @@ class DeviceResetup:
                 meta_imp_diag = "direct"       # invh_flat IS the diagonal
             elif z_is_lair:
                 # no dropped inverse exists under lAIR: the host takes the
-                # SMOOTHING inverse's diagonal (1/diag(A_ff) for mf kinds)
-                if full_smooth:
-                    raise ValueError("device re-setup: improve_z with "
-                                     "lAIR under full smoothing is not "
-                                     "supported (host path covers it)")
+                # SMOOTHING inverse's diagonal (1/diag(A_ff) for mf kinds);
+                # under full smoothing that inverse lives on the whole
+                # matrix, so its diagonal restricts to the fine points
                 if lvl.inv_Aff.kind == "diagonal":
                     meta_imp_diag = "smooth-diag"
+                    if full_smooth:
+                        dpos_full = SparsityPattern(
+                            A.indptr, A.indices, A.shape).diag_positions()
+                        arrs["impf_dpos"] = jnp.asarray(dpos_full[fine])
+                        d_old = np.asarray(A.diagonal())[fine]
+                        hd = np.asarray(lvl.inv_Aff.diag)
+                        if hd.shape[0] == n:
+                            hd = hd[fine]
+                        arrs["impf_w"] = jnp.asarray(
+                            np.where(d_old != 0, hd * d_old, 0.0))
                 elif lvl.inv_Aff.kind == "assembled" and inv_meta.sai:
                     meta_imp_diag = "smooth-sai"
                     S_host = lvl.inv_Aff.host_csr
-                    arrs["imp_dpos"] = jnp.asarray(SparsityPattern(
+                    dpos2 = SparsityPattern(
                         S_host.indptr, S_host.indices,
-                        S_host.shape).diag_positions())
+                        S_host.shape).diag_positions()
+                    arrs["imp_dpos"] = jnp.asarray(
+                        dpos2[fine] if full_smooth else dpos2)
                 elif lvl.inv_Aff.kind == "assembled":
                     meta_imp_diag = "smooth-pattern"
+                    dpos2 = pats["inv_aff_poly_plan"].pat_S.diag_positions()
                     arrs["imp_dpos"] = jnp.asarray(
-                        pats["inv_aff_poly_plan"].pat_S.diag_positions())
+                        dpos2[fine] if full_smooth else dpos2)
                 else:
                     meta_imp_diag = "aff-recip"
                     arrs["imp_dpos"] = jnp.asarray(patA_ff.diag_positions())
@@ -1299,23 +1310,30 @@ class DeviceResetup:
                 elif meta.improve_diag == "pattern":
                     dinv = _diag_gather(arrs["imp_dpos"], invh_flat)
                 elif meta.improve_diag == "smooth-diag":
-                    dvals = _diag_gather(arrs["inv"]["diag_pos"], aff)
-                    dinv = jnp.where(dvals != 0,
-                                     arrs["inv"]["w"] / dvals, 0.0)
+                    if meta.full_smooth:
+                        dvals = _diag_gather(arrs["impf_dpos"], a_flat)
+                        dinv = jnp.where(dvals != 0,
+                                         arrs["impf_w"] / dvals, 0.0)
+                    else:
+                        dvals = _diag_gather(arrs["inv"]["diag_pos"], aff)
+                        dinv = jnp.where(dvals != 0,
+                                         arrs["inv"]["w"] / dvals, 0.0)
                 elif meta.improve_diag == "smooth-sai":
                     from ..inverse.sai import sai_execute as _sai_exec3
 
+                    src2 = a_flat if meta.full_smooth else aff
                     dinv = _diag_gather(arrs["imp_dpos"],
-                                        _sai_exec3(arrs["inv"]["sai"], aff))
+                                        _sai_exec3(arrs["inv"]["sai"], src2))
                 elif meta.improve_diag == "smooth-pattern":
                     im2 = meta.inv_meta
+                    src2 = a_flat if meta.full_smooth else aff
                     if im2.newton_wr is not None:
                         m2 = _exec_newton_poly(
                             arrs["inv"]["poly"], im2.newton_wr,
-                            im2.newton_wi, im2.nnz_s, aff, im2.tol_zero)
+                            im2.newton_wi, im2.nnz_s, src2, im2.tol_zero)
                     else:
                         m2 = _exec_poly(arrs["inv"]["poly"], im2.order,
-                                        im2.nnz_s, aff,
+                                        im2.nnz_s, src2,
                                         arrs["inv"]["coeffs"])
                     dinv = _diag_gather(arrs["imp_dpos"], m2)
                 else:                     # aff-recip (mf smoothing kinds)

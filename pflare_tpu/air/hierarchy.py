@@ -432,6 +432,10 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
             inv_diag_Aff = np.asarray(inv_Aff_host.diagonal())
         elif inv_Aff.kind in ("assembled", "diagonal"):
             inv_diag_Aff = np.asarray(_assembled_host(inv_Aff).diagonal())
+            if inv_diag_Aff.shape[0] != A_ff.shape[0]:
+                # full-smoothing inverse acts on the WHOLE matrix; the
+                # improvement wants diag(A_ff_inv) at the fine points only
+                inv_diag_Aff = inv_diag_Aff[np.asarray(fine)]
         else:
             d = A_ff.diagonal()
             inv_diag_Aff = np.where(d != 0, 1.0 / d, 0.0)

@@ -110,6 +110,19 @@ CONFIGS = {
     "lair_improve_z_sai_inv": dict(
         z_type=__import__("pflare_tpu").ZType.LAIR,
         inverse_type=InverseType.SAI, improve_z_its=1),
+    "fs_lair_improve_z": dict(z_type=__import__("pflare_tpu").ZType.LAIR,
+                              improve_z_its=2,
+                              full_smoothing_up_and_down=True),
+    "fs_lair_improve_z_jac": dict(
+        z_type=__import__("pflare_tpu").ZType.LAIR, improve_z_its=2,
+        inverse_type=InverseType.JACOBI,
+        full_smoothing_up_and_down=True),
+    "fs_lair_improve_z_mf": dict(
+        z_type=__import__("pflare_tpu").ZType.LAIR, improve_z_its=2,
+        matrix_free_polys=True, full_smoothing_up_and_down=True),
+    "fs_lair_improve_z_sai": dict(
+        z_type=__import__("pflare_tpu").ZType.LAIR, improve_z_its=1,
+        inverse_type=InverseType.SAI, full_smoothing_up_and_down=True),
 }
 
 
