@@ -38,16 +38,19 @@ from ..params import CFSplittingType, C_POINT, F_POINT, InverseType, ZType, \
     tolerances
 from ..sparse.dell import (
     DELL,
+    OFFBIG,
     PADCOL,
+    compact,
+    distinct_offsets_device,
     extract_dell,
     max_row_count,
     newton_poly_dell,
     poly_dell,
     sort_rows,
     spgemm_drop_dell,
+    spgemm_merge_dell,
     transpose_pattern,
     union_patterns,
-    compact,
 )
 from ..sparse.dia import DIA
 from ..inverse.build import Inverse
@@ -78,7 +81,43 @@ def device_setup_supported(opts: AIROptions) -> bool:
         or opts.any_c_smooths
         or opts.inverse_type in (InverseType.SAI, InverseType.ISAI,
                                  InverseType.LU)
+        or opts.coarsest_inverse_type in (InverseType.SAI, InverseType.ISAI,
+                                          InverseType.LU)
     )
+
+
+def device_setup_unsupported_reason(opts: AIROptions) -> str | None:
+    """Why the device first-setup cannot cover this option set (None when
+    supported).  PCAIR.setup_device prints this when falling back so the
+    host path is never taken silently."""
+    checks = [
+        (opts.symmetric, "symmetric (PtAP)"),
+        (opts.strong_r_threshold != 0.0, "strong_r_threshold"),
+        (bool(opts.improve_w_its), "improve_w_its"),
+        (bool(opts.improve_z_its), "improve_z_its"),
+        (opts.constrain_w, "constrain_w"),
+        (opts.constrain_z, "constrain_z"),
+        (opts.full_smoothing_up_and_down, "full_smoothing_up_and_down"),
+        (opts.z_type != ZType.PRODUCT, f"z_type={opts.z_type.name}"),
+        (not opts.one_point_classical_prolong, "ideal prolongator"),
+        (opts.cf_splitting_type not in (CFSplittingType.PMISR_DDC,
+                                        CFSplittingType.PMIS,
+                                        CFSplittingType.PMIS_DIST2,
+                                        CFSplittingType.CR),
+         f"cf_splitting_type={opts.cf_splitting_type.name}"),
+        (opts.inverse_sparsity_order != 1, "inverse_sparsity_order != 1"),
+        (opts.c_inverse_sparsity_order_eff != 1,
+         "c_inverse_sparsity_order != 1"),
+        (opts.any_c_smooths, "C-point smoothing"),
+        (opts.inverse_type in (InverseType.SAI, InverseType.ISAI,
+                               InverseType.LU),
+         f"inverse_type={opts.inverse_type.name}"),
+        (opts.coarsest_inverse_type in (InverseType.SAI, InverseType.ISAI,
+                                        InverseType.LU),
+         f"coarsest_inverse_type={opts.coarsest_inverse_type.name}"),
+    ]
+    bad = [msg for cond, msg in checks if cond]
+    return ", ".join(bad) if bad else None
 
 
 # ~~~~~~~~~~~~~~~~~~ CF splitting on device ~~~~~~~~~~~~~~~~~~
@@ -138,6 +177,77 @@ def _luby_rounds(gcols, measure, cf0, n_rounds, pmis: bool = False):
 
 
 @jax.jit
+def _symmetric_degree(scols):
+    """Degree of each node in the symmetrized graph S + S^T, computed on
+    the DIRECTED padded strength cols without materialising the transpose
+    (the host symmetrizes explicitly, src/SAbs.F90; a device transpose
+    needs a global sort whose XLA compile is pathological on TPU):
+    |out| + |in| - |reciprocal|, where in-degree is a scatter-add and
+    reciprocal edges are found by gathering each target's row."""
+    n, K = scols.shape
+    gidx = jnp.arange(n, dtype=scols.dtype)
+    maskl = scols < PADCOL
+    safe = jnp.minimum(scols, n - 1)
+    out_deg = jnp.sum(maskl, axis=1, dtype=jnp.int32)
+    in_deg = jnp.zeros(n, jnp.int32).at[scols.reshape(-1)].add(
+        maskl.reshape(-1).astype(jnp.int32), mode="drop")
+    trows = scols[safe]                                  # [n, K, K]
+    recip = maskl & jnp.any(trows == gidx[:, None, None], axis=-1)
+    return out_deg + in_deg - jnp.sum(recip, axis=1, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_rounds", "pmis"))
+def _luby_directed(scols, measure, cf0, n_rounds, pmis: bool = False):
+    """PMISR/PMIS Luby rounds over S + S^T expressed on the DIRECTED
+    strength cols: out-edges are gathered, in-edges arrive by scatter-or,
+    so no transpose pattern (and no global device sort) is ever built.
+    Semantics identical to _luby_rounds on the symmetrized graph --
+    a node is blocked when ANY unremoved neighbour in either direction
+    carries a smaller measure (ties: smaller index), new set members and
+    their neighbours leave the candidate pool, leftovers become C
+    (reference: src/PMISR_Module.F90:200-473, fixed-step mode).  Runs as
+    a while_loop so converged graphs stop early on device."""
+    n = measure.shape[0]
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    maskl = scols < PADCOL
+    safe = jnp.minimum(scols, n - 1)
+    colsflat = scols.reshape(-1)
+    cf = cf0.astype(jnp.int32)
+    removed0 = cf != 0
+
+    zero_nodes = (~removed0) & (jnp.abs(measure) < 1)
+    zero_val = C_POINT if pmis else F_POINT
+    cf = jnp.where(zero_nodes, zero_val, cf)
+    removed0 = removed0 | zero_nodes
+    m_nb = measure[safe]                                 # [n, K]
+
+    def body(carry):
+        in_set, rounds, _ = carry
+        cov_in = jnp.zeros(n, bool).at[colsflat].max(
+            (in_set[:, None] & maskl).reshape(-1), mode="drop")
+        covered = (in_set | jnp.any(maskl & in_set[safe], axis=1)
+                   | cov_in | removed0)
+        blocker = ~covered
+        beats_out = maskl & blocker[safe] & (
+            (measure[:, None] > m_nb)
+            | ((measure[:, None] == m_nb) & (gidx[:, None] > safe)))
+        lose = jnp.any(beats_out, axis=1)
+        beats_in = maskl & blocker[:, None] & (
+            (m_nb > measure[:, None])
+            | ((m_nb == measure[:, None]) & (safe > gidx[:, None])))
+        lose = lose | jnp.zeros(n, bool).at[colsflat].max(
+            beats_in.reshape(-1), mode="drop")
+        new = blocker & ~lose
+        return in_set | new, rounds + 1, jnp.any(new)
+
+    init = (jnp.zeros(n, dtype=bool), jnp.int32(0), jnp.bool_(True))
+    in_set, _, _ = jax.lax.while_loop(
+        lambda c: c[2] & (c[1] < n_rounds), body, init)
+    cf = jnp.where(in_set, F_POINT, cf)
+    return jnp.where(cf == 0, C_POINT, cf)
+
+
+@jax.jit
 def _ddc_pass(A: DELL, cf, fraction_swap):
     """DDC second pass on device (reference: src/DDC_Module.F90 +
     src/DDC_Modulek.kokkos.cxx: the ratio is computed WITHOUT extracting
@@ -178,9 +288,10 @@ def _sym_graph(A: DELL, theta, square: bool = False):
         tcols = jnp.pad(tcols,
                         ((0, 0), (0, scols.shape[1] - tcols.shape[1])),
                         constant_values=PADCOL)
-    gfull = union_patterns(scols, tcols)
-    gcols = gfull[:, :max(max_row_count(gfull), 1)]
-    gcols = jnp.sort(gcols, axis=1)
+    # sort BEFORE slicing: union_patterns leaves PADCOL holes in place of
+    # duplicates, so live entries can sit beyond the max-row-count width
+    gcols = jnp.sort(gfull := union_patterns(scols, tcols),
+                     axis=1)[:, :max(max_row_count(gfull), 1)]
     if square:
         # S'S + S with symmetric S = S@S union S, diagonal dropped
         ones = (gcols < PADCOL).astype(A.dtype)
@@ -195,9 +306,8 @@ def _sym_graph(A: DELL, theta, square: bool = False):
             gcols = jnp.pad(
                 gcols, ((0, 0), (0, c2.shape[1] - gcols.shape[1])),
                 constant_values=PADCOL)
-        gfull = union_patterns(gcols, c2)
-        gcols = gfull[:, :max(max_row_count(gfull), 1)]
-        gcols = jnp.sort(gcols, axis=1)
+        gcols = jnp.sort(gfull := union_patterns(gcols, c2),
+                         axis=1)[:, :max(max_row_count(gfull), 1)]
     return gcols
 
 
@@ -288,20 +398,28 @@ def _cf_split_device(A: DELL, opts: AIROptions):
     if t == CFSplittingType.CR:
         return _cr_split_device(A, opts)
     pmis = t in (CFSplittingType.PMIS, CFSplittingType.PMIS_DIST2)
-    gcols = _sym_graph(A, float(opts.strong_threshold),
-                       square=(t == CFSplittingType.PMIS_DIST2))
 
     rng = np.random.default_rng(opts.seed)
     rand = jnp.asarray(rng.random(n), dtype=A.dtype)
-    degree = jnp.sum(gcols < PADCOL, axis=1).astype(A.dtype)
-    measure = rand + degree
-    if pmis:
-        measure = -measure
     # 25 unbounded-equivalent rounds: Luby assigns everything in O(log n)
     # w.h.p.; leftovers become C exactly like the fixed-step reference mode
     rounds = opts.max_luby_steps if opts.max_luby_steps > 0 else 25
-    cf = _luby_rounds(gcols, measure, jnp.zeros(n, dtype=jnp.int32),
-                      rounds, pmis=pmis)
+    cf0 = jnp.zeros(n, dtype=jnp.int32)
+    if t == CFSplittingType.PMIS_DIST2:
+        # distance-2 needs the explicit squared graph; built once with the
+        # (compile-heavy, correct) transpose/union path
+        gcols = _sym_graph(A, float(opts.strong_threshold), square=True)
+        measure = rand + jnp.sum(gcols < PADCOL, axis=1).astype(A.dtype)
+        cf = _luby_rounds(gcols, -measure, cf0, rounds, pmis=True)
+    else:
+        # PMISR/PMIS ride the directed strength cols: the symmetrized
+        # graph is never materialised (its device transpose needs a
+        # global sort -- a pathological XLA compile on TPU)
+        scols = _strength_cols(A, float(opts.strong_threshold))
+        measure = rand + _symmetric_degree(scols).astype(A.dtype)
+        if pmis:
+            measure = -measure
+        cf = _luby_directed(scols, measure, cf0, rounds, pmis=pmis)
     if pmis:
         cf = -cf
     if opts.strong_threshold != 0.0 and t in (CFSplittingType.PMISR_DDC,
@@ -316,16 +434,34 @@ def _cf_split_device(A: DELL, opts: AIROptions):
 
 @dataclass
 class DeviceLevel:
-    """Host metadata + device dict for one device-built level."""
+    """Host metadata + device dict for one device-built level.  The nnz
+    census stays a DEVICE vector until someone asks (each int() during
+    setup would be a tunnel round-trip)."""
 
     n: int
     n_f: int
     n_c: int
     device: dict = field(default_factory=dict)
-    nnz_A: int = 0
-    nnz_R: int = 0
-    nnz_P: int = 0
-    nnz_inv: int = 0
+    nnz_dev: object = None    # [4] device vector: A, R, P, inv
+
+    def _nnz(self, i):
+        return int(self.nnz_dev[i]) if self.nnz_dev is not None else 0
+
+    @property
+    def nnz_A(self):
+        return self._nnz(0)
+
+    @property
+    def nnz_R(self):
+        return self._nnz(1)
+
+    @property
+    def nnz_P(self):
+        return self._nnz(2)
+
+    @property
+    def nnz_inv(self):
+        return self._nnz(3)
 
 
 @dataclass
@@ -359,6 +495,30 @@ def _ensure_diag(A: DELL) -> DELL:
         [A.data, jnp.zeros((n, 1), dtype=A.dtype)], axis=1)
     c, v = sort_rows(cols, data)
     return DELL(v, c, A.n_cols)
+
+
+@jax.jit
+def _qr_r_jit(K):
+    return jnp.linalg.qr(K, mode="r")
+
+
+@partial(jax.jit, static_argnames=("order",))
+def _neumann_dell(A_ff: DELL, order: int) -> DELL:
+    """Assembled Neumann-series inverse on device:
+    M = (sum_k (I - D^-1 A)^k)|_S(A) @ D^-1 (device sibling of the host
+    build in inverse/build.py; reference: src/Neumann_Poly.F90:177-212).
+    A_ff must carry a structural diagonal (extract_dell ensure_diag)."""
+    n = A_ff.shape[0]
+    d = A_ff.diagonal()
+    isd = A_ff.cols == jnp.arange(n, dtype=A_ff.cols.dtype)[:, None]
+    live = A_ff.cols < PADCOL
+    ndata = jnp.where(live, -A_ff.data / d[:, None], 0.0)
+    ndata = jnp.where(isd, 1.0 + ndata, ndata)
+    N = DELL(ndata, A_ff.cols, n)
+    M = poly_dell(N, jnp.ones(order + 1, dtype=A_ff.dtype))
+    safe = jnp.minimum(M.cols, n - 1)
+    mdata = jnp.where(M.cols < PADCOL, M.data / d[safe], 0.0)
+    return DELL(mdata, M.cols, M.n_cols)
 
 
 def _inverse_device(A_ff: DELL, opts, inverse_type, poly_order,
@@ -397,7 +557,14 @@ def _inverse_device(A_ff: DELL, opts, inverse_type, poly_order,
 
     if inverse_type == InverseType.NEUMANN:
         ones = jnp.ones(poly_order + 1, dtype=dtype)
-        return Inverse("neumann_mf", mat=A_ff, coefficients=ones, diag=diag,
+        if matrix_free:
+            return Inverse("neumann_mf", mat=A_ff, coefficients=ones,
+                           diag=diag, meta={"type": int(inverse_type)})
+        # assembled: p(N)|_S(A) @ D^-1 with N = I - D^-1 A, matching the
+        # host build (inverse/build.py) and src/Neumann_Poly.F90:177-212;
+        # the Z product needs this real assembled inverse, not A_ff
+        M = _neumann_dell(A_ff, poly_order)
+        return Inverse("assembled", mat=M, coefficients=ones,
                        meta={"type": int(inverse_type)})
 
     mv = A_ff.matvec
@@ -428,8 +595,12 @@ def _inverse_device(A_ff: DELL, opts, inverse_type, poly_order,
                        coefficients=coeffs2)
 
     if inverse_type == InverseType.POWER:
+        # QR of the power basis runs ON DEVICE; only the tiny R factor
+        # crosses d2h (the host-orchestrated default would pull the whole
+        # [n, order+2] Krylov block through the tunnel)
+        qr_dev = lambda K: np.asarray(_qr_r_jit(K), dtype=np.float64)
         coeffs = coefficients_power(mv, n, poly_order, A_ff.dtype,
-                                    seed=seed, xp=jnp)
+                                    seed=seed, qr_reduce=qr_dev, xp=jnp)
     elif inverse_type == InverseType.ARNOLDI:
         r0 = box_muller(n, A_ff.dtype, seed)
         beta, H = arnoldi_fixed_device(A_ff, r0, poly_order + 1,
@@ -622,10 +793,15 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
             coarse_idx = jnp.nonzero(is_c, size=n_c)[0].astype(jnp.int32)
             f_newidx = jnp.cumsum(is_f) - 1
             c_newidx = jnp.cumsum(is_c) - 1
+            # capacity-bounded extracts: a submatrix can only shrink rows,
+            # so the parent width is a valid bound and skipping the shape
+            # readback saves a tunnel round-trip per product
             A_ff = extract_dell(A, fine_idx, is_f, f_newidx, n_f,
-                                ensure_diag=True)
-            A_fc = extract_dell(A, fine_idx, is_c, c_newidx, n_c)
-            A_cf = extract_dell(A, coarse_idx, is_f, f_newidx, n_f)
+                                ensure_diag=True, compact_width=False)
+            A_fc = extract_dell(A, fine_idx, is_c, c_newidx, n_c,
+                                compact_width=False)
+            A_cf = extract_dell(A, coarse_idx, is_f, f_newidx, n_f,
+                                compact_width=False)
 
         with timer("air_inverse"):
             inv_Aff = _inverse_device(
@@ -650,11 +826,15 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
                                                dinv_z[safe], 0.0)
                 Z = DELL(zdata, A_cf.cols, n_f)
                 from ..sparse.dell import drop_rows as _dr
+                # default diag_of_row: the (i,i) entry of the rectangular
+                # Z is protected from the relative drop exactly like the
+                # assembled branch (spgemm_drop_dell) and the host
+                # remove_small_from_sparse
                 zc, zv = _dr(Z.cols, Z.data, float(opts.r_drop), True,
-                             False, diag_of_row=jnp.full(
-                                 n_c, -1, dtype=Z.cols.dtype))
-                Z = DELL(zv[:, :max(max_row_count(zc), 1)],
-                         zc[:, :max(max_row_count(zc), 1)], n_f)
+                             False)
+                K_z = max(max_row_count(zc), 1)
+                zc, zv = compact(zc, zv, K_z)
+                Z = DELL(zv, zc, n_f)
             else:
                 Z = spgemm_drop_dell(A_cf, inv_for_z, float(opts.r_drop),
                                      relative=True, lump=False)
@@ -668,15 +848,18 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
             P_ext = DELL(pvals.astype(dtype), pcols, n)
 
         with timer("air_rap"):
-            # AP = A @ P_ext [n, n], then RAP rows gathered at coarse
+            # AP = A @ P_ext [n, n]: P has ONE entry per row, so the
+            # expand width is already A's width -- merge without the
+            # compaction readback.  Then RAP rows gathered at coarse
             # positions: R_ext @ AP restricted to coarse rows/cols and
             # renumbered -> the next level matrix [n_c, n_c]
-            AP = spgemm_drop_dell(A, P_ext, 0.0, relative=True, lump=False)
+            AP = spgemm_merge_dell(A, P_ext)
             RAP_full = spgemm_drop_dell(R_ext, AP, float(opts.a_drop),
                                         relative=True, lump=opts.a_lump)
-            # compress to coarse numbering on both axes
+            # compress to coarse numbering on both axes (width is tight:
+            # RAP_full was just compacted)
             A_next = extract_dell(RAP_full, coarse_idx, is_c, c_newidx,
-                                  n_c)
+                                  n_c, compact_width=False)
 
         aff_ext, afc_ext, fmask = _mask_ext_ops(A, cf)
         A_ff_ext_op = DELL(aff_ext, A.cols, n)
@@ -693,11 +876,9 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
         }
         levels.append(DeviceLevel(
             n=n, n_f=n_f, n_c=n_c, device=dev,
-            nnz_A=int(jnp.sum(A.cols < PADCOL)),
-            nnz_R=int(jnp.sum(R_ext.cols < PADCOL)),
-            nnz_P=int(jnp.sum(P_ext.cols < PADCOL)),
-            nnz_inv=(int(jnp.sum(inv_Aff.mat.cols < PADCOL))
-                     if inv_Aff.kind == "assembled" else 0),
+            nnz_dev=_level_nnz(
+                A.cols, R_ext.cols, P_ext.cols,
+                inv_Aff.mat.cols if inv_Aff.kind == "assembled" else None),
         ))
         A = A_next
         level_idx += 1
@@ -715,22 +896,39 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
     return h
 
 
-def _dell_to_dia(op: DELL):
-    """DELL -> DIA when the offset structure pays (device-side rebuild:
-    only the offset SET crosses d2h).  Arbitrary-index gathers measure
-    ~50x slower than offset slices on TPU (docs/tpu.md), so device-built
-    hierarchies get the same DIA fast path as host-built ones."""
-    n, K = op.data.shape
-    if op.n_cols != n:
+@jax.jit
+def _level_nnz(a_cols, r_cols, p_cols, inv_cols):
+    """Fused nnz census for one level as a [4] DEVICE vector (read back
+    lazily: four eager int() calls were four tunnel round-trips)."""
+    cnt = lambda c: (jnp.sum(c < PADCOL).astype(jnp.int32)
+                     if c is not None else jnp.zeros((), jnp.int32))
+    return jnp.stack([cnt(a_cols), cnt(r_cols), cnt(p_cols),
+                      cnt(inv_cols)])
+
+
+def _dia_census(op: DELL, cap: int = 16):
+    """(offset union, nnz) as DEVICE arrays for DIA viability -- the whole
+    census is device compute (row-wise sorts only) so _optimize_layouts
+    can batch ONE readback for every operator of every level."""
+    offs = distinct_offsets_device(op.cols, cap=cap)
+    nnz = jnp.sum(op.cols < PADCOL).astype(offs.dtype)
+    return jnp.concatenate([offs, nnz[None]])
+
+
+def _dell_to_dia(op: DELL, census: np.ndarray):
+    """DELL -> DIA when the offset structure pays.  Arbitrary-index
+    gathers measure ~50x slower than offset slices on TPU (docs/tpu.md),
+    so device-built hierarchies get the same DIA fast path as host-built
+    ones.  ``census``: host [cap+2] vector from _dia_census."""
+    n = op.data.shape[0]
+    uniq = census[:-1]
+    uniq = uniq[uniq < int(OFFBIG)]
+    nnz = int(census[-1])
+    if len(uniq) > 8 or len(uniq) * n > 3 * max(nnz, 1):
         return None
     ridx = jnp.arange(n, dtype=op.cols.dtype)[:, None]
     live = op.cols < PADCOL
     offs = jnp.where(live, op.cols - ridx, jnp.int32(2**30))
-    uniq = np.unique(np.asarray(jnp.sort(offs.reshape(-1))))
-    uniq = uniq[uniq < 2**29]
-    nnz = int(jnp.sum(live))
-    if len(uniq) > 8 or len(uniq) * n > 3 * max(nnz, 1):
-        return None
     rows = []
     for off in uniq:
         rows.append(jnp.sum(jnp.where(offs == int(off), op.data, 0.0),
@@ -739,21 +937,42 @@ def _dell_to_dia(op: DELL):
 
 
 def _optimize_layouts(h: "DeviceHierarchy"):
-    """Upgrade gather (DELL) operators to DIA where viable."""
+    """Upgrade gather (DELL) operators to DIA where viable.  The offset
+    censuses for ALL levels are computed on device first and cross d2h in
+    ONE batched readback (the old per-op np.unique pulled every pattern
+    through the tunnel and its flat device sort compiled pathologically)."""
+    cands = []
     for dev in h.device_levels:
         for key in ("A_ff", "A_fc", "R", "P"):
             op = dev.get(key)
-            if isinstance(op, DELL):
-                dia = _dell_to_dia(op)
-                if dia is not None:
-                    dev[key] = dia
+            if isinstance(op, DELL) and op.n_cols == op.data.shape[0]:
+                cands.append((dev, key, op))
         inv = dev.get("inv_Aff")
-        if inv is not None and inv.kind == "assembled" and isinstance(
-                inv.mat, DELL):
-            dia = _dell_to_dia(inv.mat)
-            if dia is not None:
-                inv.mat = dia
+        if (inv is not None and inv.kind == "assembled"
+                and isinstance(inv.mat, DELL)
+                and inv.mat.n_cols == inv.mat.data.shape[0]):
+            cands.append((dev, "_inv_mat", inv.mat))
+    if not cands:
+        return
+    # operators sharing one cols array (A_ff_ext/A_fc_ext keep A's layout)
+    # share one census
+    by_id = {}
+    for _, _, op in cands:
+        if id(op.cols) not in by_id:
+            by_id[id(op.cols)] = (len(by_id), _dia_census(op))
+    stacked = np.asarray(jnp.stack([c for _, c in by_id.values()]))
+    censuses = [stacked[by_id[id(op.cols)][0]] for _, _, op in cands]
+    for (dev, key, op), census in zip(cands, censuses):
+        dia = _dell_to_dia(op, census)
+        if dia is None:
+            continue
+        if key == "_inv_mat":
+            dev["inv_Aff"].mat = dia
+        else:
+            dev[key] = dia
+    for dev in h.device_levels:
         # matrix-free inverses share the (possibly upgraded) A_ff op
+        inv = dev.get("inv_Aff")
         if (inv is not None and inv.kind in ("poly_mf", "newton_mf",
                                              "neumann_mf")
                 and isinstance(inv.mat, DELL)

@@ -116,7 +116,16 @@ def arnoldi_fixed_device(op, r0, subspace, diag=None):
     """
     beta, H = _arnoldi_fixed_jit(op, diag, r0, subspace,
                                  diag is not None)
-    return float(beta), np.asarray(H, dtype=np.float64)
+    # ONE d2h round-trip: beta rides as an extra row of H (scalar
+    # readbacks cost a full tunnel RTT each on remote-attached TPUs)
+    packed = np.asarray(_pack_beta_h(beta, H), dtype=np.float64)
+    return float(packed[0, 0]), packed[1:]
+
+
+@jax.jit
+def _pack_beta_h(beta, H):
+    row = jnp.zeros((1, H.shape[1]), dtype=H.dtype).at[0, 0].set(beta)
+    return jnp.concatenate([row, H], axis=0)
 
 
 from functools import partial

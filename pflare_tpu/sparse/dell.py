@@ -222,6 +222,23 @@ def spgemm_drop_dell(A: DELL, B: DELL, tol: float, relative: bool,
     return DELL(v, c, B.n_cols)
 
 
+@jax.jit
+def _spgemm_merge_sorted(A: DELL, B: DELL):
+    ccols, cvals = spgemm_expand(A, B)
+    ccols, cvals = sort_rows(ccols, cvals)
+    ccols, cvals = segsum_rows(ccols, cvals)
+    return sort_rows(ccols, cvals)      # left-packed, sorted
+
+
+def spgemm_merge_dell(A: DELL, B: DELL) -> DELL:
+    """C = A @ B merged and left-packed at the expand capacity Ka*Kb --
+    NO scalar readback (no compaction).  Use when the expand width is
+    already tight, e.g. B has one entry per row (the one-point P), so the
+    tunnel round-trip of a shape readback costs more than the padding."""
+    ccols, cvals = _spgemm_merge_sorted(A, B)
+    return DELL(cvals, ccols, B.n_cols)
+
+
 @partial(jax.jit, static_argnames=("relative", "lump"))
 def _spgemm_drop_jit(A: DELL, B: DELL, tol, relative: bool, lump: bool):
     ccols, cvals = spgemm_expand(A, B)
@@ -234,7 +251,8 @@ def _spgemm_drop_jit(A: DELL, B: DELL, tol, relative: bool, lump: bool):
 
 
 def extract_dell(A: DELL, row_idx, col_mask, col_newidx, n_cols_new: int,
-                 ensure_diag: bool = False) -> DELL:
+                 ensure_diag: bool = False,
+                 compact_width: bool = True) -> DELL:
     """Submatrix A[row_idx][:, col_mask] with columns renumbered by
     ``col_newidx`` (the device analogue of MatCreateSubMatrix, reference:
     src/PETSc_Helperk.kokkos.cxx:1801-2403).
@@ -242,10 +260,17 @@ def extract_dell(A: DELL, row_idx, col_mask, col_newidx, n_cols_new: int,
     row_idx: [n_new] device indices of the kept rows.
     col_mask: [n_cols] bool, col_newidx: [n_cols] new index per old column.
     ensure_diag: append a structural diagonal slot where missing (the
-    fixed-sparsity polynomial needs the c0 I term to land)."""
+    fixed-sparsity polynomial needs the c0 I term to land).
+    compact_width=False keeps the input capacity (rows still sorted and
+    left-packed) and skips the scalar shape readback -- extraction can
+    only shrink rows, so the input width is already a valid bound and the
+    tunnel round-trip usually costs more than the padding."""
     ccols, cvals = _extract_core(A, row_idx, col_mask, col_newidx,
                                  bool(ensure_diag))
-    K_new = max(max_row_count(ccols), 1)
+    if compact_width:
+        K_new = max(max_row_count(ccols), 1)
+    else:
+        K_new = ccols.shape[1]
     c, v = compact(ccols, cvals, K_new)
     return DELL(v, c, n_cols_new)
 
@@ -348,6 +373,46 @@ def newton_poly_dell(A: DELL, wr, wi, tol_zero: float):
         M = M + T / wr[k - 1]
     M = jnp.where(A.cols < PADCOL, M, 0.0)
     return DELL(M, A.cols, A.n_cols)
+
+
+# ~~~~~~~~~~~~~~~~~~ offset census (DIA detection) ~~~~~~~~~~~~~~~~~~
+
+OFFBIG = np.int32(2**29)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def distinct_offsets_device(cols, cap: int = 16):
+    """Distinct (col - row) offsets of a square padded pattern, computed
+    ON DEVICE by a folded tree of row-wise sorted unions (row-wise sorts
+    only -- large 1-D device sorts compile pathologically slowly on some
+    TPU backends, and a full d2h of the pattern is tunnel-bandwidth
+    bound).  Returns an ascending [cap+1] vector padded with OFFBIG; a
+    live slot ``cap`` means MORE than ``cap`` distinct offsets exist.
+    One tiny readback replaces the old host-side np.unique of the whole
+    pattern (DIA viability needs only ~8 offsets anyway)."""
+    n, K = cols.shape
+    ridx = jnp.arange(n, dtype=cols.dtype)[:, None]
+    live = cols < PADCOL
+    offs = jnp.where(live, cols - ridx, OFFBIG)
+
+    def dedup_slice(o, w):
+        o = jnp.sort(o, axis=1)
+        first = jnp.concatenate(
+            [jnp.ones_like(o[:, :1], dtype=bool),
+             o[:, 1:] != o[:, :-1]], axis=1)
+        o = jnp.where(first & (o < OFFBIG), o, OFFBIG)
+        return jnp.sort(o, axis=1)[:, :w]
+
+    offs = dedup_slice(offs, min(K, cap + 1))
+    FOLD = 64
+    while offs.shape[0] > 1:
+        pad = (-offs.shape[0]) % FOLD
+        if pad:
+            offs = jnp.pad(offs, ((0, pad), (0, 0)),
+                           constant_values=OFFBIG)
+        offs = offs.reshape(offs.shape[0] // FOLD, -1)
+        offs = dedup_slice(offs, cap + 1)
+    return offs[0]
 
 
 # ~~~~~~~~~~~~~~~~~~ pattern transpose / union ~~~~~~~~~~~~~~~~~~
