@@ -40,6 +40,7 @@ from ..sparse.dell import (
     DELL,
     OFFBIG,
     PADCOL,
+    ceil8,
     compact,
     distinct_offsets_device,
     extract_dell,
@@ -290,8 +291,9 @@ def _sym_graph(A: DELL, theta, square: bool = False):
                         constant_values=PADCOL)
     # sort BEFORE slicing: union_patterns leaves PADCOL holes in place of
     # duplicates, so live entries can sit beyond the max-row-count width
-    gcols = jnp.sort(gfull := union_patterns(scols, tcols),
-                     axis=1)[:, :max(max_row_count(gfull), 1)]
+    gfull = union_patterns(scols, tcols)
+    w = min(ceil8(max_row_count(gfull)), gfull.shape[1])
+    gcols = jnp.sort(gfull, axis=1)[:, :w]
     if square:
         # S'S + S with symmetric S = S@S union S, diagonal dropped
         ones = (gcols < PADCOL).astype(A.dtype)
@@ -306,8 +308,9 @@ def _sym_graph(A: DELL, theta, square: bool = False):
             gcols = jnp.pad(
                 gcols, ((0, 0), (0, c2.shape[1] - gcols.shape[1])),
                 constant_values=PADCOL)
-        gcols = jnp.sort(gfull := union_patterns(gcols, c2),
-                         axis=1)[:, :max(max_row_count(gfull), 1)]
+        gfull = union_patterns(gcols, c2)
+        w = min(ceil8(max_row_count(gfull)), gfull.shape[1])
+        gcols = jnp.sort(gfull, axis=1)[:, :w]
     return gcols
 
 
@@ -323,7 +326,7 @@ def _cr_split_device(A: DELL, opts: AIROptions):
     rng = np.random.default_rng(opts.seed)
     rand_full = jnp.asarray(rng.random(n), dtype=A.dtype)
     for _ in range(CR_MAX_ITS):
-        n_f = int(jnp.sum(cf == F_POINT))
+        n_f = int(float(jnp.sum(cf == F_POINT).astype(jnp.float32)))
         if n_f == 0:
             break
         is_f = cf == F_POINT
@@ -378,13 +381,14 @@ def _cr_split_device(A: DELL, opts: AIROptions):
         pad = lambda c: jnp.pad(c, ((0, 0), (0, w - c.shape[1])),
                                 constant_values=PADCOL)
         gfull = union_patterns(pad(Aff.cols), pad(tcols))
-        gcols = jnp.sort(gfull, axis=1)[:, :max(max_row_count(gfull), 1)]
+        wcr = min(ceil8(max_row_count(gfull)), gfull.shape[1])
+        gcols = jnp.sort(gfull, axis=1)[:, :wcr]
         cf_aff = _luby_rounds(gcols, cr_meas, cf_aff0, 25)
         swap = cf_aff == F_POINT
         # F rows that stay slowest become C on the full grid
         flip = jnp.zeros(n, dtype=bool).at[fine_idx].set(swap)
         cf = jnp.where(flip, -cf, cf)
-        if int(jnp.sum(swap)) == 0:
+        if float(jnp.sum(swap).astype(jnp.float32)) == 0:
             break
     return cf
 
@@ -445,7 +449,8 @@ class DeviceLevel:
     nnz_dev: object = None    # [4] device vector: A, R, P, inv
 
     def _nnz(self, i):
-        return int(self.nnz_dev[i]) if self.nnz_dev is not None else 0
+        return (int(float(self.nnz_dev[i]))
+                if self.nnz_dev is not None else 0)
 
     @property
     def nnz_A(self):
@@ -487,12 +492,14 @@ def _ensure_diag(A: DELL) -> DELL:
     n = A.data.shape[0]
     ridx = jnp.arange(n, dtype=A.cols.dtype)
     has = jnp.any(A.cols == ridx[:, None], axis=1)
-    if bool(jnp.all(has)):
+    if float(jnp.all(has).astype(jnp.float32)) == 1.0:
         return A
-    extra_c = jnp.where(has, PADCOL, ridx)[:, None]
+    extra = ceil8(A.cols.shape[1] + 1) - A.cols.shape[1]
+    extra_c = jnp.full((n, extra), PADCOL, A.cols.dtype).at[:, 0].set(
+        jnp.where(has, PADCOL, ridx))
     cols = jnp.concatenate([A.cols, extra_c], axis=1)
     data = jnp.concatenate(
-        [A.data, jnp.zeros((n, 1), dtype=A.dtype)], axis=1)
+        [A.data, jnp.zeros((n, extra), dtype=A.dtype)], axis=1)
     c, v = sort_rows(cols, data)
     return DELL(v, c, A.n_cols)
 
@@ -500,6 +507,20 @@ def _ensure_diag(A: DELL) -> DELL:
 @jax.jit
 def _qr_r_jit(K):
     return jnp.linalg.qr(K, mode="r")
+
+
+@partial(jax.jit, static_argnames=("n_f", "n_c"))
+def _split_indices(cf, n_f: int, n_c: int):
+    """All CF index structures in ONE program (the eager op soup --
+    nonzero, cumsum, compares -- costs ~10 XLA compiles per level
+    otherwise)."""
+    is_f = cf == F_POINT
+    is_c = ~is_f
+    fine_idx = jnp.nonzero(is_f, size=n_f)[0].astype(jnp.int32)
+    coarse_idx = jnp.nonzero(is_c, size=n_c)[0].astype(jnp.int32)
+    f_newidx = jnp.cumsum(is_f) - 1
+    c_newidx = jnp.cumsum(is_c) - 1
+    return is_f, is_c, fine_idx, coarse_idx, f_newidx, c_newidx
 
 
 @partial(jax.jit, static_argnames=("order",))
@@ -655,6 +676,10 @@ def _assemble_r_ext(Z: DELL, fine_idx, coarse_idx, cf, n: int):
     vals = jnp.concatenate(
         [gvals, jnp.where(is_c, 1.0, 0.0)[:, None].astype(gvals.dtype)],
         axis=1)
+    pad = ceil8(cols.shape[1]) - cols.shape[1]
+    if pad:     # widths stay multiples of 8 (gather-index alignment)
+        cols = jnp.pad(cols, ((0, 0), (0, pad)), constant_values=PADCOL)
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
     return sort_rows(cols, vals)
 
 
@@ -673,7 +698,10 @@ def _assemble_p_ext(wcol, coarse_idx, cf, n: int):
                    .astype(jnp.int32), PADCOL)
     cols = jnp.where(is_c, jnp.arange(n, dtype=jnp.int32), gw)
     vals = jnp.where(is_c | wc_ok, 1.0, 0.0)
-    return cols[:, None], vals[:, None]
+    # width 8, entry in slot 0 (gather-index alignment policy)
+    cols8 = jnp.full((n, 8), PADCOL, jnp.int32).at[:, 0].set(cols)
+    vals8 = jnp.zeros((n, 8), vals.dtype).at[:, 0].set(vals)
+    return cols8, vals8
 
 
 @jax.jit
@@ -781,18 +809,15 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
 
         with timer("air_coarsen"):
             cf = _cf_split_device(A, opts)
-            n_f = int(jnp.sum(cf == F_POINT))
+            # float route: int d2h stalls for minutes on some TPU backends
+            n_f = int(float(jnp.sum(cf == F_POINT).astype(jnp.float32)))
             n_c = n - n_f
         if n_c <= opts.coarse_eq_limit or n_f == 0:
             break
 
         with timer("air_extract"):
-            is_f = cf == F_POINT
-            is_c = ~is_f
-            fine_idx = jnp.nonzero(is_f, size=n_f)[0].astype(jnp.int32)
-            coarse_idx = jnp.nonzero(is_c, size=n_c)[0].astype(jnp.int32)
-            f_newidx = jnp.cumsum(is_f) - 1
-            c_newidx = jnp.cumsum(is_c) - 1
+            (is_f, is_c, fine_idx, coarse_idx, f_newidx,
+             c_newidx) = _split_indices(cf, n_f, n_c)
             # capacity-bounded extracts: a submatrix can only shrink rows,
             # so the parent width is a valid bound and skipping the shape
             # readback saves a tunnel round-trip per product
@@ -900,8 +925,11 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
 def _level_nnz(a_cols, r_cols, p_cols, inv_cols):
     """Fused nnz census for one level as a [4] DEVICE vector (read back
     lazily: four eager int() calls were four tunnel round-trips)."""
-    cnt = lambda c: (jnp.sum(c < PADCOL).astype(jnp.int32)
-                     if c is not None else jnp.zeros((), jnp.int32))
+    # f32: integer d2h transfers stall for minutes on first use on some
+    # remote TPU backends (exact up to 2^24 nnz; beyond that the census
+    # is a statistics-only approximation)
+    cnt = lambda c: (jnp.sum(c < PADCOL).astype(jnp.float32)
+                     if c is not None else jnp.zeros((), jnp.float32))
     return jnp.stack([cnt(a_cols), cnt(r_cols), cnt(p_cols),
                       cnt(inv_cols)])
 
@@ -911,8 +939,11 @@ def _dia_census(op: DELL, cap: int = 16):
     census is device compute (row-wise sorts only) so _optimize_layouts
     can batch ONE readback for every operator of every level."""
     offs = distinct_offsets_device(op.cols, cap=cap)
-    nnz = jnp.sum(op.cols < PADCOL).astype(offs.dtype)
-    return jnp.concatenate([offs, nnz[None]])
+    nnz = jnp.sum(op.cols < PADCOL)
+    # f32 d2h (int transfers stall on first use on remote TPU backends);
+    # offsets < 2^24 and OFFBIG = 2^29 (a power of two) are f32-exact
+    return jnp.concatenate([offs.astype(jnp.float32),
+                            nnz.astype(jnp.float32)[None]])
 
 
 def _dell_to_dia(op: DELL, census: np.ndarray):
@@ -921,7 +952,7 @@ def _dell_to_dia(op: DELL, census: np.ndarray):
     so device-built hierarchies get the same DIA fast path as host-built
     ones.  ``census``: host [cap+2] vector from _dia_census."""
     n = op.data.shape[0]
-    uniq = census[:-1]
+    uniq = census[:-1].astype(np.int64)
     uniq = uniq[uniq < int(OFFBIG)]
     nnz = int(census[-1])
     if len(uniq) > 8 or len(uniq) * n > 3 * max(nnz, 1):

@@ -75,7 +75,7 @@ class BandedSpMV:
 
     @property
     def nnz(self):
-        return int(jnp.sum(self.data != 0))
+        return int(float(jnp.sum(self.data != 0).astype(jnp.float32)))
 
     # ~~~~~~~~~~ construction ~~~~~~~~~~
     @staticmethod

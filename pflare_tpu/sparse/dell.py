@@ -34,6 +34,15 @@ import scipy.sparse as sp
 PADCOL = np.int32(2**30)
 
 
+def ceil8(k: int) -> int:
+    """Round a padded width up to a multiple of 8: 2-D gather INDEX arrays
+    with a last dim that is not a multiple of 8 hit a pathological XLA
+    compile path on TPU (measured ~13-48s vs ~1-3s aligned), and every
+    DELL cols array ends up as a gather index somewhere (matvec, expand,
+    masks).  All DELL widths are therefore multiples of 8 by policy."""
+    return max(8, ((int(k) + 7) // 8) * 8)
+
+
 @jax.tree_util.register_pytree_node_class
 class DELL:
     """Padded device sparse matrix: data/cols [n, K], live cols sorted
@@ -86,7 +95,7 @@ class DELL:
         A.sort_indices()
         n = A.shape[0]
         row_len = np.diff(A.indptr)
-        K = max(int(row_len.max()) if A.nnz else 1, 1)
+        K = ceil8(int(row_len.max()) if A.nnz else 1)
         cols = np.full((n, K), PADCOL, dtype=np.int32)
         data = np.zeros((n, K), dtype=np.float64)
         if A.nnz:
@@ -170,21 +179,30 @@ def drop_rows(cols, vals, tol, relative: bool, lump: bool, diag_of_row=None):
 
 @partial(jax.jit, static_argnames=("new_K",))
 def compact(cols, vals, new_K: int):
-    """Push live entries left (sort) and slice the padded width down
-    (one program per shape -- sort + slices fused)."""
+    """Push live entries left (sort) and slice the padded width down to
+    ceil8(new_K) (one program per shape -- sort + slices fused; widths
+    stay multiples of 8, see ceil8)."""
     c, v = sort_rows(cols, vals)
-    return c[:, :new_K], v[:, :new_K]
+    K8 = ceil8(new_K)
+    if K8 <= c.shape[1]:
+        return c[:, :K8], v[:, :K8]
+    pad = K8 - c.shape[1]
+    return (jnp.pad(c, ((0, 0), (0, pad)), constant_values=PADCOL),
+            jnp.pad(v, ((0, 0), (0, pad))))
 
 
 @jax.jit
 def _row_count_max(cols):
-    return jnp.max(jnp.sum(cols < PADCOL, axis=1))
+    # f32 on purpose: integer d2h transfers hit a pathological minutes-long
+    # first-use stall on remote-attached TPU backends; float scalars come
+    # back in ~1 RTT.  Row counts are exact in f32 up to 2^24.
+    return jnp.max(jnp.sum(cols < PADCOL, axis=1)).astype(jnp.float32)
 
 
 def max_row_count(cols) -> int:
     """SCALAR device->host readback: the max live-entries-per-row.  The one
     sync point per product (shape discovery)."""
-    return int(_row_count_max(cols))
+    return int(float(_row_count_max(cols)))
 
 
 # ~~~~~~~~~~~~~~~~~~ SpGEMM ~~~~~~~~~~~~~~~~~~
@@ -435,7 +453,8 @@ def transpose_pattern(A: DELL):
     group_start = jnp.searchsorted(col_s, col_s)
     slot = (jnp.arange(col_s.shape[0], dtype=jnp.int32)
             - group_start.astype(jnp.int32))
-    K_T = max(int(jnp.max(jnp.where(live, slot, -1))) + 1, 1)
+    K_T = max(int(float(jnp.max(jnp.where(live, slot, -1))
+                        .astype(jnp.float32))) + 1, 1)
     tcols = jnp.full((n_cols, K_T), PADCOL, dtype=jnp.int32)
     tc = jnp.where(live, col_s, n_cols)      # out of bounds -> dropped
     ts = jnp.where(live, slot, K_T)
