@@ -218,7 +218,8 @@ def _coarse_solver_quality(A: sp.csr_matrix, inv: Inverse, seed: int) -> float:
 
 def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
                     previous: Hierarchy | None = None,
-                    near_nullspace=None, mesh=None) -> Hierarchy:
+                    near_nullspace=None, mesh=None,
+                    injected_coeffs: dict | None = None) -> Hierarchy:
     """Build (or numerically rebuild, when ``previous`` is given and the
     pattern is unchanged) the full AIR hierarchy.
 
@@ -304,7 +305,8 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
         if prev_lvl is not None and opts.reuse_amount < 2:
             prev_lvl = None
         lvl = _build_level(A, fine, coarse, opts, tol, prev_lvl,
-                           left_nulls, right_nulls, qr_reduce=qr_reduce)
+                           left_nulls, right_nulls, qr_reduce=qr_reduce,
+                           injected=(injected_coeffs or {}).get(level_idx))
         levels.append(lvl)
         # restrict near-nullspace vectors to the coarse grid
         if left_nulls is not None:
@@ -320,8 +322,9 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
             if _is_diagonal_only(A):
                 coarse_inv = _diag_inverse(A)
             else:
-                prev_coeffs = None
-                if reuse and opts.reuse_poly_coeffs and previous.coarse_inv is not None:
+                prev_coeffs = (injected_coeffs or {}).get(-1)
+                if (prev_coeffs is None and reuse and opts.reuse_poly_coeffs
+                        and previous.coarse_inv is not None):
                     prev_coeffs = np.asarray(previous.coarse_inv.coefficients)
                 coarse_inv = build_inverse(
                     None, opts.coarsest_inverse_type,
@@ -341,7 +344,7 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
 
 def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                  left_nulls=None, right_nulls=None,
-                 qr_reduce=None) -> LevelData:
+                 qr_reduce=None, injected=None) -> LevelData:
     """Build one level's operators (reference:
     src/AIR_Operators_Setup.F90:36-1082)."""
     n = A.shape[0]
@@ -386,8 +389,10 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
     # ~~~~~~~~~~ approximate inverse of A_ff (smoother) ~~~~~~~~~~
     with timer("air_inverse"):
         smooth_mat = A if opts.full_smoothing_up_and_down else A_ff
-        prev_coeffs = None
-        if prev is not None and opts.reuse_poly_coeffs:
+        # PCAIRSetPolyCoeffs injection wins over reuse_poly_coeffs
+        # (reference: include/pflare.h:244, docs/reuse.md:216-390)
+        prev_coeffs = injected
+        if prev_coeffs is None and prev is not None and opts.reuse_poly_coeffs:
             prev_coeffs = (np.asarray(prev.inv_Aff.coefficients)
                            if prev.inv_Aff.coefficients is not None else None)
         inv_Aff = _build_aff_inverse(

@@ -46,6 +46,7 @@ class PCAIR:
         self._apply_jit = None
         self._frozen = False  # KSPSetReusePreconditioner analogue
         self._perm = None     # reorder="rcm" row/col permutation
+        self._injected_coeffs = None  # PCAIRSetPolyCoeffs payloads
 
     # ~~~~~~~~~~ option mutation resets the PC ~~~~~~~~~~
     def set_options(self, **kw):
@@ -55,6 +56,7 @@ class PCAIR:
     def reset(self):
         self.hierarchy = None
         self._apply_jit = None
+        self._injected_coeffs = None
 
     def freeze(self, flag: bool = True):
         """KSPSetReusePreconditioner semantics (reference:
@@ -109,6 +111,7 @@ class PCAIR:
                 self.hierarchy = setup_hierarchy(
                     A, self.options, previous=previous,
                     near_nullspace=near_nullspace, mesh=mesh,
+                    injected_coeffs=self._injected_coeffs,
                 )
             self.hierarchy.device_dtype = self.dtype
             if self.dtype is not None:
@@ -417,3 +420,20 @@ class PCAIR:
         else:
             inv = self.hierarchy.levels[level].inv_Aff
         return None if inv.coefficients is None else np.asarray(inv.coefficients)
+
+    def set_poly_coefficients(self, level: int, coeffs):
+        """Per-level polynomial coefficient injection (reference:
+        PCAIRSetPolyCoeffs, include/pflare.h:244; exact-reproduction
+        protocol docs/reuse.md:216-390, tests/ex6f_getcoeffs.F90).
+
+        Call BEFORE ``setup``: that level's coefficient iteration is
+        skipped and the stored values are used instead, so a rebuild with
+        every level injected reproduces the original preconditioner
+        exactly.  ``level=-1`` (or the coarsest index) targets the coarse
+        solver.  Power/Arnoldi take a 1-D array; Newton takes the stacked
+        ``[2, k]`` (real, imag) root array -- the same layout
+        ``get_poly_coefficients`` returns."""
+        if not hasattr(self, "_injected_coeffs") or self._injected_coeffs is None:
+            self._injected_coeffs = {}
+        self._injected_coeffs[int(level)] = np.asarray(coeffs)
+        return self

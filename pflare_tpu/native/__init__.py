@@ -230,6 +230,21 @@ def drop_small_native(A, tol, rel_mode, diag_strength, drop_diag_mode, lump):
     return out
 
 
+# Persistent output scratch for the fused SpGEMM: the triple-count upper
+# bound can be ~100x the kept nnz (tens of MB/level), and allocating it
+# fresh every call costs more in page-fault zeroing than the product
+# itself on a 1-core host.  Grown geometrically, reused across calls.
+_SPGEMM_SCRATCH: dict = {}
+
+
+def _scratch(key, n, dtype):
+    buf = _SPGEMM_SCRATCH.get(key)
+    if buf is None or buf.size < n or buf.dtype != dtype:
+        buf = np.empty(int(n * 1.25) + 16, dtype=dtype)
+        _SPGEMM_SCRATCH[key] = buf
+    return buf
+
+
 def spgemm_drop_native(R, B, tol, relative, lump):
     """Fused C = drop(R @ B) with relative row tolerance and optional
     diagonal lumping -- the coarse-matrix step in one sweep.  Returns the
@@ -253,20 +268,20 @@ def spgemm_drop_native(R, B, tol, relative, lump):
     b_indices = np.ascontiguousarray(B.indices, dtype=idt)
     b_data = _f64(B.data)
     n_rows, n_cols = R.shape[0], B.shape[1]
-    # upper bound on product nnz = triple count; output pages beyond the
-    # kept nnz are never touched, so over-allocation is virtual-only
+    # upper bound on product nnz = triple count, written into the
+    # persistent scratch; the kept entries are copied out exact-size
     ub = int(np.diff(B.indptr)[R.indices].sum()) if R.nnz else 0
     out_indptr = np.empty(n_rows + 1, dtype=idt)
-    out_cols = np.empty(max(ub, 1), dtype=idt)
-    out_data = np.empty(max(ub, 1), dtype=np.float64)
+    out_cols = _scratch(("cols", idt), max(ub, 1), idt)
+    out_data = _scratch(("data",), max(ub, 1), np.float64)
     nnz = fn(_p(r_indptr, ip), _p(r_indices, ip), _p(r_data, f64p),
              _p(b_indptr, ip), _p(b_indices, ip), _p(b_data, f64p),
              n_rows, n_cols, float(tol), int(relative), int(lump),
              _p(out_indptr, ip), _p(out_cols, ip), _p(out_data, f64p))
     if nnz < 0:
         return None
-    out = sp.csr_matrix((out_data[:nnz], out_cols[:nnz], out_indptr),
-                        shape=(n_rows, n_cols))
+    out = sp.csr_matrix((out_data[:nnz].copy(), out_cols[:nnz].copy(),
+                         out_indptr), shape=(n_rows, n_cols))
     out.has_sorted_indices = True
     return out
 

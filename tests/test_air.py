@@ -555,3 +555,42 @@ def test_rcm_reorder_solve():
     # apply() is also in the original space
     y = np.asarray(pc.apply(b))
     assert y.shape == x.shape
+
+
+def test_set_poly_coefficients_exact_reproduction():
+    """PCAIRSetPolyCoeffs exact-reproduction protocol (reference:
+    include/pflare.h:244, docs/reuse.md:216-390, tests/ex6f_getcoeffs.F90):
+    extract every level's coefficients from a built PC, inject them into a
+    FRESH PC before setup, and the rebuilt preconditioner reproduces the
+    original residual history exactly (the coefficient iterations are
+    skipped, not re-run)."""
+    A = adv_diff_2d(32)
+    b = rhs(A.shape[0])
+    for inv_type in (InverseType.POWER, InverseType.ARNOLDI,
+                     InverseType.NEWTON):
+        opts = AIROptions(inverse_type=inv_type, poly_order=4,
+                          coarsest_inverse_type=inv_type)
+        pc1 = PCAIR(opts)
+        pc1.setup(A)
+        res1 = pc1.solve(b, rtol=1e-10, max_it=20)
+
+        pc2 = PCAIR(opts)
+        for lvl in range(pc1.n_levels - 1):
+            c = pc1.get_poly_coefficients(lvl)
+            if c is not None:
+                pc2.set_poly_coefficients(lvl, c)
+        cc = pc1.get_poly_coefficients(-1)
+        if cc is not None:
+            pc2.set_poly_coefficients(-1, cc)
+        pc2.setup(A)
+        res2 = pc2.solve(b, rtol=1e-10, max_it=20)
+
+        assert res2.iterations == res1.iterations, inv_type
+        np.testing.assert_allclose(res2.history, res1.history,
+                                   rtol=1e-12, err_msg=str(inv_type))
+        # and the coefficients embedded in the rebuilt PC match
+        for lvl in range(pc1.n_levels - 1):
+            c1 = pc1.get_poly_coefficients(lvl)
+            c2 = pc2.get_poly_coefficients(lvl)
+            if c1 is not None:
+                np.testing.assert_allclose(c2, c1, rtol=1e-14)
