@@ -136,13 +136,30 @@ class PCAIR:
         docs/gpus.md, src/PETSc_Helperk.kokkos.cxx).  Falls back to the
         host setup when the option set is outside the device envelope."""
         from .device_setup import (device_setup_supported,
+                                   device_setup_unsupported_reason,
                                    setup_hierarchy_device)
+        from ..sparse.dell import DELL
 
         if self._frozen and self.hierarchy is not None:
             return self
         if not device_setup_supported(self.options):
+            import sys as _sys
+
+            print("# setup_device: option(s) outside the device envelope, "
+                  f"using the host setup: "
+                  f"{device_setup_unsupported_reason(self.options)}",
+                  file=_sys.stderr)
             return self.setup(A)
-        A = self._apply_reorder(sp.csr_matrix(A))
+        if isinstance(A, DELL):
+            # already device-resident (the caller did the h2d copy);
+            # reordering needs host CSR, so it must be off
+            if self.options.reorder != "none":
+                raise ValueError(
+                    "setup_device(DELL) cannot reorder; pass a scipy "
+                    "matrix or set reorder='none'")
+            self._perm = None
+        else:
+            A = self._apply_reorder(sp.csr_matrix(A))
         dtype = dtype or self.dtype or jnp.float32
         with timer("air_setup"):
             self.hierarchy = setup_hierarchy_device(A, self.options,

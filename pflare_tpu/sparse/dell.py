@@ -133,24 +133,23 @@ def segsum_rows(cols, vals):
     """Sorted rows -> duplicate columns merged: the LAST slot of each run
     keeps (col, run total), the rest become dead (PADCOL, 0).
 
-    Formulated as cumsum + cummax + gather rather than a segmented
-    associative_scan: on TPU, an XLA program containing BOTH a lax.sort
-    and an associative_scan hits a pathological compile path (measured
-    ~74s vs ~3s for this formulation at [2304, 512]; every SpGEMM is
-    sort->segsum, so the scan form made pattern discovery uncompilable
-    within any budget)."""
+    Formulated as log-depth masked DOUBLING (Hillis-Steele within runs:
+    s[i] += s[i-d] while cols[i-d] == cols[i], d = 1,2,4,... -- equal
+    sorted cols imply same run, so no segment-flag propagation is
+    needed): shifts, compares and adds only.  Both scan formulations
+    compile pathologically on TPU -- sort + associative_scan in one
+    program measured ~74s at [2304, 512], and the cumsum+cummax+gather
+    form ~25s at [16384, 128] (vs ~2s for this one, uniform across
+    shapes); every SpGEMM is sort->segsum, so those forms made pattern
+    discovery uncompilable within any budget."""
     K = cols.shape[1]
-    heads = jnp.concatenate(
-        [jnp.ones_like(cols[:, :1], dtype=bool),
-         cols[:, 1:] != cols[:, :-1]], axis=1)
-    csum = jnp.cumsum(vals, axis=1)
-    # prefix total just BEFORE each run's first slot, broadcast over the
-    # run by indexing at the run-start position (cummax of head slots)
-    prev = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum[:, :-1]],
-                           axis=1)
-    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-    start_idx = jax.lax.cummax(jnp.where(heads, slot, 0), axis=1)
-    s = csum - jnp.take_along_axis(prev, start_idx, axis=1)
+    s = vals
+    d = 1
+    while d < K:
+        same = cols[:, d:] == cols[:, :-d]
+        add = jnp.where(same, s[:, :-d], 0.0)
+        s = jnp.concatenate([s[:, :d], s[:, d:] + add], axis=1)
+        d *= 2
     is_last = jnp.concatenate(
         [cols[:, 1:] != cols[:, :-1],
          jnp.ones_like(cols[:, :1], dtype=bool)], axis=1)
@@ -410,36 +409,25 @@ OFFBIG = np.int32(2**29)
 @partial(jax.jit, static_argnames=("cap",))
 def distinct_offsets_device(cols, cap: int = 16):
     """Distinct (col - row) offsets of a square padded pattern, computed
-    ON DEVICE by a folded tree of row-wise sorted unions (row-wise sorts
-    only -- large 1-D device sorts compile pathologically slowly on some
-    TPU backends, and a full d2h of the pattern is tunnel-bandwidth
-    bound).  Returns an ascending [cap+1] vector padded with OFFBIG; a
-    live slot ``cap`` means MORE than ``cap`` distinct offsets exist.
-    One tiny readback replaces the old host-side np.unique of the whole
-    pattern (DIA viability needs only ~8 offsets anyway)."""
+    ON DEVICE as a presence bitmap over the 2n-1 possible offsets (one
+    scatter + one sized nonzero -- the earlier folded-union tree compiled
+    a fresh program per fold shape and burned ~200s of XLA time per
+    setup; a flat d2h of the pattern is tunnel-bandwidth bound and large
+    1-D device sorts compile pathologically slowly on TPU).  Returns an
+    ascending [cap+1] vector padded with OFFBIG; a live slot ``cap``
+    means MORE than ``cap`` distinct offsets exist (DIA viability needs
+    only ~8 offsets anyway)."""
     n, K = cols.shape
     ridx = jnp.arange(n, dtype=cols.dtype)[:, None]
     live = cols < PADCOL
-    offs = jnp.where(live, cols - ridx, OFFBIG)
-
-    def dedup_slice(o, w):
-        o = jnp.sort(o, axis=1)
-        first = jnp.concatenate(
-            [jnp.ones_like(o[:, :1], dtype=bool),
-             o[:, 1:] != o[:, :-1]], axis=1)
-        o = jnp.where(first & (o < OFFBIG), o, OFFBIG)
-        return jnp.sort(o, axis=1)[:, :w]
-
-    offs = dedup_slice(offs, min(K, cap + 1))
-    FOLD = 64
-    while offs.shape[0] > 1:
-        pad = (-offs.shape[0]) % FOLD
-        if pad:
-            offs = jnp.pad(offs, ((0, pad), (0, 0)),
-                           constant_values=OFFBIG)
-        offs = offs.reshape(offs.shape[0] // FOLD, -1)
-        offs = dedup_slice(offs, cap + 1)
-    return offs[0]
+    # shift offsets to [0, 2n-2]; dead slots land on the 2n-1 sentinel
+    offs = jnp.where(live, cols - ridx + (n - 1), 2 * n - 1)
+    bitmap = jnp.zeros(2 * n, bool).at[offs.reshape(-1)].set(
+        True, mode="drop")
+    bitmap = bitmap.at[2 * n - 1].set(False)
+    idx = jnp.nonzero(bitmap, size=cap + 1, fill_value=2 * n)[0]
+    return jnp.where(idx < 2 * n - 1,
+                     idx.astype(jnp.int32) - jnp.int32(n - 1), OFFBIG)
 
 
 # ~~~~~~~~~~~~~~~~~~ pattern transpose / union ~~~~~~~~~~~~~~~~~~

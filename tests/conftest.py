@@ -8,6 +8,7 @@ benchmarking happens in bench.py.
 """
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
@@ -17,3 +18,41 @@ jax.config.update("jax_enable_x64", True)
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: medium scaling-study tests (deselect with -m 'not slow')")
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast correctness tier (<5 min), run with -m smoke; the "
+        "analogue of the reference's `make check` "
+        "(reference: tests/Makefile:1316-1348)")
+
+
+# The smoke tier: whole fast modules plus one representative end-to-end
+# oracle per subsystem (AIR hierarchy, inverse zoo, PCPFLAREINV protocol,
+# sharding, device setup, FEM pipeline).  Everything else runs in the full
+# (nightly) tier.
+_SMOKE_MODULES = {
+    "test_native", "test_parse_output", "test_sparse", "test_cf",
+}
+_SMOKE_TESTS = {
+    # AIR hierarchy end-to-end (the `make check` cases)
+    "test_check_adv_diff_25", "test_check_matrandom",
+    "test_stream_airg_default", "test_reuse_same_pattern",
+    # inverse zoo
+    "test_power_equals_arnoldi_low_order", "test_stream_newton_mf",
+    "test_sai_isai_solve",
+    # PCPFLAREINV protocol
+    "test_pcpflareinv_basic", "test_pcpflareinv_coeff_roundtrip",
+    # sharding
+    "test_sharded_spmv_matches", "test_distributed_tsqr",
+    # device first setup
+    "test_spgemm_drop_lump_matches_native", "test_solve_quality_matches_host",
+    # FEM pipeline
+    "test_fv_upwind_row_sums",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__
+        base = item.name.split("[")[0]
+        if mod in _SMOKE_MODULES or base in _SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
