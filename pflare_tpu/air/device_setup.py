@@ -19,9 +19,12 @@ Arnoldi Hessenberg, and the CF marker readback for the index lists.
 Everything O(nnz) stays on device.
 
 Supported configuration mirrors the device re-setup envelope plus Newton:
-AIRG product Z, one-point classical prolongation, PMISR(-DDC) splitting,
-no strong-R drop / improve / constrain, non-symmetric.  Anything else
-falls back to the host path (PCAIR.setup chooses).
+AIRG product / lAIR / SAI-lAIR Z (batched MXU least squares, the
+src/SAI_Zk.kokkos.cxx sibling), strong-R dropping, improve_z, one-point
+classical prolongation, PMISR(-DDC)/PMIS(-dist2)/CR splitting,
+non-symmetric.  Anything else (ideal prolongator + improve_w, constraints,
+PtAP, SAI/ISAI/LU inverses) falls back to the host path with a printed
+reason (PCAIR.setup_device chooses).
 """
 
 from __future__ import annotations
@@ -38,15 +41,20 @@ from ..params import CFSplittingType, C_POINT, F_POINT, InverseType, ZType, \
     tolerances
 from ..sparse.dell import (
     DELL,
+    cumsum1d,
     OFFBIG,
     PADCOL,
     ceil8,
     compact,
     distinct_offsets_device,
+    drop_rows,
     extract_dell,
+    gather_at_pattern,
     max_row_count,
     newton_poly_dell,
+    onecol_product,
     poly_dell,
+    restricted_product,
     sort_rows,
     spgemm_drop_dell,
     spgemm_merge_dell,
@@ -67,11 +75,9 @@ def device_setup_supported(opts: AIROptions) -> bool:
     """True when the device first-setup covers this option set."""
     return not (
         opts.symmetric
-        or opts.strong_r_threshold != 0.0
-        or opts.improve_w_its or opts.improve_z_its
+        or opts.improve_w_its
         or opts.constrain_w or opts.constrain_z
         or opts.full_smoothing_up_and_down
-        or opts.z_type != ZType.PRODUCT
         or not opts.one_point_classical_prolong
         or opts.cf_splitting_type not in (CFSplittingType.PMISR_DDC,
                                           CFSplittingType.PMIS,
@@ -93,13 +99,10 @@ def device_setup_unsupported_reason(opts: AIROptions) -> str | None:
     host path is never taken silently."""
     checks = [
         (opts.symmetric, "symmetric (PtAP)"),
-        (opts.strong_r_threshold != 0.0, "strong_r_threshold"),
         (bool(opts.improve_w_its), "improve_w_its"),
-        (bool(opts.improve_z_its), "improve_z_its"),
         (opts.constrain_w, "constrain_w"),
         (opts.constrain_z, "constrain_z"),
         (opts.full_smoothing_up_and_down, "full_smoothing_up_and_down"),
-        (opts.z_type != ZType.PRODUCT, f"z_type={opts.z_type.name}"),
         (not opts.one_point_classical_prolong, "ideal prolongator"),
         (opts.cf_splitting_type not in (CFSplittingType.PMISR_DDC,
                                         CFSplittingType.PMIS,
@@ -183,18 +186,24 @@ def _symmetric_degree(scols):
     the DIRECTED padded strength cols without materialising the transpose
     (the host symmetrizes explicitly, src/SAbs.F90; a device transpose
     needs a global sort whose XLA compile is pathological on TPU):
-    |out| + |in| - |reciprocal|, where in-degree is a scatter-add and
-    reciprocal edges are found by gathering each target's row."""
+    |out| + |in| - |reciprocal|.  In-degree and reciprocal detection run
+    as PER-COLUMN 1-D scatters/gathers: flattening an [n,K] index array
+    forces a relayout whose XLA compile is pathological on TPU
+    (measured ~18s vs ~1s for K unrolled 1-D scatters)."""
     n, K = scols.shape
     gidx = jnp.arange(n, dtype=scols.dtype)
     maskl = scols < PADCOL
     safe = jnp.minimum(scols, n - 1)
     out_deg = jnp.sum(maskl, axis=1, dtype=jnp.int32)
-    in_deg = jnp.zeros(n, jnp.int32).at[scols.reshape(-1)].add(
-        maskl.reshape(-1).astype(jnp.int32), mode="drop")
-    trows = scols[safe]                                  # [n, K, K]
-    recip = maskl & jnp.any(trows == gidx[:, None, None], axis=-1)
-    return out_deg + in_deg - jnp.sum(recip, axis=1, dtype=jnp.int32)
+    in_deg = jnp.zeros(n, jnp.int32)
+    recip = jnp.zeros(n, jnp.int32)
+    for k in range(K):
+        in_deg = in_deg.at[scols[:, k]].add(
+            maskl[:, k].astype(jnp.int32), mode="drop")
+        tr_k = scols[safe[:, k]]                         # [n, K]
+        hit = maskl[:, k] & jnp.any(tr_k == gidx[:, None], axis=1)
+        recip = recip + hit.astype(jnp.int32)
+    return out_deg + in_deg - recip
 
 
 @partial(jax.jit, static_argnames=("n_rounds", "pmis"))
@@ -209,10 +218,10 @@ def _luby_directed(scols, measure, cf0, n_rounds, pmis: bool = False):
     (reference: src/PMISR_Module.F90:200-473, fixed-step mode).  Runs as
     a while_loop so converged graphs stop early on device."""
     n = measure.shape[0]
+    K = scols.shape[1]
     gidx = jnp.arange(n, dtype=jnp.int32)
     maskl = scols < PADCOL
     safe = jnp.minimum(scols, n - 1)
-    colsflat = scols.reshape(-1)
     cf = cf0.astype(jnp.int32)
     removed0 = cf != 0
 
@@ -222,10 +231,20 @@ def _luby_directed(scols, measure, cf0, n_rounds, pmis: bool = False):
     removed0 = removed0 | zero_nodes
     m_nb = measure[safe]                                 # [n, K]
 
+    # in-edge accumulations run as PER-COLUMN 1-D int scatters: flattening
+    # the [n,K] index/value arrays forces a relayout whose XLA compile is
+    # pathological on TPU (and bool scatter-max alone compiles ~13x
+    # slower than int scatter-add)
+    def _scatter_or(vals2d):
+        acc = jnp.zeros(n, jnp.int32)
+        for k in range(K):
+            acc = acc.at[scols[:, k]].add(
+                vals2d[:, k].astype(jnp.int32), mode="drop")
+        return acc > 0
+
     def body(carry):
         in_set, rounds, _ = carry
-        cov_in = jnp.zeros(n, bool).at[colsflat].max(
-            (in_set[:, None] & maskl).reshape(-1), mode="drop")
+        cov_in = _scatter_or(in_set[:, None] & maskl)
         covered = (in_set | jnp.any(maskl & in_set[safe], axis=1)
                    | cov_in | removed0)
         blocker = ~covered
@@ -236,8 +255,7 @@ def _luby_directed(scols, measure, cf0, n_rounds, pmis: bool = False):
         beats_in = maskl & blocker[:, None] & (
             (m_nb > measure[:, None])
             | ((m_nb == measure[:, None]) & (safe > gidx[:, None])))
-        lose = lose | jnp.zeros(n, bool).at[colsflat].max(
-            beats_in.reshape(-1), mode="drop")
+        lose = lose | _scatter_or(beats_in)
         new = blocker & ~lose
         return in_set | new, rounds + 1, jnp.any(new)
 
@@ -393,6 +411,33 @@ def _cr_split_device(A: DELL, opts: AIROptions):
     return cf
 
 
+@partial(jax.jit, static_argnames=("w",))
+def _compact_cols(cols, w: int):
+    """Left-pack a cols-only pattern and slice its width (strength graphs
+    keep few entries per row; a narrow graph bounds the per-column
+    scatter unroll in the degree/Luby programs and shrinks every
+    downstream op)."""
+    return jnp.sort(cols, axis=1)[:, :w]
+
+
+@partial(jax.jit, static_argnames=("rounds", "pmis", "ddc_its"))
+def _split_fused(A: DELL, scols, rand, ddc_frac, rounds: int, pmis: bool,
+                 ddc_its: int):
+    """Measure + Luby + DDC as ONE XLA program; returns (cf, n_f as f32)
+    so the level loop needs a single scalar readback per split."""
+    n = A.data.shape[0]
+    measure = rand + _symmetric_degree(scols).astype(A.dtype)
+    if pmis:
+        measure = -measure
+    cf = _luby_directed(scols, measure, jnp.zeros(n, jnp.int32), rounds,
+                        pmis=pmis)
+    if pmis:
+        cf = -cf
+    for _ in range(ddc_its):
+        cf = _ddc_pass(A, cf, ddc_frac)
+    return cf, jnp.sum(cf == F_POINT).astype(jnp.float32)
+
+
 def _cf_split_device(A: DELL, opts: AIROptions):
     """Device CF splitting: strength -> PMISR/PMIS Luby -> DDC (or the
     compatible-relaxation loop).  Only the random measures cross h2d;
@@ -400,7 +445,8 @@ def _cf_split_device(A: DELL, opts: AIROptions):
     n = A.data.shape[0]
     t = CFSplittingType(opts.cf_splitting_type)
     if t == CFSplittingType.CR:
-        return _cr_split_device(A, opts)
+        cf = _cr_split_device(A, opts)
+        return cf, jnp.sum(cf == F_POINT).astype(jnp.float32)
     pmis = t in (CFSplittingType.PMIS, CFSplittingType.PMIS_DIST2)
 
     rng = np.random.default_rng(opts.seed)
@@ -408,29 +454,27 @@ def _cf_split_device(A: DELL, opts: AIROptions):
     # 25 unbounded-equivalent rounds: Luby assigns everything in O(log n)
     # w.h.p.; leftovers become C exactly like the fixed-step reference mode
     rounds = opts.max_luby_steps if opts.max_luby_steps > 0 else 25
-    cf0 = jnp.zeros(n, dtype=jnp.int32)
     if t == CFSplittingType.PMIS_DIST2:
         # distance-2 needs the explicit squared graph; built once with the
         # (compile-heavy, correct) transpose/union path
+        cf0 = jnp.zeros(n, dtype=jnp.int32)
         gcols = _sym_graph(A, float(opts.strong_threshold), square=True)
         measure = rand + jnp.sum(gcols < PADCOL, axis=1).astype(A.dtype)
-        cf = _luby_rounds(gcols, -measure, cf0, rounds, pmis=True)
-    else:
-        # PMISR/PMIS ride the directed strength cols: the symmetrized
-        # graph is never materialised (its device transpose needs a
-        # global sort -- a pathological XLA compile on TPU)
-        scols = _strength_cols(A, float(opts.strong_threshold))
-        measure = rand + _symmetric_degree(scols).astype(A.dtype)
-        if pmis:
-            measure = -measure
-        cf = _luby_directed(scols, measure, cf0, rounds, pmis=pmis)
-    if pmis:
-        cf = -cf
-    if opts.strong_threshold != 0.0 and t in (CFSplittingType.PMISR_DDC,
-                                              CFSplittingType.DIAG_DOM):
-        for _ in range(opts.ddc_its):
-            cf = _ddc_pass(A, cf, float(opts.ddc_fraction))
-    return cf
+        cf = -_luby_rounds(gcols, -measure, cf0, rounds, pmis=True)
+        return cf, jnp.sum(cf == F_POINT).astype(jnp.float32)
+    # PMISR/PMIS ride the directed strength cols: the symmetrized graph
+    # is never materialised (its device transpose needs a global sort --
+    # a pathological XLA compile on TPU).  Compact the strength pattern
+    # first: one scalar readback buys narrow Luby/degree programs.
+    scols = _strength_cols(A, float(opts.strong_threshold))
+    w = min(ceil8(max_row_count(scols)), scols.shape[1])
+    scols = _compact_cols(scols, w)
+    ddc_its = (opts.ddc_its
+               if (opts.strong_threshold != 0.0
+                   and t in (CFSplittingType.PMISR_DDC,
+                             CFSplittingType.DIAG_DOM)) else 0)
+    return _split_fused(A, scols, rand, float(opts.ddc_fraction), rounds,
+                        pmis, ddc_its)
 
 
 # ~~~~~~~~~~~~~~~~~~ level records ~~~~~~~~~~~~~~~~~~
@@ -513,13 +557,20 @@ def _qr_r_jit(K):
 def _split_indices(cf, n_f: int, n_c: int):
     """All CF index structures in ONE program (the eager op soup --
     nonzero, cumsum, compares -- costs ~10 XLA compiles per level
-    otherwise)."""
+    otherwise).  Sized nonzero and big 1-D cumsum both compile
+    pathologically on TPU: positions come from a doubling cumsum and the
+    index lists from 1-D scatters."""
+    n = cf.shape[0]
     is_f = cf == F_POINT
     is_c = ~is_f
-    fine_idx = jnp.nonzero(is_f, size=n_f)[0].astype(jnp.int32)
-    coarse_idx = jnp.nonzero(is_c, size=n_c)[0].astype(jnp.int32)
-    f_newidx = jnp.cumsum(is_f) - 1
-    c_newidx = jnp.cumsum(is_c) - 1
+    ar = jnp.arange(n, dtype=jnp.int32)
+    cum_f = cumsum1d(is_f.astype(jnp.int32))
+    f_newidx = cum_f - 1
+    c_newidx = ar - cum_f            # == cumsum(is_c) - 1
+    fine_idx = jnp.zeros(n_f, jnp.int32).at[
+        jnp.where(is_f, f_newidx, n_f)].set(ar, mode="drop")
+    coarse_idx = jnp.zeros(n_c, jnp.int32).at[
+        jnp.where(is_c, c_newidx, n_c)].set(ar, mode="drop")
     return is_f, is_c, fine_idx, coarse_idx, f_newidx, c_newidx
 
 
@@ -642,6 +693,139 @@ def _inverse_device(A_ff: DELL, opts, inverse_type, poly_order,
                    coefficients=jnp.asarray(coeffs, dtype=dtype))
 
 
+# ~~~~~~~~~~~~~~~~~~ lAIR / SAI-lAIR on device ~~~~~~~~~~~~~~~~~~
+
+_LAIR_CHUNK = 512
+
+
+def _pattern_ones(M: DELL) -> DELL:
+    """Pattern-only copy (live entries 1.0) for symbolic products."""
+    return DELL((M.cols < PADCOL).astype(M.dtype), M.cols, M.n_cols)
+
+
+def _compact_pattern(cols, dtype) -> "jnp.ndarray":
+    """Left-pack a cols-only pattern to its tight ceil8 width (one scalar
+    readback)."""
+    w = max(max_row_count(cols), 1)
+    c, _ = compact(cols, jnp.zeros(cols.shape, dtype), w)
+    return c
+
+
+@jax.jit
+def _lair_solve_all(affd1, affc1, S3, I3, acfd3, acfc3):
+    """Batched local least-squares rows of Z (device sibling of the
+    per-row Kokkos team solves, reference: src/SAI_Zk.kokkos.cxx:13 /
+    src/SAI_Z.F90:24): for every coarse row b with allowed pattern J
+    (S3 row, over F columns) and shadow I (I3 row), build the dense
+    TRANSPOSED local block M[a, c] = A_ff[J_c, I_a] by compare-reduce
+    (broadcast MULTIPLY -- a broadcast where/select against gather output
+    compiles pathologically on TPU), give padded unknowns disjoint unit
+    rows so they decouple to exactly 0, and solve
+    min || M z + A_cf[b, I] || with ONE batched MXU QR per chunk.
+    affd1/affc1 carry a trailing sentinel row (dead J slots gather zeros,
+    the spgemm_expand trick); chunks run under lax.map so the level
+    compiles a single program.  Rank-deficient blocks (QR diagonal below
+    1e-12 relative) return a zero row -- the reference falls back to a
+    min-norm solve there; on-device the zero row keeps R's identity part
+    only, which only weakens (never corrupts) the restrictor."""
+    n_ff = affd1.shape[0] - 1
+
+    def solve_chunk(args):
+        J, I, acfd, acfc = args
+        kc = J.shape[1]
+        Jm = J < PADCOL
+        Jsafe = jnp.where(Jm, jnp.minimum(J, n_ff - 1), n_ff)
+        bc = affc1[Jsafe]                       # [CH, kc, Kff]
+        bd = affd1[Jsafe]
+        eq = (bc[:, None, :, :] == I[:, :, None, None]).astype(bd.dtype)
+        M = jnp.einsum("back,bck->bac", eq, bd)  # [CH, ic, kc]
+        live_I = (I < PADCOL).astype(bd.dtype)
+        M = M * live_I[:, :, None]
+        req = (acfc[:, None, :] == I[:, :, None]).astype(bd.dtype)
+        rhs = -jnp.einsum("bak,bk->ba", req, acfd) * live_I
+        aug = (jnp.eye(kc, dtype=M.dtype)[None, :, :]
+               * (~Jm)[:, None, :].astype(M.dtype))
+        M_ext = jnp.concatenate([M, aug], axis=1)
+        rhs_ext = jnp.concatenate(
+            [rhs, jnp.zeros((rhs.shape[0], kc), dtype=rhs.dtype)], axis=1)
+        Q, R = jnp.linalg.qr(M_ext)
+        qtb = jnp.einsum("bij,bi->bj", Q, rhs_ext)
+        z = jax.scipy.linalg.solve_triangular(R, qtb[..., None],
+                                              lower=False)[..., 0]
+        rdiag = jnp.abs(jnp.diagonal(R, axis1=1, axis2=2))
+        good = (rdiag.min(axis=1)
+                > 1e-12 * jnp.maximum(rdiag.max(axis=1), 1e-300))
+        good = good & jnp.isfinite(z).all(axis=1)
+        return jnp.where(good[:, None] & Jm, z, 0.0)
+
+    return jax.lax.map(solve_chunk, (S3, I3, acfd3, acfc3))
+
+
+def _lair_z_device(A_ff: DELL, A_cf: DELL, A_ff_drop: DELL,
+                   A_cf_drop: DELL, distance: int,
+                   incomplete: bool) -> DELL:
+    """lAIR / SAI-lAIR Z on device: distance-d sparsity
+    A_cf_drop @ A_ff_drop^(d-1) from the DROPPED matrices, local solves
+    against the UN-dropped ones (reference:
+    src/AIR_Operators_Setup.F90:700-782).  Returns the un-r_dropped Z."""
+    n_c = A_cf.shape[0]
+    n_f = A_ff.shape[0]
+    if distance == 1:
+        Scols = _compact_pattern(A_cf_drop.cols, A_cf.dtype)
+    else:
+        P = _pattern_ones(A_ff_drop)
+        for _ in range(3, distance + 1):
+            P = _pattern_ones(
+                spgemm_drop_dell(_pattern_ones(A_ff_drop), P, 0.0, True,
+                                 False))
+        Scols = spgemm_drop_dell(_pattern_ones(A_cf_drop), P, 0.0, True,
+                                 False).cols
+    if incomplete:
+        Icols = Scols
+    else:
+        # shadow(J): the pattern of S @ A_ff (all F columns reachable from
+        # the allowed rows)
+        Icols = spgemm_drop_dell(
+            _pattern_ones(DELL(jnp.zeros(Scols.shape, A_ff.dtype), Scols,
+                               n_f)),
+            _pattern_ones(A_ff), 0.0, True, False).cols
+
+    CH = min(_LAIR_CHUNK, max(n_c, 1))
+    nch = -(-n_c // CH)
+    padn = nch * CH - n_c
+    pc = lambda x: jnp.pad(x, ((0, padn), (0, 0)), constant_values=PADCOL)
+    pv = lambda x: jnp.pad(x, ((0, padn), (0, 0)))
+    S3 = pc(Scols).reshape(nch, CH, -1)
+    I3 = pc(Icols).reshape(nch, CH, -1)
+    acfc3 = pc(A_cf.cols).reshape(nch, CH, -1)
+    acfd3 = pv(A_cf.data).reshape(nch, CH, -1)
+    affd1 = jnp.concatenate(
+        [A_ff.data, jnp.zeros((1, A_ff.K), A_ff.dtype)], axis=0)
+    affc1 = jnp.concatenate(
+        [A_ff.cols, jnp.full((1, A_ff.K), PADCOL, A_ff.cols.dtype)], axis=0)
+    z3 = _lair_solve_all(affd1, affc1, S3, I3, acfd3, acfc3)
+    zdata = z3.reshape(nch * CH, -1)[:n_c]
+    return DELL(zdata, Scols, n_f)
+
+
+@partial(jax.jit, static_argnames=("its",))
+def _improve_z_device(Z: DELL, A_ff: DELL, A_cf: DELL, inv_diag,
+                      its: int) -> DELL:
+    """Fixed-sparsity Richardson improvement of Z on device (reference:
+    src/Grid_Transfer_Improve.F90:200-376):
+    Z <- Z - (Z A_ff + A_cf)|_S(Z) D with D = diag of the approximate
+    inverse of A_ff, scaling both residual terms."""
+    n_f = A_ff.shape[0]
+    safe = jnp.minimum(Z.cols, n_f - 1)
+    dcol = jnp.where(Z.cols < PADCOL, inv_diag[safe], 0.0)
+    acf_at = gather_at_pattern(Z.cols, A_cf)
+    zv = Z.data
+    for _ in range(its):
+        za = restricted_product(Z.cols, zv, A_ff)
+        zv = zv - (za + acf_at) * dcol
+    return DELL(zv, Z.cols, Z.n_cols)
+
+
 @jax.jit
 def _one_point_w(A_fc: DELL):
     """One-point classical W: the strongest |A_fc| entry per F row becomes
@@ -662,7 +846,7 @@ def _assemble_r_ext(Z: DELL, fine_idx, coarse_idx, cf, n: int):
     compute_R_from_Z src/Grid_Transfer.F90:465, pre-extended to the level's
     full space as in air/fullspace.py)."""
     is_c = cf == C_POINT
-    c_newidx = jnp.cumsum(is_c) - 1
+    c_newidx = cumsum1d(is_c.astype(jnp.int32)) - 1
     src = jnp.where(is_c, c_newidx, 0)
     zcols = Z.cols[src]                          # [n, Kz]
     zvals = Z.data[src]
@@ -686,10 +870,13 @@ def _assemble_r_ext(Z: DELL, fine_idx, coarse_idx, cf, n: int):
 @partial(jax.jit, static_argnames=("n",))
 def _assemble_p_ext(wcol, coarse_idx, cf, n: int):
     """P_ext [n, n] with one entry per row: identity on coarse rows, the
-    one-point W target (as a global column) on fine rows."""
+    one-point W target (as a global column) on fine rows.  Returns both
+    the padded width-8 operator arrays and the 1-D (pcol, pval) relabel
+    form (the RAP step uses onecol_product to avoid the full-width
+    expand)."""
     is_c = cf == C_POINT
     is_f = cf == F_POINT
-    f_newidx = jnp.cumsum(is_f) - 1
+    f_newidx = cumsum1d(is_f.astype(jnp.int32)) - 1
     wsrc = jnp.where(is_f, f_newidx, 0)
     wc = wcol[wsrc]
     wc_ok = is_f & (wc < PADCOL)
@@ -701,7 +888,7 @@ def _assemble_p_ext(wcol, coarse_idx, cf, n: int):
     # width 8, entry in slot 0 (gather-index alignment policy)
     cols8 = jnp.full((n, 8), PADCOL, jnp.int32).at[:, 0].set(cols)
     vals8 = jnp.zeros((n, 8), vals.dtype).at[:, 0].set(vals)
-    return cols8, vals8
+    return cols8, vals8, cols, vals
 
 
 @jax.jit
@@ -724,7 +911,7 @@ def _mask_ext_ops(A: DELL, cf):
 def _inv_ext(inv_mat: DELL, fine_idx, cf, n: int):
     """Assembled compressed-F inverse -> full-space layout [n, K]."""
     is_f = cf == F_POINT
-    f_newidx = jnp.cumsum(is_f) - 1
+    f_newidx = cumsum1d(is_f.astype(jnp.int32)) - 1
     src = jnp.where(is_f, f_newidx, 0)
     icols = inv_mat.cols[src]
     ivals = inv_mat.data[src]
@@ -741,7 +928,7 @@ def _extend_inverse(inv: Inverse, A_ff_ext_op: DELL, fine_idx, cf, n: int,
     air/fullspace.py::inverse_to_fullspace)."""
     is_f = cf == F_POINT
     if inv.kind == "diagonal":
-        f_newidx = jnp.cumsum(is_f) - 1
+        f_newidx = cumsum1d(is_f.astype(jnp.int32)) - 1
         src = jnp.where(is_f, f_newidx, 0)
         d = jnp.where(is_f, inv.diag[src], 0.0).astype(dtype)
         return Inverse("diagonal", diag=d, meta=inv.meta)
@@ -754,7 +941,7 @@ def _extend_inverse(inv: Inverse, A_ff_ext_op: DELL, fine_idx, cf, n: int,
     # ones outside F
     diag_ext = None
     if inv.diag is not None:
-        f_newidx = jnp.cumsum(is_f) - 1
+        f_newidx = cumsum1d(is_f.astype(jnp.int32)) - 1
         src = jnp.where(is_f, f_newidx, 0)
         diag_ext = jnp.where(is_f, inv.diag[src], 1.0).astype(dtype)
     coeffs = inv.coefficients
@@ -808,9 +995,9 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
                 break
 
         with timer("air_coarsen"):
-            cf = _cf_split_device(A, opts)
+            cf, nf_dev = _cf_split_device(A, opts)
             # float route: int d2h stalls for minutes on some TPU backends
-            n_f = int(float(jnp.sum(cf == F_POINT).astype(jnp.float32)))
+            n_f = int(float(nf_dev))
             n_c = n - n_f
         if n_c <= opts.coarse_eq_limit or n_f == 0:
             break
@@ -828,57 +1015,100 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
             A_cf = extract_dell(A, coarse_idx, is_f, f_newidx, n_f,
                                 compact_width=False)
 
+        # strong-R dropped copies, used ONLY for the grid transfers
+        # (reference: src/AIR_Operators_Setup.F90:56-107; the smoother
+        # inverse below stays on the un-dropped A_ff)
+        strong_r = float(opts.strong_r_threshold)
+        if strong_r != 0.0:
+            with timer("air_drop"):
+                sdc, sdv = drop_rows(A.cols, A.data, strong_r, True, False)
+                A_sdrop = DELL(sdv, sdc, n)
+                A_ff_drop = extract_dell(A_sdrop, fine_idx, is_f, f_newidx,
+                                         n_f, ensure_diag=True,
+                                         compact_width=False)
+                A_cf_drop = extract_dell(A_sdrop, coarse_idx, is_f,
+                                         f_newidx, n_f, compact_width=False)
+        else:
+            A_ff_drop, A_cf_drop = A_ff, A_cf
+
         with timer("air_inverse"):
             inv_Aff = _inverse_device(
                 A_ff, opts, opts.inverse_type, opts.poly_order,
                 opts.matrix_free_polys, opts.seed, dtype)
-            # Z needs an ASSEMBLED inverse of A_ff
-            if inv_Aff.kind == "assembled":
-                inv_for_z = inv_Aff.mat
-            elif inv_Aff.kind == "diagonal":
-                inv_for_z = None          # Z = -A_cf * d^-1 columnwise
-                dinv_z = inv_Aff.diag
-            else:
-                inv_z_obj = _inverse_device(
-                    A_ff, opts, opts.inverse_type, opts.poly_order,
-                    False, opts.seed, dtype)
-                inv_for_z = inv_z_obj.mat
+            # AIRG Z needs an ASSEMBLED inverse of the DROPPED A_ff
+            # (reference: src/AIR_Operators_Setup.F90:406-475)
+            inv_for_z = None
+            dinv_z = None
+            if opts.z_type == ZType.PRODUCT:
+                if inv_Aff.kind == "diagonal":
+                    dinv_z = inv_Aff.diag   # the diagonal never drops
+                elif strong_r == 0.0 and inv_Aff.kind == "assembled":
+                    inv_for_z = inv_Aff.mat
+                else:
+                    inv_z_obj = _inverse_device(
+                        A_ff_drop, opts, opts.inverse_type, opts.poly_order,
+                        False, opts.seed, dtype)
+                    inv_for_z = inv_z_obj.mat
 
         with timer("air_restrict"):
-            if inv_for_z is None:
-                safe = jnp.minimum(A_cf.cols, n_f - 1)
-                zdata = -A_cf.data * jnp.where(A_cf.cols < PADCOL,
-                                               dinv_z[safe], 0.0)
-                Z = DELL(zdata, A_cf.cols, n_f)
-                from ..sparse.dell import drop_rows as _dr
-                # default diag_of_row: the (i,i) entry of the rectangular
-                # Z is protected from the relative drop exactly like the
-                # assembled branch (spgemm_drop_dell) and the host
-                # remove_small_from_sparse
-                zc, zv = _dr(Z.cols, Z.data, float(opts.r_drop), True,
-                             False)
-                K_z = max(max_row_count(zc), 1)
-                zc, zv = compact(zc, zv, K_z)
-                Z = DELL(zv, zc, n_f)
+            drop_after = opts.improve_z_its > 0
+            if opts.z_type != ZType.PRODUCT:
+                Z = _lair_z_device(A_ff, A_cf, A_ff_drop, A_cf_drop,
+                                   int(opts.lair_distance),
+                                   incomplete=(opts.z_type == ZType.LAIR))
+                drop_after = True
+            elif dinv_z is not None:
+                safe = jnp.minimum(A_cf_drop.cols, n_f - 1)
+                zdata = -A_cf_drop.data * jnp.where(
+                    A_cf_drop.cols < PADCOL, dinv_z[safe], 0.0)
+                Z = DELL(zdata, A_cf_drop.cols, n_f)
+                drop_after = True
             else:
-                Z = spgemm_drop_dell(A_cf, inv_for_z, float(opts.r_drop),
+                # default diag_of_row inside the fused drop: the (i,i)
+                # entry of the rectangular Z is protected from the
+                # relative drop like the host remove_small_from_sparse
+                tol_z = 0.0 if drop_after else float(opts.r_drop)
+                Z = spgemm_drop_dell(A_cf_drop, inv_for_z, tol_z,
                                      relative=True, lump=False)
                 Z = DELL(-Z.data, Z.cols, Z.n_cols)
+            if opts.improve_z_its > 0:
+                # D = diag of the approximate inverse (reference:
+                # src/Grid_Transfer_Improve.F90:60-66)
+                if inv_for_z is not None:
+                    inv_diag = inv_for_z.diagonal()
+                elif dinv_z is not None:
+                    inv_diag = dinv_z
+                elif inv_Aff.kind == "assembled":
+                    inv_diag = inv_Aff.mat.diagonal()
+                elif inv_Aff.kind == "diagonal":
+                    inv_diag = inv_Aff.diag
+                else:
+                    d0 = A_ff.diagonal()
+                    inv_diag = jnp.where(d0 != 0, 1.0 / d0, 0.0)
+                Z = _improve_z_device(Z, A_ff, A_cf, inv_diag,
+                                      int(opts.improve_z_its))
+            if drop_after:
+                zc, zv = drop_rows(Z.cols, Z.data, float(opts.r_drop),
+                                   True, False)
+                zc, zv = compact(zc, zv, max(max_row_count(zc), 1))
+                Z = DELL(zv, zc, n_f)
             rcols, rvals = _assemble_r_ext(Z, fine_idx, coarse_idx, cf, n)
             R_ext = DELL(rvals.astype(dtype), rcols, n)
 
         with timer("air_prolong"):
             wcol = _one_point_w(A_fc)
-            pcols, pvals = _assemble_p_ext(wcol, coarse_idx, cf, n)
+            pcols, pvals, p1col, p1val = _assemble_p_ext(wcol, coarse_idx,
+                                                         cf, n)
             P_ext = DELL(pvals.astype(dtype), pcols, n)
 
         with timer("air_rap"):
-            # AP = A @ P_ext [n, n]: P has ONE entry per row, so the
-            # expand width is already A's width -- merge without the
-            # compaction readback.  Then RAP rows gathered at coarse
-            # positions: R_ext @ AP restricted to coarse rows/cols and
-            # renumbered -> the next level matrix [n_c, n_c]
-            AP = spgemm_merge_dell(A, P_ext)
+            # AP = A @ P_ext [n, n]: P has at most ONE entry per row, so
+            # the product is a pure column relabeling merged at A's own
+            # width (the general expand at [n, Ka*Kp] wastes HBM).  Then
+            # RAP rows gathered at coarse positions: R_ext @ AP restricted
+            # to coarse rows/cols and renumbered -> the next level matrix
+            # [n_c, n_c]
+            AP = onecol_product(A, p1col, p1val.astype(A.dtype), n)
             RAP_full = spgemm_drop_dell(R_ext, AP, float(opts.a_drop),
                                         relative=True, lump=opts.a_lump)
             # compress to coarse numbering on both axes (width is tight:
@@ -935,36 +1165,44 @@ def _level_nnz(a_cols, r_cols, p_cols, inv_cols):
 
 
 def _dia_census(op: DELL, cap: int = 16):
-    """(offset union, nnz) as DEVICE arrays for DIA viability -- the whole
-    census is device compute (row-wise sorts only) so _optimize_layouts
-    can batch ONE readback for every operator of every level."""
+    """(blockwise offset candidates [CENSUS_ROWS, cap+1], nnz [1]) as
+    DEVICE arrays for DIA viability -- the whole census is device compute
+    (per-column scatters + one row-wise sort) so _optimize_layouts can
+    batch ONE readback for every operator of every level; the host
+    finishes with np.unique over the ~70KB block candidates."""
     offs = distinct_offsets_device(op.cols, cap=cap)
     nnz = jnp.sum(op.cols < PADCOL)
     # f32 d2h (int transfers stall on first use on remote TPU backends);
     # offsets < 2^24 and OFFBIG = 2^29 (a power of two) are f32-exact
-    return jnp.concatenate([offs.astype(jnp.float32),
-                            nnz.astype(jnp.float32)[None]])
+    return offs.astype(jnp.float32), nnz.astype(jnp.float32)[None]
 
 
-def _dell_to_dia(op: DELL, census: np.ndarray):
+@partial(jax.jit, static_argnames=("offsets",))
+def _dia_rows_jit(data, cols, offsets: tuple):
+    """All DIA diagonals in ONE program (per-offset eager reductions cost
+    an XLA compile each)."""
+    n = data.shape[0]
+    ridx = jnp.arange(n, dtype=cols.dtype)[:, None]
+    live = cols < PADCOL
+    offs = jnp.where(live, cols - ridx, jnp.int32(2**30))
+    return jnp.stack([
+        jnp.sum(jnp.where(offs == int(off), data, 0.0), axis=1)
+        for off in offsets])
+
+
+def _dell_to_dia(op: DELL, census: np.ndarray, nnz: float):
     """DELL -> DIA when the offset structure pays.  Arbitrary-index
     gathers measure ~50x slower than offset slices on TPU (docs/tpu.md),
     so device-built hierarchies get the same DIA fast path as host-built
-    ones.  ``census``: host [cap+2] vector from _dia_census."""
+    ones.  ``census``: host [CENSUS_ROWS, cap+1] block candidates."""
     n = op.data.shape[0]
-    uniq = census[:-1].astype(np.int64)
+    uniq = np.unique(census.astype(np.int64))
     uniq = uniq[uniq < int(OFFBIG)]
-    nnz = int(census[-1])
-    if len(uniq) > 8 or len(uniq) * n > 3 * max(nnz, 1):
+    if len(uniq) > 8 or len(uniq) * n > 3 * max(int(nnz), 1):
         return None
-    ridx = jnp.arange(n, dtype=op.cols.dtype)[:, None]
-    live = op.cols < PADCOL
-    offs = jnp.where(live, op.cols - ridx, jnp.int32(2**30))
-    rows = []
-    for off in uniq:
-        rows.append(jnp.sum(jnp.where(offs == int(off), op.data, 0.0),
-                            axis=1))
-    return DIA(uniq.tolist(), jnp.stack(rows), (n, n))
+    return DIA(uniq.tolist(),
+               _dia_rows_jit(op.data, op.cols, tuple(int(o) for o in uniq)),
+               (n, n))
 
 
 def _optimize_layouts(h: "DeviceHierarchy"):
@@ -991,10 +1229,12 @@ def _optimize_layouts(h: "DeviceHierarchy"):
     for _, _, op in cands:
         if id(op.cols) not in by_id:
             by_id[id(op.cols)] = (len(by_id), _dia_census(op))
-    stacked = np.asarray(jnp.stack([c for _, c in by_id.values()]))
-    censuses = [stacked[by_id[id(op.cols)][0]] for _, _, op in cands]
-    for (dev, key, op), census in zip(cands, censuses):
-        dia = _dell_to_dia(op, census)
+    vals = list(by_id.values())
+    stacked = np.asarray(jnp.stack([c for _, (c, _) in vals]))
+    nnzs = np.asarray(jnp.concatenate([z for _, (_, z) in vals]))
+    for dev, key, op in cands:
+        slot = by_id[id(op.cols)][0]
+        dia = _dell_to_dia(op, stacked[slot], nnzs[slot])
         if dia is None:
             continue
         if key == "_inv_mat":

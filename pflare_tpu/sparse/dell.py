@@ -35,12 +35,14 @@ PADCOL = np.int32(2**30)
 
 
 def ceil8(k: int) -> int:
-    """Round a padded width up to a multiple of 8: 2-D gather INDEX arrays
-    with a last dim that is not a multiple of 8 hit a pathological XLA
-    compile path on TPU (measured ~13-48s vs ~1-3s aligned), and every
-    DELL cols array ends up as a gather index somewhere (matvec, expand,
-    masks).  All DELL widths are therefore multiples of 8 by policy."""
-    return max(8, ((int(k) + 7) // 8) * 8)
+    """Round a padded width up to a multiple of 8 with a MINIMUM of 16:
+    2-D arrays with unaligned last dims hit pathological XLA compile
+    paths on TPU (measured ~13-48s vs ~1-3s aligned), and minor dim
+    EXACTLY 8 is itself pathological for several fused patterns
+    (scatter/reduce/compare at [262144, 8] measured ~17-27s to compile
+    vs ~1-2s at [262144, 16]).  All DELL widths are therefore multiples
+    of 8 with min 16 by policy (the name keeps the granularity)."""
+    return max(16, ((int(k) + 7) // 8) * 8)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -157,6 +159,19 @@ def segsum_rows(cols, vals):
     return jnp.where(live, cols, PADCOL), jnp.where(live, s, 0.0)
 
 
+def cumsum1d(x):
+    """Inclusive 1-D cumsum via log-depth doubling (shifts + adds only):
+    jnp.cumsum on a large 1-D operand compiles in ~4s on TPU and sized
+    jnp.nonzero in ~7s; this form compiles in well under 1s and its
+    log(n) extra passes are bandwidth noise."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        x = jnp.concatenate([x[:d], x[d:] + x[:-d]])
+        d *= 2
+    return x
+
+
 def drop_rows(cols, vals, tol, relative: bool, lump: bool, diag_of_row=None):
     """Fused threshold drop on merged rows (reference semantics:
     remove_small_from_sparse / the fused drop in spgemm_drop,
@@ -217,14 +232,24 @@ def max_row_count(cols) -> int:
 
 
 def spgemm_expand(A: DELL, B: DELL):
-    """Candidate triples of C = A @ B as padded rows [n, Ka*Kb]."""
+    """Candidate triples of C = A @ B as padded rows [n, Ka*Kb].
+
+    Masking rides a SENTINEL ROW appended to B (dead A slots gather the
+    (PADCOL, 0) row): a broadcast where/select of an [n,Ka,1] mask
+    against the [n,Ka,Kb] gather output compiles pathologically on TPU
+    (measured ~18s vs ~0.7s for this form at [147k,8]x[115k,48]); the
+    broadcast MULTIPLY for the values is fine."""
     n = A.data.shape[0]
-    safe = jnp.minimum(A.cols, B.data.shape[0] - 1)
-    bcols = B.cols[safe]                       # [n, Ka, Kb]
-    bvals = B.data[safe]
-    alive = (A.cols < PADCOL)[:, :, None]
-    ccols = jnp.where(alive, bcols, PADCOL)
-    cvals = jnp.where(alive, A.data[:, :, None] * bvals, 0.0)
+    nb = B.data.shape[0]
+    Kb = B.data.shape[1]
+    bc1 = jnp.concatenate(
+        [B.cols, jnp.full((1, Kb), PADCOL, B.cols.dtype)], axis=0)
+    bd1 = jnp.concatenate(
+        [B.data, jnp.zeros((1, Kb), B.data.dtype)], axis=0)
+    alive = A.cols < PADCOL
+    safe = jnp.where(alive, jnp.minimum(A.cols, nb - 1), nb)
+    ccols = bc1[safe]                          # [n, Ka, Kb]
+    cvals = jnp.where(alive, A.data, 0.0)[:, :, None] * bd1[safe]
     return (ccols.reshape(n, -1), cvals.reshape(n, -1))
 
 
@@ -236,16 +261,106 @@ def spgemm_merge(A: DELL, B: DELL):
     return segsum_rows(ccols, cvals)
 
 
+# Above this many candidate entries (rows x Ka x Kb) the expand ->
+# sort -> segsum pipeline runs row-CHUNKED under lax.map: the full-width
+# intermediate of a big product (e.g. RAP at 512^2) otherwise allocates
+# multiple GB and OOMs the 16 GB HBM.  Rows are independent, so chunking
+# is exact; the threshold keeps small/sharded products in the single
+# fused program (GSPMD shards those cleanly).
+_SPGEMM_CHUNK_LIMIT = 1 << 26
+_SPGEMM_CHUNK_ROWS = 1 << 15
+
+
+def _row_sharded(x) -> bool:
+    """True when the (concrete) array is sharded across devices -- the
+    chunked product's reshape would fight GSPMD's row partition."""
+    try:
+        return any(s is not None for s in tuple(x.sharding.spec))
+    except Exception:
+        return False
+
+
 def spgemm_drop_dell(A: DELL, B: DELL, tol: float, relative: bool,
                      lump: bool) -> DELL:
     """Fused C = drop(A @ B): the device sibling of the native
     spgemm_drop (kernels.cpp) and of the reference's product+drop chain.
     One scalar readback sizes the output."""
-    ccols, cvals = _spgemm_drop_jit(A, B, float(tol), bool(relative),
-                                    bool(lump))
+    n = A.data.shape[0]
+    if (n * A.K * B.K > _SPGEMM_CHUNK_LIMIT and n > _SPGEMM_CHUNK_ROWS
+            and not _row_sharded(A.data)):
+        ccols, cvals = _spgemm_drop_chunked(A, B, float(tol),
+                                            bool(relative), bool(lump))
+    else:
+        ccols, cvals = _spgemm_drop_jit(A, B, float(tol), bool(relative),
+                                        bool(lump))
     K_new = max(max_row_count(ccols), 1)
     c, v = compact(ccols, cvals, K_new)
     return DELL(v, c, B.n_cols)
+
+
+def _spgemm_drop_chunked(A: DELL, B: DELL, tol: float, relative: bool,
+                         lump: bool):
+    """Row-chunked fused product+drop: peak memory is one chunk's expand
+    ([CHUNK_ROWS, Ka*Kb]) instead of the whole matrix's."""
+    n = A.data.shape[0]
+    CH = _SPGEMM_CHUNK_ROWS
+    nch = -(-n // CH)
+    padn = nch * CH - n
+    ac3 = jnp.pad(A.cols, ((0, padn), (0, 0)),
+                  constant_values=PADCOL).reshape(nch, CH, -1)
+    ad3 = jnp.pad(A.data, ((0, padn), (0, 0))).reshape(nch, CH, -1)
+    rix3 = jnp.pad(jnp.arange(n, dtype=A.cols.dtype), (0, padn),
+                   constant_values=PADCOL).reshape(nch, CH)
+    ccols, cvals = _spgemm_drop_chunked_jit(ad3, ac3, rix3, B, tol,
+                                            relative, lump)
+    return (ccols.reshape(nch * CH, -1)[:n],
+            cvals.reshape(nch * CH, -1)[:n])
+
+
+@partial(jax.jit, static_argnames=("relative", "lump"))
+def _spgemm_drop_chunked_jit(ad3, ac3, rix3, B: DELL, tol, relative: bool,
+                             lump: bool):
+    nb = B.data.shape[0]
+    Kb = B.data.shape[1]
+    bc1 = jnp.concatenate(
+        [B.cols, jnp.full((1, Kb), PADCOL, B.cols.dtype)], axis=0)
+    bd1 = jnp.concatenate(
+        [B.data, jnp.zeros((1, Kb), B.data.dtype)], axis=0)
+
+    def body(args):
+        ad, ac, rix = args
+        ch = ad.shape[0]
+        alive = ac < PADCOL
+        safe = jnp.where(alive, jnp.minimum(ac, nb - 1), nb)
+        ccols = bc1[safe].reshape(ch, -1)
+        cvals = (jnp.where(alive, ad, 0.0)[:, :, None]
+                 * bd1[safe]).reshape(ch, -1)
+        ccols, cvals = sort_rows(ccols, cvals)
+        ccols, cvals = segsum_rows(ccols, cvals)
+        return drop_rows(ccols, cvals, tol, relative, lump,
+                         diag_of_row=rix)
+
+    return jax.lax.map(body, (ad3, ac3, rix3))
+
+
+@partial(jax.jit, static_argnames=("n_cols_new",))
+def onecol_product(A: DELL, pcol, pval, n_cols_new: int) -> DELL:
+    """AP = A @ P for a P with at most ONE live entry per row (the
+    one-point-W prolongator [n, n_c]): a pure column RELABELING of A --
+    AP[i, pcol[j]] += A[i, j] * pval[j] -- merged rowwise at A's own
+    width.  Replaces the [n, Ka*Kp] expand of the general SpGEMM with a
+    [n, Ka] one (the RAP expand at full width OOMs HBM at 512^2).
+    ``pcol``: [n_cols(A)] target column per P row (PADCOL = empty row);
+    ``pval``: the matching value."""
+    live = A.cols < PADCOL
+    safe = jnp.minimum(A.cols, pcol.shape[0] - 1)
+    newc = jnp.where(live, pcol[safe], PADCOL)
+    newv = jnp.where(live, A.data * pval[safe], 0.0)
+    newc = jnp.where(newv == 0.0, PADCOL, newc)
+    c, v = sort_rows(newc, newv)
+    c, v = segsum_rows(c, v)
+    c, v = sort_rows(c, v)
+    return DELL(v, c, n_cols_new)
 
 
 @jax.jit
@@ -401,33 +516,66 @@ def newton_poly_dell(A: DELL, wr, wi, tol_zero: float):
     return DELL(M, A.cols, A.n_cols)
 
 
+@jax.jit
+def gather_at_pattern(pc, B: DELL):
+    """Values of B at pattern columns ``pc`` (rows aligned; 0 where the
+    entry is outside B's pattern).  B rows must be sorted/left-packed (the
+    DELL invariant); the lookup is a per-row searchsorted -- the device
+    analogue of remove_from_sparse_match's restriction gather
+    (reference: src/PETSc_Helper.F90:490)."""
+    idx = jax.vmap(jnp.searchsorted)(B.cols, pc)
+    idx = jnp.minimum(idx, B.cols.shape[1] - 1)
+    hit = jnp.take_along_axis(B.cols, idx, axis=1) == pc
+    return jnp.where(hit & (pc < PADCOL),
+                     jnp.take_along_axis(B.data, idx, axis=1), 0.0)
+
+
 # ~~~~~~~~~~~~~~~~~~ offset census (DIA detection) ~~~~~~~~~~~~~~~~~~
 
 OFFBIG = np.int32(2**29)
 
 
+CENSUS_ROWS = 1024
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def distinct_offsets_device(cols, cap: int = 16):
     """Distinct (col - row) offsets of a square padded pattern, computed
-    ON DEVICE as a presence bitmap over the 2n-1 possible offsets (one
-    scatter + one sized nonzero -- the earlier folded-union tree compiled
-    a fresh program per fold shape and burned ~200s of XLA time per
-    setup; a flat d2h of the pattern is tunnel-bandwidth bound and large
-    1-D device sorts compile pathologically slowly on TPU).  Returns an
-    ascending [cap+1] vector padded with OFFBIG; a live slot ``cap``
-    means MORE than ``cap`` distinct offsets exist (DIA viability needs
-    only ~8 offsets anyway)."""
+    ON DEVICE as a presence bitmap over the 2n-1 possible offsets,
+    extracted blockwise.  Per-column 1-D scatters build the bitmap (a
+    flattened [n,K] scatter forces a relayout that compiles in ~18-100s
+    on TPU; K separate 1-D scatters compile in ~1s total), then the
+    bitmap reshapes to [CENSUS_ROWS, C] and a row-wise sort yields the
+    first cap+1 candidate offsets PER BLOCK.  Returns [CENSUS_ROWS,
+    cap+1] ascending candidates padded with OFFBIG; the HOST finishes
+    with np.unique on the ~70KB readback (the earlier folded-union tree
+    burned ~200s of XLA compile per setup; a flat d2h of the whole
+    pattern is tunnel-bandwidth bound).  Exactness: if the global
+    distinct count is <= cap, no block can exceed cap+1 candidates, so
+    the union is exact; if some block truncates, the global count
+    already exceeds cap and DIA viability (~8 offsets) is correctly
+    rejected."""
     n, K = cols.shape
-    ridx = jnp.arange(n, dtype=cols.dtype)[:, None]
-    live = cols < PADCOL
-    # shift offsets to [0, 2n-2]; dead slots land on the 2n-1 sentinel
-    offs = jnp.where(live, cols - ridx + (n - 1), 2 * n - 1)
-    bitmap = jnp.zeros(2 * n, bool).at[offs.reshape(-1)].set(
-        True, mode="drop")
-    bitmap = bitmap.at[2 * n - 1].set(False)
-    idx = jnp.nonzero(bitmap, size=cap + 1, fill_value=2 * n)[0]
-    return jnp.where(idx < 2 * n - 1,
-                     idx.astype(jnp.int32) - jnp.int32(n - 1), OFFBIG)
+    ridx = jnp.arange(n, dtype=cols.dtype)
+    bitmap = jnp.zeros(2 * n, jnp.int32)
+    for k in range(K):
+        ck = cols[:, k]
+        # dead slots target index 2n: outside the bitmap, mode="drop"
+        offk = jnp.where(ck < PADCOL, ck - ridx + (n - 1), 2 * n)
+        bitmap = bitmap.at[offk].add(1, mode="drop")
+    C = -((-2 * n) // CENSUS_ROWS)
+    pad = CENSUS_ROWS * C - 2 * n
+    if pad:
+        bitmap = jnp.pad(bitmap, (0, pad))
+    b2 = bitmap.reshape(CENSUS_ROWS, C)
+    iota = jnp.arange(C, dtype=jnp.int32)[None, :]
+    base = (jnp.arange(CENSUS_ROWS, dtype=jnp.int32) * C)[:, None]
+    keys = jnp.where(b2 > 0, base + iota - jnp.int32(n - 1), OFFBIG)
+    out = jnp.sort(keys, axis=1)
+    if C >= cap + 1:
+        return out[:, : cap + 1]
+    return jnp.pad(out, ((0, 0), (0, cap + 1 - C)),
+                   constant_values=OFFBIG)
 
 
 # ~~~~~~~~~~~~~~~~~~ pattern transpose / union ~~~~~~~~~~~~~~~~~~

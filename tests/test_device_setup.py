@@ -237,10 +237,14 @@ class TestDeviceHierarchy:
                            else l2.device["inv_Aff"].diag), atol=1e-12)
 
     def test_device_hierarchy_mesh_solve(self):
-        """setup_device + solve_device(mesh=...): DELL levels replicate
-        safely (their padded sharding is future work) and the sharded
-        solve matches the single-device one exactly."""
+        """setup_device + solve_device(mesh=...): DELL levels are row-
+        SHARDED over the mesh per the active-shard schedule (reference:
+        device matrices are MPI-distributed as a matter of course,
+        docs/gpus.md:3) and the sharded solve matches the single-device
+        one exactly."""
         from pflare_tpu.parallel import make_mesh
+        from pflare_tpu.parallel.mesh import ROW_AXIS, shard_hierarchy
+        from pflare_tpu.sparse.dell import DELL
 
         A = adv_diff_2d(32)
         pc = PCAIR(AIROptions(max_levels=4))
@@ -248,9 +252,21 @@ class TestDeviceHierarchy:
         b = jnp.asarray(
             np.random.default_rng(0).standard_normal(A.shape[0]))
         x1, _ = pc.solve_device(b, max_it=8)
-        x2, _ = pc.solve_device(b, max_it=8, mesh=make_mesh(8))
+        mesh = make_mesh(8)
+        x2, _ = pc.solve_device(b, max_it=8, mesh=mesh)
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
                                    atol=1e-12)
+        # the fine DELL levels must actually be row-sharded, not
+        # replicated (inspect the sharding specs)
+        levels, _ = shard_hierarchy(pc.hierarchy, mesh)
+        n_sharded = 0
+        for lvl in levels:
+            ops = [v for v in lvl.values() if isinstance(v, DELL)]
+            for op in ops:
+                spec = op.data.sharding.spec
+                if tuple(spec) and spec[0] == ROW_AXIS:
+                    n_sharded += 1
+        assert n_sharded >= 4, n_sharded
 
     def test_cr_splitting(self):
         """Device compatible-relaxation splitting (reference:
@@ -266,6 +282,68 @@ class TestDeviceHierarchy:
             np.random.default_rng(4).standard_normal(A.shape[0]))
         res = pc.solve(b, rtol=1e-6, max_it=30)
         assert res.converged, res.iterations
+
+    def test_lair_variants_match_host(self):
+        """Device lAIR / SAI-lAIR / strong-R / improve_z first setup
+        (reference: src/SAI_Zk.kokkos.cxx:13, tests/Makefile:113-115):
+        the device-built hierarchy must be device-resident and converge
+        like the host-built one."""
+        A = adv_diff_2d(32)
+        b = jnp.asarray(
+            np.random.default_rng(7).standard_normal(A.shape[0]))
+        from pflare_tpu import ZType
+
+        for name, kw in [
+            ("lair", dict(z_type=ZType.LAIR)),
+            ("sai_lair", dict(z_type=ZType.LAIR_SAI)),
+            ("lair_strong_r", dict(z_type=ZType.LAIR,
+                                   strong_r_threshold=0.01)),
+            ("airg_strong_r", dict(strong_r_threshold=0.01)),
+            ("airg_improve_z", dict(improve_z_its=2)),
+            ("lair_improve_z", dict(z_type=ZType.LAIR, improve_z_its=1)),
+        ]:
+            opts = AIROptions(a_drop=1e-4, max_levels=4, **kw)
+            pc_h = PCAIR(opts)
+            pc_h.setup(A)
+            res_h = pc_h.solve(b, rtol=1e-8, max_it=16)
+            pc_d = PCAIR(opts)
+            pc_d.setup_device(A, dtype=jnp.float64)
+            assert not hasattr(pc_d.hierarchy.levels[0], "A"), name
+            res_d = pc_d.solve(b, rtol=1e-8, max_it=16)
+            assert res_h.converged and res_d.converged, (
+                name, res_h.iterations, res_d.iterations)
+            assert res_d.iterations <= res_h.iterations + 3, (
+                name, res_h.iterations, res_d.iterations)
+
+    def test_lair_z_values_match_host(self):
+        """The device batched-QR lAIR rows must match the host sai_z
+        numerically on a fixed CF splitting (reference oracle:
+        src/SAI_Z.F90:24 per-row solves)."""
+        import scipy.sparse as _sp
+        from pflare_tpu.air.device_setup import _lair_z_device
+        from pflare_tpu.inverse.sai import sai_z
+        from pflare_tpu.air.operators import lair_sparsity
+
+        A = adv_diff_2d(16)
+        n = A.shape[0]
+        rng = np.random.default_rng(3)
+        cf = np.where(rng.random(n) < 0.6, -1, 1)    # F=-1, C=1
+        fine = np.nonzero(cf == -1)[0]
+        coarse = np.nonzero(cf == 1)[0]
+        A_ff = _sp.csr_matrix(A[fine][:, fine])
+        A_cf = _sp.csr_matrix(A[coarse][:, fine])
+        for incomplete in (True, False):
+            S = lair_sparsity(A_ff, A_cf, 2)
+            Z_host = sai_z(A_ff, A_cf, S, incomplete=incomplete)
+            Z_dev = _lair_z_device(
+                DELL.from_scipy(A_ff, jnp.float64),
+                DELL.from_scipy(A_cf, jnp.float64),
+                DELL.from_scipy(A_ff, jnp.float64),
+                DELL.from_scipy(A_cf, jnp.float64),
+                2, incomplete).to_scipy()
+            Z_dev.eliminate_zeros()
+            Z_host.eliminate_zeros()
+            assert abs(Z_dev - Z_host).max() < 1e-8, incomplete
 
     def test_tiny_matrix_single_level(self):
         """Below coarse_eq_limit the device setup yields a 1-level
