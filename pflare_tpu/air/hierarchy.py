@@ -306,7 +306,8 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
             prev_lvl = None
         lvl = _build_level(A, fine, coarse, opts, tol, prev_lvl,
                            left_nulls, right_nulls, qr_reduce=qr_reduce,
-                           injected=(injected_coeffs or {}).get(level_idx))
+                           injected=(injected_coeffs or {}).get(level_idx),
+                           mesh=mesh)
         levels.append(lvl)
         # restrict near-nullspace vectors to the coarse grid
         if left_nulls is not None:
@@ -344,9 +345,14 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
 
 def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                  left_nulls=None, right_nulls=None,
-                 qr_reduce=None, injected=None) -> LevelData:
+                 qr_reduce=None, injected=None, mesh=None) -> LevelData:
     """Build one level's operators (reference:
-    src/AIR_Operators_Setup.F90:36-1082)."""
+    src/AIR_Operators_Setup.F90:36-1082).
+
+    ``mesh``: the W/Z/AP/RAP SpGEMMs run as row-sharded device products
+    over the mesh (operators.mesh_matmat_drop -- the distributed MPI
+    MatMatMult analogue, reference: src/AIR_Operators_Setup.F90:993-1033)
+    instead of serial host products."""
     n = A.shape[0]
     patterns = prev.patterns if prev is not None else {}
 
@@ -455,8 +461,16 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                 else:
                     W_drop = one_point_strongest(A_fc)
             else:
-                W = compute_w_ideal(inv_Aff_host if inv_Aff_host is not None
-                                    else _assembled_host(inv_Aff), A_fc_drop)
+                inv_w = (inv_Aff_host if inv_Aff_host is not None
+                         else _assembled_host(inv_Aff))
+                if mesh is not None:
+                    from .operators import mesh_matmat_drop
+
+                    W = mesh_matmat_drop(inv_w, A_fc_drop, 0.0, False,
+                                         mesh, name="W")
+                    W.data *= -1.0
+                else:
+                    W = compute_w_ideal(inv_w, A_fc_drop)
                 if opts.improve_w_its > 0:
                     W = improve_transfer(W, A_ff, A_fc, inv_diag_Aff,
                                          opts.improve_w_its, is_z=False)
@@ -487,11 +501,21 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                     and not (opts.reuse_sparsity
                              and opts.reuse_amount >= 2)):
                 # nothing downstream needs the un-dropped Z: fuse the
-                # -A_cf@inv product with the r_drop into one native sweep
-                from ..native import spgemm_drop_native
+                # -A_cf@inv product with the r_drop into one sweep --
+                # row-sharded over the mesh when one is given, else the
+                # native host kernel
+                if mesh is not None:
+                    from .operators import mesh_matmat_drop
 
-                zd = spgemm_drop_native(A_cf_drop, inv_Aff_host,
-                                        opts.r_drop, relative=1, lump=0)
+                    zd = mesh_matmat_drop(A_cf_drop, inv_Aff_host,
+                                          opts.r_drop, False, mesh,
+                                          name="Z")
+                else:
+                    from ..native import spgemm_drop_native
+
+                    zd = spgemm_drop_native(A_cf_drop, inv_Aff_host,
+                                            opts.r_drop, relative=1,
+                                            lump=0)
                 if zd is not None:
                     zd.data *= -1.0
                     z_pre_dropped = zd
@@ -504,7 +528,14 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                 Z = _plan_product_host(zplan, A_cf_drop, inv_Aff_host)
                 Z.data *= -1.0
             else:
-                Z = compute_z_airg(A_cf_drop, inv_Aff_host)
+                if mesh is not None:
+                    from .operators import mesh_matmat_drop
+
+                    Z = mesh_matmat_drop(A_cf_drop, inv_Aff_host, 0.0,
+                                         False, mesh, name="Z")
+                    Z.data *= -1.0
+                else:
+                    Z = compute_z_airg(A_cf_drop, inv_Aff_host)
                 if opts.reuse_sparsity and opts.reuse_amount >= 2:
                     patterns["Z_numeric_plan"] = _make_product_plan(
                         A_cf_drop, inv_Aff_host, Z)
@@ -570,9 +601,19 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
             # symmetric PtAP shares the plan structure: P = R^T exactly,
             # so RAP = P^T (A P) = R (A P) -- same two products
             want_plans = (opts.reuse_sparsity and opts.reuse_amount >= 2)
-            coarse_A, RAP = compute_coarse_matrix(A, R, P, opts.a_drop,
-                                                  opts.a_lump, opts.symmetric,
-                                                  need_rap=want_plans)
+            if mesh is not None and not opts.symmetric:
+                from .operators import mesh_matmat_drop
+
+                AP = mesh_matmat_drop(A, P, 0.0, False, mesh, name="AP")
+                coarse_A = mesh_matmat_drop(R, AP, opts.a_drop,
+                                            opts.a_lump, mesh, name="RAP")
+                RAP = sp.csr_matrix(R @ AP) if want_plans else None
+                if RAP is not None:
+                    RAP.sort_indices()
+            else:
+                coarse_A, RAP = compute_coarse_matrix(
+                    A, R, P, opts.a_drop, opts.a_lump, opts.symmetric,
+                    need_rap=want_plans)
             patterns["RAP_drop"] = coarse_A
             if want_plans:
                 AP = sp.csr_matrix(A @ P)

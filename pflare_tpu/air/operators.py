@@ -33,6 +33,58 @@ def _matmat(A, B) -> sp.csr_matrix:
     return C
 
 
+# test hook: when set to a list, mesh_matmat_drop appends
+# (name, inputs_row_sharded) per product so tests can assert the
+# distributed setup never multiplies unsharded operators
+MESH_PRODUCT_LOG: list | None = None
+
+
+def mesh_matmat_drop(Amat, Bmat, tol: float, lump: bool, mesh,
+                     name: str = "") -> sp.csr_matrix:
+    """C = drop(A @ B) as a row-SHARDED device product over the mesh.
+
+    The distributed-SpGEMM analogue of the reference's MPI
+    MatMatMult/MatPtAP with communicated halo rows (reference:
+    src/AIR_Operators_Setup.F90:993-1033): both operands upload row-
+    sharded (rows padded to equal blocks, the 'simple' partition), the
+    expand -> sort -> segsum -> fused-drop pipeline compiles SPMD under
+    GSPMD -- the B-row gather at A's columns becomes the neighbour
+    halo exchange -- and only the compacted result returns to the host.
+    Numerically identical to the host product + relative drop (tol 0
+    still drops explicit zeros, the diagonal never drops); f64 when
+    jax x64 is enabled."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import row_sharding
+    from ..sparse.dell import DELL, PADCOL, spgemm_drop_dell
+
+    n_dev = mesh.devices.size
+    sh = row_sharding(mesh)
+    dtype = (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+
+    def _up(M):
+        d = DELL.from_scipy(M, dtype=dtype)
+        p = (-d.data.shape[0]) % n_dev
+        data, cols = d.data, d.cols
+        if p:
+            data = jnp.pad(data, ((0, p), (0, 0)))
+            cols = jnp.pad(cols, ((0, p), (0, 0)), constant_values=PADCOL)
+        return DELL(jax.device_put(data, sh), jax.device_put(cols, sh),
+                    d.n_cols)
+
+    Ad, Bd = _up(Amat), _up(Bmat)
+    if MESH_PRODUCT_LOG is not None:
+        from ..sparse.dell import _row_sharded
+
+        MESH_PRODUCT_LOG.append(
+            (name, _row_sharded(Ad.data) and _row_sharded(Bd.data)))
+    C = spgemm_drop_dell(Ad, Bd, float(tol), relative=True, lump=lump)
+    out = C.to_scipy()[: Amat.shape[0]].astype(np.float64)
+    out.sort_indices()
+    return sp.csr_matrix(out)
+
+
 def extract_submatrices(A: sp.csr_matrix, fine, coarse, need_acc=False):
     """A_ff, A_fc, A_cf (and A_cc) by CF masks (reference:
     src/AIR_Operators_Setup.F90:196-227)."""

@@ -97,14 +97,21 @@ def replicate(tree, mesh: Mesh):
 
 
 def _shard_op(op, mesh: Mesh):
-    """Row-shard a device operator (ELL or DIA) if its rows divide the
-    mesh; otherwise replicate."""
+    """Row-shard a device operator (ELL, DELL or DIA) if its rows divide
+    the mesh; otherwise replicate."""
     from ..sparse.dia import DIA
+    from ..sparse.dell import DELL
 
     n_dev = mesh.devices.size
     if isinstance(op, ELL):
         if op.shape[0] % n_dev == 0:
             return shard_ell(op, mesh, pad=False)
+        return replicate(op, mesh)
+    if isinstance(op, DELL):
+        if op.data.shape[0] % n_dev == 0:
+            sh = row_sharding(mesh)
+            return DELL(jax.device_put(op.data, sh),
+                        jax.device_put(op.cols, sh), op.n_cols)
         return replicate(op, mesh)
     if isinstance(op, DIA):
         if op.shape[0] % n_dev == 0:
@@ -129,9 +136,17 @@ def _pad_ell_rows_to(op: ELL, n_pad: int) -> ELL:
 
 def _pad_op_rows_to(op, n_pad: int):
     from ..sparse.dia import DIA
+    from ..sparse.dell import DELL, PADCOL
 
     if isinstance(op, ELL):
         return _pad_ell_rows_to(op, n_pad)
+    if isinstance(op, DELL):
+        p = n_pad - op.data.shape[0]
+        if p <= 0:
+            return op
+        return DELL(jnp.pad(op.data, ((0, p), (0, 0))),
+                    jnp.pad(op.cols, ((0, p), (0, 0)),
+                            constant_values=PADCOL), op.n_cols)
     if isinstance(op, DIA):
         if op.data.shape[1] == n_pad:
             return op
@@ -153,8 +168,10 @@ def _pad_inverse_rows_to(inv, n_pad: int):
         if d.shape[0] < n_pad:
             d = jnp.pad(d, (0, n_pad - d.shape[0]))
         return Inverse("diagonal", diag=d, meta=inv.meta)
+    from ..sparse.dell import DELL as _DELL
+
     mat = inv.mat
-    if isinstance(mat, (ELL, DIA)):
+    if isinstance(mat, (ELL, DIA, _DELL)):
         mat = _pad_op_rows_to(mat, n_pad)
     diag = inv.diag
     if diag is not None and diag.shape[0] < n_pad:
@@ -220,17 +237,16 @@ def shard_hierarchy(hierarchy, mesh: Mesh, options=None):
     else:
         schedule = [n_dev] * len(sizes)
 
+    from ..sparse.dell import DELL
+
     out_levels = []
     for lvl, n, active in zip(dev_levels, sizes, schedule):
-        # device-built hierarchies carry DELL operators, whose padded
-        # sharding is not implemented yet: replicate those levels (GSPMD
-        # still shards the vectors / top matvec)
         def _op_shardable(v):
             if isinstance(v, Inverse):
                 m = v.mat
-                return m is None or isinstance(m, (ELL, DIA))
+                return m is None or isinstance(m, (ELL, DIA, DELL))
             if hasattr(v, "matvec"):
-                return isinstance(v, (ELL, DIA))
+                return isinstance(v, (ELL, DIA, DELL))
             return True
         shardable = all(_op_shardable(v) for v in lvl.values())
         if active <= 1 or "mask_f" not in lvl or not shardable:
@@ -243,7 +259,7 @@ def shard_hierarchy(hierarchy, mesh: Mesh, options=None):
         new = {}
         sh = row_sharding(mesh)
         for key, val in lvl.items():
-            if isinstance(val, (ELL, DIA)):
+            if isinstance(val, (ELL, DIA, DELL)):
                 new[key] = _shard_op(_pad_op_rows_to(val, n_pad), mesh)
             elif key in ("mask_f", "mask_c"):
                 m = jnp.pad(val, (0, n_pad - val.shape[0]))

@@ -121,6 +121,48 @@ def test_halo_spmv_rejects_wide_band():
         HaloSpMV(Abad, mesh)
 
 
+def test_distributed_setup_spgemms_sharded():
+    """setup(A, mesh=...) routes the per-level W/Z/AP/RAP products
+    through row-SHARDED DELL products (the distributed MPI MatMatMult
+    analogue, reference: src/AIR_Operators_Setup.F90:993-1033) and the
+    hierarchy is identical to the serial host one."""
+    import numpy as np
+    from pflare_tpu import PCAIR, AIROptions, InverseType, adv_diff_2d
+    from pflare_tpu.air import operators as ops_mod
+    from pflare_tpu.parallel import make_mesh
+
+    A = adv_diff_2d(32)
+    # ideal W exercises the W product too
+    opts = AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99,
+                      max_levels=4, one_point_classical_prolong=False)
+    pc_serial = PCAIR(opts)
+    pc_serial.setup(A)
+    log = []
+    ops_mod.MESH_PRODUCT_LOG = log
+    try:
+        pc_dist = PCAIR(opts)
+        pc_dist.setup(A, mesh=make_mesh(8))
+    finally:
+        ops_mod.MESH_PRODUCT_LOG = None
+
+    names = {name for name, _ in log}
+    assert {"W", "Z", "AP", "RAP"} <= names, names
+    assert all(sharded for _, sharded in log), log
+    # identical hierarchy (same patterns; values to fp-order accuracy)
+    assert pc_dist.n_levels == pc_serial.n_levels
+    for ls, ld in zip(pc_serial.hierarchy.levels,
+                      pc_dist.hierarchy.levels):
+        np.testing.assert_array_equal(ls.fine, ld.fine)
+        assert ls.R.nnz == ld.R.nnz
+        np.testing.assert_allclose(ls.R.data, ld.R.data, rtol=1e-11,
+                                   atol=1e-13)
+        cs = ls.patterns["coarse_A"]
+        cd = ld.patterns["coarse_A"]
+        if hasattr(cs, "tocsr"):
+            assert cs.nnz == cd.nnz
+            assert abs(cs - cd).max() < 1e-11
+
+
 def test_distributed_setup_slice_identical_hierarchy():
     """VERDICT slice: an 8-shard setup (device PMISR over the mesh +
     distributed TSQR power coefficients) produces the IDENTICAL hierarchy
