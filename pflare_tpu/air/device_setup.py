@@ -195,14 +195,20 @@ def _symmetric_degree(scols):
     maskl = scols < PADCOL
     safe = jnp.minimum(scols, n - 1)
     out_deg = jnp.sum(maskl, axis=1, dtype=jnp.int32)
-    in_deg = jnp.zeros(n, jnp.int32)
-    recip = jnp.zeros(n, jnp.int32)
-    for k in range(K):
-        in_deg = in_deg.at[scols[:, k]].add(
-            maskl[:, k].astype(jnp.int32), mode="drop")
-        tr_k = scols[safe[:, k]]                         # [n, K]
-        hit = maskl[:, k] & jnp.any(tr_k == gidx[:, None], axis=1)
-        recip = recip + hit.astype(jnp.int32)
+
+    def col(k, carry):
+        in_deg, recip = carry
+        sk = jax.lax.dynamic_index_in_dim(scols, k, 1, keepdims=False)
+        mk = jax.lax.dynamic_index_in_dim(maskl, k, 1, keepdims=False)
+        fk = jax.lax.dynamic_index_in_dim(safe, k, 1, keepdims=False)
+        in_deg = in_deg.at[sk].add(mk.astype(jnp.int32), mode="drop")
+        tr_k = scols[fk]                                 # [n, K]
+        hit = mk & jnp.any(tr_k == gidx[:, None], axis=1)
+        return in_deg, recip + hit.astype(jnp.int32)
+
+    # fori_loop: K per-column passes compile once, not K times
+    in_deg, recip = jax.lax.fori_loop(
+        0, K, col, (jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32)))
     return out_deg + in_deg - recip
 
 
@@ -234,13 +240,13 @@ def _luby_directed(scols, measure, cf0, n_rounds, pmis: bool = False):
     # in-edge accumulations run as PER-COLUMN 1-D int scatters: flattening
     # the [n,K] index/value arrays forces a relayout whose XLA compile is
     # pathological on TPU (and bool scatter-max alone compiles ~13x
-    # slower than int scatter-add)
+    # slower than int scatter-add); fori_loop so the K passes compile once
     def _scatter_or(vals2d):
-        acc = jnp.zeros(n, jnp.int32)
-        for k in range(K):
-            acc = acc.at[scols[:, k]].add(
-                vals2d[:, k].astype(jnp.int32), mode="drop")
-        return acc > 0
+        def col(k, acc):
+            sk = jax.lax.dynamic_index_in_dim(scols, k, 1, keepdims=False)
+            vk = jax.lax.dynamic_index_in_dim(vals2d, k, 1, keepdims=False)
+            return acc.at[sk].add(vk.astype(jnp.int32), mode="drop")
+        return jax.lax.fori_loop(0, K, col, jnp.zeros(n, jnp.int32)) > 0
 
     def body(carry):
         in_set, rounds, _ = carry

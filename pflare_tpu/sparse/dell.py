@@ -463,14 +463,19 @@ def restricted_product(Xc, Xv, A: DELL):
 def poly_dell(A: DELL, coeffs):
     """Assembled polynomial sum_k c_k A^k restricted onto A's pattern
     (sparsity_order 1; A must carry a structural diagonal -- use
-    extract_dell(..., ensure_diag=True))."""
+    extract_dell(..., ensure_diag=True)).  The power recurrence runs as a
+    lax.scan over the coefficients so the restricted product compiles
+    ONCE, not order-1 times (measured 24s -> a few s of XLA compile at
+    512^2; the setup is compile-bound on TPU backends)."""
     n = A.data.shape[0]
-    cur = A.data
-    acc = coeffs[1] * cur
+    acc = coeffs[1] * A.data
     order = coeffs.shape[0] - 1
-    for k in range(2, order + 1):
-        cur = restricted_product(A.cols, cur, A)
-        acc = acc + coeffs[k] * cur
+    if order >= 2:
+        def step(carry, ck):
+            cur, acc = carry
+            cur = restricted_product(A.cols, cur, A)
+            return (cur, acc + ck * cur), None
+        (_, acc), _ = jax.lax.scan(step, (A.data, acc), coeffs[2:])
     isd = A.cols == jnp.arange(n, dtype=A.cols.dtype)[:, None]
     acc = jnp.where(isd, acc + coeffs[0], acc)
     acc = jnp.where(A.cols < PADCOL, acc, 0.0)
@@ -557,12 +562,15 @@ def distinct_offsets_device(cols, cap: int = 16):
     rejected."""
     n, K = cols.shape
     ridx = jnp.arange(n, dtype=cols.dtype)
-    bitmap = jnp.zeros(2 * n, jnp.int32)
-    for k in range(K):
-        ck = cols[:, k]
+
+    def scat(k, bm):
+        ck = jax.lax.dynamic_index_in_dim(cols, k, 1, keepdims=False)
         # dead slots target index 2n: outside the bitmap, mode="drop"
         offk = jnp.where(ck < PADCOL, ck - ridx + (n - 1), 2 * n)
-        bitmap = bitmap.at[offk].add(1, mode="drop")
+        return bm.at[offk].add(1, mode="drop")
+
+    # fori_loop: the K per-column scatters compile once, not K times
+    bitmap = jax.lax.fori_loop(0, K, scat, jnp.zeros(2 * n, jnp.int32))
     C = -((-2 * n) // CENSUS_ROWS)
     pad = CENSUS_ROWS * C - 2 * n
     if pad:
