@@ -483,6 +483,155 @@ def _cf_split_device(A: DELL, opts: AIROptions):
                         pmis, ddc_its)
 
 
+# ~~~~~~~~~~~~~~~~~~ compile prefetch ~~~~~~~~~~~~~~~~~~
+
+_COMPILE_POOL = None
+
+
+def _compile_pool():
+    global _COMPILE_POOL
+    if _COMPILE_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _COMPILE_POOL = ThreadPoolExecutor(
+            max_workers=int(os.environ.get("PFLARE_COMPILE_THREADS", "8")))
+    return _COMPILE_POOL
+
+
+def _prefetch(tasks):
+    """Warm the jit caches for (jitted_fn, args, kwargs) triples
+    CONCURRENTLY.  The first-time device setup is compile-bound (~900s of
+    XLA across ~400 programs at 512^2 on a tunnel backend) and the
+    backend compiles in parallel (measured 4 concurrent compiles in the
+    wall-clock of one); AOT lowering through the SAME jitted callable
+    populates its dispatch cache, so the later real call is compile-free.
+    A shape mis-specification only loses the prefetch benefit -- the real
+    call compiles as usual."""
+    import os
+
+    if os.environ.get("PFLARE_NO_PRECOMPILE") == "1":
+        return []
+
+    def one(f, a, k):
+        try:
+            f.lower(*a, **k).compile()
+        except Exception:
+            pass
+
+    return [_compile_pool().submit(one, f, a, k) for f, a, k in tasks]
+
+
+def _sdt(shape, dtype):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _sdell(rows, width, n_cols, dtype):
+    return DELL(_sdt((rows, width), dtype), _sdt((rows, width), jnp.int32),
+                n_cols)
+
+
+def _level_prefetch_a(A: DELL, opts: AIROptions, n: int, n_f: int,
+                      n_c: int, dtype):
+    """Post-CF-split prefetch wave: every level program whose shape is
+    determined by (n, n_f, n_c, A.K) compiles in the pool while the main
+    thread walks extraction -> inverse -> Z."""
+    from ..inverse.gmres_poly import _arnoldi_fixed_core
+    from ..sparse.dell import _extract_core
+
+    K = A.K
+    fdt = A.dtype
+    i32 = jnp.int32
+    cfS = _sdt((n,), i32)
+    boolS = _sdt((n,), jnp.bool_)
+    idxnS = _sdt((n,), i32)
+    fineS = _sdt((n_f,), i32)
+    coarseS = _sdt((n_c,), i32)
+    Kff = ceil8(K + 1)
+    A_ffS = _sdell(n_f, Kff, n_f, fdt)
+    A_fcS = _sdell(n_f, K, n_c, fdt)
+    A_cfS = _sdell(n_c, K, n_f, fdt)
+
+    tasks = [
+        (_split_indices, (cfS,), dict(n_f=n_f, n_c=n_c)),
+        (_extract_core, (A, fineS, boolS, idxnS), dict(ensure_diag=True)),
+        (_extract_core, (A, fineS, boolS, idxnS), dict(ensure_diag=False)),
+        (_extract_core, (A, coarseS, boolS, idxnS),
+         dict(ensure_diag=False)),
+        (compact, (_sdt((n_f, K + 1), i32), _sdt((n_f, K + 1), fdt)),
+         dict(new_K=K + 1)),
+        (compact, (_sdt((n_f, K), i32), _sdt((n_f, K), fdt)),
+         dict(new_K=K)),
+        (compact, (_sdt((n_c, K), i32), _sdt((n_c, K), fdt)),
+         dict(new_K=K)),
+        (_mask_ext_ops, (A, cfS), {}),
+        (_one_point_w, (A_fcS,), {}),
+        (_assemble_p_ext, (fineS, coarseS, cfS), dict(n=n)),
+        (onecol_product, (A, idxnS, _sdt((n,), fdt)), dict(n_cols_new=n)),
+        (_inv_ext, (A_ffS, fineS, cfS), dict(n=n)),
+    ]
+    it = InverseType(opts.inverse_type)
+    order = min(opts.poly_order, max(n_f - 1, 0))
+    if it in (InverseType.ARNOLDI, InverseType.NEWTON,
+              InverseType.NEWTON_NO_EXTRA):
+        tasks.append((_arnoldi_fixed_core,
+                      (A_ffS, None, _sdt((n_f,), fdt)),
+                      dict(subspace=order + 1,
+                           diag_scale=bool(opts.diag_scale_polys))))
+    if it in (InverseType.POWER, InverseType.ARNOLDI, InverseType.NEUMANN):
+        tasks.append((poly_dell, (A_ffS, _sdt((order + 1,), fdt)), {}))
+    if (opts.z_type == ZType.PRODUCT
+            and opts.strong_r_threshold == 0.0
+            and it not in (InverseType.JACOBI, InverseType.WJACOBI)):
+        from ..sparse.dell import _spgemm_drop_jit, _row_count_max
+
+        tasks.append((_spgemm_drop_jit,
+                      (A_cfS, A_ffS, float(opts.r_drop)),
+                      dict(relative=True, lump=False)))
+        tasks.append((_row_count_max, (_sdt((n_c, K * Kff), i32),), {}))
+    return _prefetch(tasks)
+
+
+def _level_prefetch_b(A: DELL, Z: DELL, opts: AIROptions, n: int,
+                      n_c: int, dtype):
+    """Post-Z prefetch wave: the R assembly and the RAP product programs
+    (shapes fixed once Z's compacted width is known) compile while the
+    main thread assembles R/P."""
+    from ..sparse.dell import (_SPGEMM_CHUNK_LIMIT, _SPGEMM_CHUNK_ROWS,
+                               _row_count_max, _spgemm_drop_chunked_jit,
+                               _spgemm_drop_jit)
+
+    K = A.K
+    fdt = A.dtype
+    i32 = jnp.int32
+    wr = ceil8(Z.K + 1)
+    R_cS = _sdell(n_c, wr, n, fdt)
+    APS = _sdell(n, K, n, fdt)
+    coarseS = _sdt((n_c,), i32)
+    tasks = [
+        (_assemble_r_ext,
+         (Z, _sdt((Z.n_cols,), i32), coarseS, _sdt((n,), i32)),
+         dict(n=n)),
+        (_r_compressed, (Z, _sdt((Z.n_cols,), i32), coarseS), dict(n=n)),
+    ]
+    if n_c * wr * K > _SPGEMM_CHUNK_LIMIT and n_c > _SPGEMM_CHUNK_ROWS:
+        CH = _SPGEMM_CHUNK_ROWS
+        nch = -(-n_c // CH)
+        tasks.append((_spgemm_drop_chunked_jit,
+                      (_sdt((nch, CH, wr), fdt), _sdt((nch, CH, wr), i32),
+                       _sdt((nch, CH), i32), APS, float(opts.a_drop)),
+                      dict(relative=True, lump=bool(opts.a_lump))))
+        tasks.append((_row_count_max,
+                      (_sdt((n_c, wr * K), i32),), {}))
+    else:
+        tasks.append((_spgemm_drop_jit,
+                      (R_cS, APS, float(opts.a_drop)),
+                      dict(relative=True, lump=bool(opts.a_lump),
+                           diag_of_row=coarseS)))
+        tasks.append((_row_count_max, (_sdt((n_c, wr * K), i32),), {}))
+    return _prefetch(tasks)
+
+
 # ~~~~~~~~~~~~~~~~~~ level records ~~~~~~~~~~~~~~~~~~
 
 
@@ -846,6 +995,29 @@ def _one_point_w(A_fc: DELL):
 
 
 @partial(jax.jit, static_argnames=("n",))
+def _r_compressed(Z: DELL, fine_idx, coarse_idx, n: int):
+    """R rows in COARSE numbering [n_c, Kz+1] with GLOBAL columns: Z's
+    row (cols mapped to global fine positions) + the identity entry at
+    the row's global coarse position.  The RAP product runs on these
+    compressed rows -- the full-space R_ext's fine rows are all empty, so
+    the [n, ...] product wastes more than half its sort work."""
+    live = Z.cols < PADCOL
+    gcols = jnp.where(
+        live,
+        fine_idx[jnp.minimum(Z.cols, fine_idx.shape[0] - 1)]
+        .astype(jnp.int32), PADCOL)
+    cols = jnp.concatenate([gcols, coarse_idx[:, None]], axis=1)
+    vals = jnp.concatenate(
+        [Z.data, jnp.ones((Z.data.shape[0], 1), Z.dtype)], axis=1)
+    pad = ceil8(cols.shape[1]) - cols.shape[1]
+    if pad:
+        cols = jnp.pad(cols, ((0, 0), (0, pad)), constant_values=PADCOL)
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+    c, v = sort_rows(cols, vals)
+    return DELL(v, c, n)
+
+
+@partial(jax.jit, static_argnames=("n",))
 def _assemble_r_ext(Z: DELL, fine_idx, coarse_idx, cf, n: int):
     """R_ext [n, n]: for global coarse row i, Z's row (cols mapped to
     global fine positions) + the identity entry at column i (reference:
@@ -1008,6 +1180,10 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
         if n_c <= opts.coarse_eq_limit or n_f == 0:
             break
 
+        # compile-prefetch wave A: the level's downstream programs
+        # compile concurrently in the pool while this thread walks
+        # extraction -> inverse -> Z (first-time setup is compile-bound)
+        _level_prefetch_a(A, opts, n, n_f, n_c, dtype)
         with timer("air_extract"):
             (is_f, is_c, fine_idx, coarse_idx, f_newidx,
              c_newidx) = _split_indices(cf, n_f, n_c)
@@ -1098,6 +1274,8 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
                                    True, False)
                 zc, zv = compact(zc, zv, max(max_row_count(zc), 1))
                 Z = DELL(zv, zc, n_f)
+            # wave B: the RAP product programs compile while R/P assemble
+            _level_prefetch_b(A, Z, opts, n, n_c, dtype)
             rcols, rvals = _assemble_r_ext(Z, fine_idx, coarse_idx, cf, n)
             R_ext = DELL(rvals.astype(dtype), rcols, n)
 
@@ -1110,17 +1288,20 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
         with timer("air_rap"):
             # AP = A @ P_ext [n, n]: P has at most ONE entry per row, so
             # the product is a pure column relabeling merged at A's own
-            # width (the general expand at [n, Ka*Kp] wastes HBM).  Then
-            # RAP rows gathered at coarse positions: R_ext @ AP restricted
-            # to coarse rows/cols and renumbered -> the next level matrix
-            # [n_c, n_c]
+            # width (the general expand at [n, Ka*Kp] wastes HBM).  The
+            # RAP product then runs on COARSE ROWS ONLY (R's fine rows
+            # are empty) with the global coarse positions as the
+            # protected diagonals, and a column compression renumbers to
+            # the next level matrix [n_c, n_c]
             AP = onecol_product(A, p1col, p1val.astype(A.dtype), n)
-            RAP_full = spgemm_drop_dell(R_ext, AP, float(opts.a_drop),
-                                        relative=True, lump=opts.a_lump)
-            # compress to coarse numbering on both axes (width is tight:
-            # RAP_full was just compacted)
-            A_next = extract_dell(RAP_full, coarse_idx, is_c, c_newidx,
-                                  n_c, compact_width=False)
+            R_c = _r_compressed(Z, fine_idx, coarse_idx, n)
+            RAP_c = spgemm_drop_dell(R_c, AP, float(opts.a_drop),
+                                     relative=True, lump=opts.a_lump,
+                                     diag_of_row=coarse_idx)
+            A_next = extract_dell(RAP_c,
+                                  jnp.arange(n_c, dtype=jnp.int32),
+                                  is_c, c_newidx, n_c,
+                                  compact_width=False)
 
         aff_ext, afc_ext, fmask = _mask_ext_ops(A, cf)
         A_ff_ext_op = DELL(aff_ext, A.cols, n)
@@ -1230,7 +1411,17 @@ def _optimize_layouts(h: "DeviceHierarchy"):
     if not cands:
         return
     # operators sharing one cols array (A_ff_ext/A_fc_ext keep A's layout)
-    # share one census
+    # share one census; prefetch the census programs concurrently (one
+    # XLA program per distinct pattern shape)
+    seen_shapes = set()
+    tasks = []
+    for _, _, op in cands:
+        if op.cols.shape not in seen_shapes:
+            seen_shapes.add(op.cols.shape)
+            tasks.append((distinct_offsets_device,
+                          (_sdt(op.cols.shape, op.cols.dtype),),
+                          dict(cap=16)))
+    _prefetch(tasks)
     by_id = {}
     for _, _, op in cands:
         if id(op.cols) not in by_id:

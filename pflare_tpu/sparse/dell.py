@@ -281,25 +281,29 @@ def _row_sharded(x) -> bool:
 
 
 def spgemm_drop_dell(A: DELL, B: DELL, tol: float, relative: bool,
-                     lump: bool) -> DELL:
+                     lump: bool, diag_of_row=None) -> DELL:
     """Fused C = drop(A @ B): the device sibling of the native
     spgemm_drop (kernels.cpp) and of the reference's product+drop chain.
-    One scalar readback sizes the output."""
+    One scalar readback sizes the output.  ``diag_of_row``: the column
+    that counts as each row's protected diagonal (default: the row index;
+    pass the global coarse positions when A's rows are a compressed
+    renumbering, e.g. the coarse-rows-only RAP)."""
     n = A.data.shape[0]
     if (n * A.K * B.K > _SPGEMM_CHUNK_LIMIT and n > _SPGEMM_CHUNK_ROWS
             and not _row_sharded(A.data)):
         ccols, cvals = _spgemm_drop_chunked(A, B, float(tol),
-                                            bool(relative), bool(lump))
+                                            bool(relative), bool(lump),
+                                            diag_of_row)
     else:
         ccols, cvals = _spgemm_drop_jit(A, B, float(tol), bool(relative),
-                                        bool(lump))
+                                        bool(lump), diag_of_row)
     K_new = max(max_row_count(ccols), 1)
     c, v = compact(ccols, cvals, K_new)
     return DELL(v, c, B.n_cols)
 
 
 def _spgemm_drop_chunked(A: DELL, B: DELL, tol: float, relative: bool,
-                         lump: bool):
+                         lump: bool, diag_of_row=None):
     """Row-chunked fused product+drop: peak memory is one chunk's expand
     ([CHUNK_ROWS, Ka*Kb]) instead of the whole matrix's."""
     n = A.data.shape[0]
@@ -309,7 +313,9 @@ def _spgemm_drop_chunked(A: DELL, B: DELL, tol: float, relative: bool,
     ac3 = jnp.pad(A.cols, ((0, padn), (0, 0)),
                   constant_values=PADCOL).reshape(nch, CH, -1)
     ad3 = jnp.pad(A.data, ((0, padn), (0, 0))).reshape(nch, CH, -1)
-    rix3 = jnp.pad(jnp.arange(n, dtype=A.cols.dtype), (0, padn),
+    if diag_of_row is None:
+        diag_of_row = jnp.arange(n, dtype=A.cols.dtype)
+    rix3 = jnp.pad(diag_of_row, (0, padn),
                    constant_values=PADCOL).reshape(nch, CH)
     ccols, cvals = _spgemm_drop_chunked_jit(ad3, ac3, rix3, B, tol,
                                             relative, lump)
@@ -381,11 +387,13 @@ def spgemm_merge_dell(A: DELL, B: DELL) -> DELL:
 
 
 @partial(jax.jit, static_argnames=("relative", "lump"))
-def _spgemm_drop_jit(A: DELL, B: DELL, tol, relative: bool, lump: bool):
+def _spgemm_drop_jit(A: DELL, B: DELL, tol, relative: bool, lump: bool,
+                     diag_of_row=None):
     ccols, cvals = spgemm_expand(A, B)
     ccols, cvals = sort_rows(ccols, cvals)
     ccols, cvals = segsum_rows(ccols, cvals)
-    return drop_rows(ccols, cvals, tol, relative, lump)
+    return drop_rows(ccols, cvals, tol, relative, lump,
+                     diag_of_row=diag_of_row)
 
 
 # ~~~~~~~~~~~~~~~~~~ extraction ~~~~~~~~~~~~~~~~~~
