@@ -99,6 +99,12 @@ def get_lib():
                                         ctypes.c_int, i32p, i32p, f64p]
         lib.dd_ratio.restype = None
         lib.dd_ratio.argtypes = [i64p, i64p, f64p, u8p, ctypes.c_int64, f64p]
+        lib.dd_ratio_i32.restype = None
+        lib.dd_ratio_i32.argtypes = [i32p, i32p, f64p, u8p, ctypes.c_int64,
+                                     f64p]
+        lib.pmisr_luby_i32.restype = ctypes.c_int
+        lib.pmisr_luby_i32.argtypes = [i32p, i32p, ctypes.c_int64, f64p,
+                                       i64p, u8p, ctypes.c_int]
         lib.aggregation.restype = ctypes.c_int64
         lib.aggregation.argtypes = [i64p, i64p, ctypes.c_int64, i64p, i64p]
         lib.poly_on_sparsity.restype = None
@@ -150,17 +156,26 @@ def pmisr_luby_native(indptr, indices, measure, cf, assigned, max_steps):
     lib = get_lib()
     if lib is None:
         return None
-    indptr = _i64(indptr)
-    indices = _i64(indices)
+    # int32 fast path: scipy hands int32 CSR; per-call int64 conversion
+    # of the graph costs more than the Luby rounds on fine levels
+    if (getattr(indptr, "dtype", None) == np.int32
+            and getattr(indices, "dtype", None) == np.int32):
+        ip, fn = ctypes.POINTER(ctypes.c_int32), lib.pmisr_luby_i32
+        indptr = np.ascontiguousarray(indptr)
+        indices = np.ascontiguousarray(indices)
+    else:
+        ip, fn = ctypes.POINTER(ctypes.c_int64), lib.pmisr_luby
+        indptr = _i64(indptr)
+        indices = _i64(indices)
     measure = _f64(measure)
     cf = np.ascontiguousarray(cf, dtype=np.int64)
     assigned = np.ascontiguousarray(assigned, dtype=np.uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    rounds = lib.pmisr_luby(_p(indptr, i64p), _p(indices, i64p),
-                            len(indptr) - 1, _p(measure, f64p),
-                            _p(cf, i64p), _p(assigned, u8p), int(max_steps))
+    rounds = fn(_p(indptr, ip), _p(indices, ip),
+                len(indptr) - 1, _p(measure, f64p),
+                _p(cf, i64p), _p(assigned, u8p), int(max_steps))
     return cf, rounds
 
 
@@ -290,17 +305,23 @@ def dd_ratio_native(indptr, indices, data, f_mask):
     lib = get_lib()
     if lib is None:
         return None
-    i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    indptr = _i64(indptr)
-    indices = _i64(indices)
+    if (getattr(indptr, "dtype", None) == np.int32
+            and getattr(indices, "dtype", None) == np.int32):
+        ip, fn = ctypes.POINTER(ctypes.c_int32), lib.dd_ratio_i32
+        indptr = np.ascontiguousarray(indptr)
+        indices = np.ascontiguousarray(indices)
+    else:
+        ip, fn = ctypes.POINTER(ctypes.c_int64), lib.dd_ratio
+        indptr = _i64(indptr)
+        indices = _i64(indices)
     data = _f64(data)
     fm = np.ascontiguousarray(f_mask, dtype=np.uint8)
     n = len(indptr) - 1
     out = np.zeros(n, dtype=np.float64)
-    lib.dd_ratio(_p(indptr, i64p), _p(indices, i64p), _p(data, f64p),
-                 _p(fm, u8p), n, _p(out, f64p))
+    fn(_p(indptr, ip), _p(indices, ip), _p(data, f64p),
+       _p(fm, u8p), n, _p(out, f64p))
     return out
 
 

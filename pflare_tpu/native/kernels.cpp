@@ -24,7 +24,12 @@ extern "C" {
 // (reference algorithm: src/PMISR_Module.F90:271-670).  cf: 0 undecided,
 // -1 F (independent set), +1 C.  assigned: 0/1.  Runs until all assigned
 // or max_steps rounds (max_steps <= 0 means unbounded).  Returns rounds.
-int pmisr_luby(const int64_t* indptr, const int64_t* indices, int64_t n,
+// Templated on the index type (scipy hands int32 CSR; per-call int64
+// conversion costs more than the rounds themselves on fine levels).
+}  // extern "C"
+
+template <typename I>
+static int pmisr_luby_t(const I* indptr, const I* indices, int64_t n,
                const double* measure, int64_t* cf, uint8_t* assigned,
                int max_steps) {
     std::vector<uint8_t> in_set(n);
@@ -43,7 +48,7 @@ int pmisr_luby(const int64_t* indptr, const int64_t* indices, int64_t n,
             uint8_t win = 1;
             const double mi = measure[i];
             for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
-                const int64_t j = indices[p];
+                const int64_t j = (int64_t)indices[p];
                 if (assigned[j]) continue;
                 const double mj = measure[j];
                 if (mi > mj || (mi == mj && i > j)) { win = 0; break; }
@@ -67,6 +72,23 @@ int pmisr_luby(const int64_t* indptr, const int64_t* indices, int64_t n,
     for (int64_t i = 0; i < n; ++i)
         if (cf[i] == 0) cf[i] = 1;  // leftovers become C
     return rounds;
+}
+
+
+extern "C" {
+
+int pmisr_luby(const int64_t* indptr, const int64_t* indices, int64_t n,
+               const double* measure, int64_t* cf, uint8_t* assigned,
+               int max_steps) {
+    return pmisr_luby_t<int64_t>(indptr, indices, n, measure, cf,
+                                 assigned, max_steps);
+}
+
+int pmisr_luby_i32(const int32_t* indptr, const int32_t* indices,
+                   int64_t n, const double* measure, int64_t* cf,
+                   uint8_t* assigned, int max_steps) {
+    return pmisr_luby_t<int32_t>(indptr, indices, n, measure, cf,
+                                 assigned, max_steps);
 }
 
 // ~~~~~~~~~~~~~~~~ SpGEMM plan enumeration ~~~~~~~~~~~~~~~~
@@ -139,18 +161,23 @@ void drop_small(const int64_t* indptr, const int64_t* indices,
     }
 }
 
+}  // extern "C"
+
 // ~~~~~~~~~~~~~~~~ diagonal-dominance ratio ~~~~~~~~~~~~~~~~
 // ratio[i] = sum_{j in F, j != i} |a_ij| / |a_ii| for F rows, else 0
-// (reference: src/MatDiagDom.F90:98).
-void dd_ratio(const int64_t* indptr, const int64_t* indices,
-              const double* data, const uint8_t* f_mask, int64_t n_rows,
-              double* ratio) {
+// (reference: src/MatDiagDom.F90:98).  Templated on the index type: scipy
+// hands int32 CSR indices, and converting them to int64 per call costs
+// more than the kernel itself on large levels.
+template <typename I>
+static void dd_ratio_t(const I* indptr, const I* indices,
+                       const double* data, const uint8_t* f_mask,
+                       int64_t n_rows, double* ratio) {
     for (int64_t i = 0; i < n_rows; ++i) {
         ratio[i] = 0.0;
         if (!f_mask[i]) continue;
         double offsum = 0.0, diag = 0.0;
         for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
-            const int64_t j = indices[p];
+            const int64_t j = (int64_t)indices[p];
             if (!f_mask[j]) continue;
             if (j == i) diag = std::fabs(data[p]);
             else offsum += std::fabs(data[p]);
@@ -158,6 +185,20 @@ void dd_ratio(const int64_t* indptr, const int64_t* indices,
         if (diag > 0.0) ratio[i] = offsum / diag;
         else if (offsum > 0.0) ratio[i] = INFINITY;
     }
+}
+
+extern "C" {
+
+void dd_ratio(const int64_t* indptr, const int64_t* indices,
+              const double* data, const uint8_t* f_mask, int64_t n_rows,
+              double* ratio) {
+    dd_ratio_t<int64_t>(indptr, indices, data, f_mask, n_rows, ratio);
+}
+
+void dd_ratio_i32(const int32_t* indptr, const int32_t* indices,
+                  const double* data, const uint8_t* f_mask,
+                  int64_t n_rows, double* ratio) {
+    dd_ratio_t<int32_t>(indptr, indices, data, f_mask, n_rows, ratio);
 }
 
 }  // extern "C"

@@ -287,16 +287,34 @@ def spgemm_drop_dell(A: DELL, B: DELL, tol: float, relative: bool,
     One scalar readback sizes the output.  ``diag_of_row``: the column
     that counts as each row's protected diagonal (default: the row index;
     pass the global coarse positions when A's rows are a compressed
-    renumbering, e.g. the coarse-rows-only RAP)."""
+    renumbering, e.g. the coarse-rows-only RAP).
+
+    Row-sharded operands on a shared 1-D mesh take the NEIGHBOUR-ONLY
+    halo-exchange path when the partition is banded (two ppermute shifts
+    of B instead of GSPMD's general resharding -- the reference's
+    PetscSF/distributed-MatMatMult semantics); otherwise GSPMD compiles
+    the fused program SPMD."""
     n = A.data.shape[0]
-    if (n * A.K * B.K > _SPGEMM_CHUNK_LIMIT and n > _SPGEMM_CHUNK_ROWS
-            and not _row_sharded(A.data)):
-        ccols, cvals = _spgemm_drop_chunked(A, B, float(tol),
+    ccols = cvals = None
+    if _row_sharded(A.data):
+        from ..parallel.halo_spgemm import halo_mesh_for, spgemm_drop_halo
+
+        mesh = halo_mesh_for(A, B)
+        if mesh is not None:
+            out = spgemm_drop_halo(A, B, float(tol), bool(relative),
+                                   bool(lump), mesh, diag_of_row)
+            if out is not None:
+                ccols, cvals = out
+    if ccols is None:
+        if (n * A.K * B.K > _SPGEMM_CHUNK_LIMIT and n > _SPGEMM_CHUNK_ROWS
+                and not _row_sharded(A.data)):
+            ccols, cvals = _spgemm_drop_chunked(A, B, float(tol),
+                                                bool(relative), bool(lump),
+                                                diag_of_row)
+        else:
+            ccols, cvals = _spgemm_drop_jit(A, B, float(tol),
                                             bool(relative), bool(lump),
                                             diag_of_row)
-    else:
-        ccols, cvals = _spgemm_drop_jit(A, B, float(tol), bool(relative),
-                                        bool(lump), diag_of_row)
     K_new = max(max_row_count(ccols), 1)
     c, v = compact(ccols, cvals, K_new)
     return DELL(v, c, B.n_cols)

@@ -121,6 +121,49 @@ def test_halo_spmv_rejects_wide_band():
         HaloSpMV(Abad, mesh)
 
 
+def test_halo_spgemm_parity_and_neighbour_only_hlo():
+    """The sharded setup product takes the NEIGHBOUR-ONLY halo path for
+    banded partitions: values match the serial fused product exactly and
+    the compiled HLO contains collective-permutes but NO all-gather /
+    all-to-all of the operator (reference: PetscSF neighbour semantics,
+    src/PMISR_Module.F90:476-643; distributed MatMatMult,
+    src/AIR_Operators_Setup.F90:993-1033)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pflare_tpu import adv_diff_2d
+    from pflare_tpu.parallel import make_mesh
+    from pflare_tpu.parallel.halo_spgemm import (_halo_spgemm_core,
+                                                 halo_mesh_for,
+                                                 spgemm_drop_halo)
+    from pflare_tpu.parallel.mesh import row_sharding
+    from pflare_tpu.sparse.dell import DELL, spgemm_drop_dell
+
+    A = adv_diff_2d(48)                       # 2304 rows; banded (5-point)
+    d = DELL.from_scipy(A, dtype=jnp.float64)
+    mesh = make_mesh(8)
+    sh = row_sharding(mesh)
+    d_sh = DELL(jax.device_put(d.data, sh), jax.device_put(d.cols, sh),
+                d.n_cols)
+    assert halo_mesh_for(d_sh, d_sh) is not None
+
+    # parity: sharded halo product == serial fused product (A @ A, drop)
+    C_ser = spgemm_drop_dell(d, d, 0.1, True, False)
+    C_sh = spgemm_drop_dell(d_sh, d_sh, 0.1, True, False)
+    assert abs(C_sh.to_scipy() - C_ser.to_scipy()).max() < 1e-13
+
+    # HLO inspection: neighbour-only collectives
+    dor = jnp.arange(d.data.shape[0], dtype=jnp.int32)
+    lowered = _halo_spgemm_core.lower(d_sh, d_sh, jax.device_put(dor, sh),
+                                      0.1, relative=True, lump=False,
+                                      mesh=mesh)
+    txt = lowered.as_text()
+    assert "collective_permute" in txt or "collective-permute" in txt, \
+        "halo product must exchange via ppermute"
+    for bad in ("all_gather", "all-gather", "all_to_all", "all-to-all"):
+        assert bad not in txt, f"halo product must not {bad}"
+
+
 def test_distributed_setup_spgemms_sharded():
     """setup(A, mesh=...) routes the per-level W/Z/AP/RAP products
     through row-SHARDED DELL products (the distributed MPI MatMatMult
