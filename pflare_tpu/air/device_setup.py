@@ -615,11 +615,9 @@ def _level_prefetch_b(A: DELL, Z: DELL, opts: AIROptions, n: int,
         (_r_compressed, (Z, _sdt((Z.n_cols,), i32), coarseS), dict(n=n)),
     ]
     if n_c * wr * K > _SPGEMM_CHUNK_LIMIT and n_c > _SPGEMM_CHUNK_ROWS:
-        CH = _SPGEMM_CHUNK_ROWS
-        nch = -(-n_c // CH)
         tasks.append((_spgemm_drop_chunked_jit,
-                      (_sdt((nch, CH, wr), fdt), _sdt((nch, CH, wr), i32),
-                       _sdt((nch, CH), i32), APS, float(opts.a_drop)),
+                      (_sdt((n_c, wr), fdt), _sdt((n_c, wr), i32),
+                       _sdt((n_c,), i32), APS, float(opts.a_drop)),
                       dict(relative=True, lump=bool(opts.a_lump))))
         tasks.append((_row_count_max,
                       (_sdt((n_c, wr * K), i32),), {}))
@@ -1351,17 +1349,22 @@ def _level_nnz(a_cols, r_cols, p_cols, inv_cols):
                       cnt(inv_cols)])
 
 
-def _dia_census(op: DELL, cap: int = 16):
-    """(blockwise offset candidates [CENSUS_ROWS, cap+1], nnz [1]) as
-    DEVICE arrays for DIA viability -- the whole census is device compute
-    (per-column scatters + one row-wise sort) so _optimize_layouts can
-    batch ONE readback for every operator of every level; the host
-    finishes with np.unique over the ~70KB block candidates."""
-    offs = distinct_offsets_device(op.cols, cap=cap)
-    nnz = jnp.sum(op.cols < PADCOL)
+@partial(jax.jit, static_argnames=("cap",))
+def _dia_census_jit(cols, cap: int):
+    offs = distinct_offsets_device(cols, cap=cap)
+    nnz = jnp.sum(cols < PADCOL)
     # f32 d2h (int transfers stall on first use on remote TPU backends);
     # offsets < 2^24 and OFFBIG = 2^29 (a power of two) are f32-exact
     return offs.astype(jnp.float32), nnz.astype(jnp.float32)[None]
+
+
+def _dia_census(op: DELL, cap: int = 16):
+    """(blockwise offset candidates [CENSUS_ROWS, cap+1], nnz [1]) as
+    DEVICE arrays for DIA viability -- the whole census is ONE device
+    program per pattern shape so _optimize_layouts can batch ONE readback
+    for every operator of every level; the host finishes with np.unique
+    over the ~70KB block candidates."""
+    return _dia_census_jit(op.cols, cap)
 
 
 @partial(jax.jit, static_argnames=("offsets",))
@@ -1418,7 +1421,7 @@ def _optimize_layouts(h: "DeviceHierarchy"):
     for _, _, op in cands:
         if op.cols.shape not in seen_shapes:
             seen_shapes.add(op.cols.shape)
-            tasks.append((distinct_offsets_device,
+            tasks.append((_dia_census_jit,
                           (_sdt(op.cols.shape, op.cols.dtype),),
                           dict(cap=16)))
     _prefetch(tasks)

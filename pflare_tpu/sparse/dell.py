@@ -83,9 +83,9 @@ class DELL:
         return self.matvec(x)
 
     def diagonal(self):
-        n = self.data.shape[0]
-        isd = self.cols == jnp.arange(n, dtype=self.cols.dtype)[:, None]
-        return jnp.sum(jnp.where(isd, self.data, 0), axis=1)
+        # one jitted program per shape; the eager form dispatched 4
+        # separate XLA programs (iota/equal/where/reduce) per call site
+        return _diag_jit(self.data, self.cols)
 
     def row_counts(self):
         return jnp.sum(self.cols < PADCOL, axis=1)
@@ -120,6 +120,13 @@ class DELL:
             shape=(n, self.n_cols))
         out.has_sorted_indices = True
         return out
+
+
+@jax.jit
+def _diag_jit(data, cols):
+    n = data.shape[0]
+    isd = cols == jnp.arange(n, dtype=cols.dtype)[:, None]
+    return jnp.sum(jnp.where(isd, data, 0), axis=1)
 
 
 # ~~~~~~~~~~~~~~~~~~ row-wise building blocks ~~~~~~~~~~~~~~~~~~
@@ -325,25 +332,26 @@ def _spgemm_drop_chunked(A: DELL, B: DELL, tol: float, relative: bool,
     """Row-chunked fused product+drop: peak memory is one chunk's expand
     ([CHUNK_ROWS, Ka*Kb]) instead of the whole matrix's."""
     n = A.data.shape[0]
-    CH = _SPGEMM_CHUNK_ROWS
-    nch = -(-n // CH)
-    padn = nch * CH - n
-    ac3 = jnp.pad(A.cols, ((0, padn), (0, 0)),
-                  constant_values=PADCOL).reshape(nch, CH, -1)
-    ad3 = jnp.pad(A.data, ((0, padn), (0, 0))).reshape(nch, CH, -1)
     if diag_of_row is None:
         diag_of_row = jnp.arange(n, dtype=A.cols.dtype)
-    rix3 = jnp.pad(diag_of_row, (0, padn),
-                   constant_values=PADCOL).reshape(nch, CH)
-    ccols, cvals = _spgemm_drop_chunked_jit(ad3, ac3, rix3, B, tol,
-                                            relative, lump)
-    return (ccols.reshape(nch * CH, -1)[:n],
-            cvals.reshape(nch * CH, -1)[:n])
+    return _spgemm_drop_chunked_jit(A.data, A.cols, diag_of_row, B, tol,
+                                    relative, lump)
 
 
 @partial(jax.jit, static_argnames=("relative", "lump"))
-def _spgemm_drop_chunked_jit(ad3, ac3, rix3, B: DELL, tol, relative: bool,
+def _spgemm_drop_chunked_jit(ad, ac, dor, B: DELL, tol, relative: bool,
                              lump: bool):
+    # padding/reshape to the chunk layout lives INSIDE the program (the
+    # eager pad/reshape/iota soup cost ~4 extra XLA programs per level)
+    n = ad.shape[0]
+    CH = _SPGEMM_CHUNK_ROWS
+    nch = -(-n // CH)
+    padn = nch * CH - n
+    ac3 = jnp.pad(ac, ((0, padn), (0, 0)),
+                  constant_values=PADCOL).reshape(nch, CH, -1)
+    ad3 = jnp.pad(ad, ((0, padn), (0, 0))).reshape(nch, CH, -1)
+    rix3 = jnp.pad(dor, (0, padn),
+                   constant_values=PADCOL).reshape(nch, CH)
     nb = B.data.shape[0]
     Kb = B.data.shape[1]
     bc1 = jnp.concatenate(
@@ -352,19 +360,21 @@ def _spgemm_drop_chunked_jit(ad3, ac3, rix3, B: DELL, tol, relative: bool,
         [B.data, jnp.zeros((1, Kb), B.data.dtype)], axis=0)
 
     def body(args):
-        ad, ac, rix = args
-        ch = ad.shape[0]
-        alive = ac < PADCOL
-        safe = jnp.where(alive, jnp.minimum(ac, nb - 1), nb)
+        a_d, a_c, rix = args
+        ch = a_d.shape[0]
+        alive = a_c < PADCOL
+        safe = jnp.where(alive, jnp.minimum(a_c, nb - 1), nb)
         ccols = bc1[safe].reshape(ch, -1)
-        cvals = (jnp.where(alive, ad, 0.0)[:, :, None]
+        cvals = (jnp.where(alive, a_d, 0.0)[:, :, None]
                  * bd1[safe]).reshape(ch, -1)
         ccols, cvals = sort_rows(ccols, cvals)
         ccols, cvals = segsum_rows(ccols, cvals)
         return drop_rows(ccols, cvals, tol, relative, lump,
                          diag_of_row=rix)
 
-    return jax.lax.map(body, (ad3, ac3, rix3))
+    ccols, cvals = jax.lax.map(body, (ad3, ac3, rix3))
+    return (ccols.reshape(nch * CH, -1)[:n],
+            cvals.reshape(nch * CH, -1)[:n])
 
 
 @partial(jax.jit, static_argnames=("n_cols_new",))

@@ -345,6 +345,26 @@ class TestDeviceHierarchy:
             Z_host.eliminate_zeros()
             assert abs(Z_dev - Z_host).max() < 1e-8, incomplete
 
+    @pytest.mark.slow
+    def test_device_setup_scaling_200(self):
+        """Scaling-study oracle for the DEVICE first setup at 200^2
+        (reference regime: tests/Makefile:1117-1140 -- <= 6 right-GMRES
+        iterations at rtol 1e-10, flat in grid size).  The host-path
+        study covers 200^2-800^2; this pins the device path beyond the
+        toy sizes."""
+        A = adv_diff_2d(200)
+        pc = PCAIR(AIROptions(a_lump=True, a_drop=1e-5,
+                              strong_threshold=0.99, max_levels=8,
+                              coarsest_inverse_type=InverseType.NEWTON,
+                              coarsest_poly_order=16,
+                              coarsest_matrix_free_polys=True))
+        pc.setup_device(A, dtype=jnp.float64)
+        assert not hasattr(pc.hierarchy.levels[0], "A")   # device-built
+        b = jnp.asarray(
+            np.random.default_rng(9).standard_normal(A.shape[0]))
+        res = pc.solve(b, rtol=1e-10, max_it=6, side="right")
+        assert res.converged, res.iterations
+
     def test_tiny_matrix_single_level(self):
         """Below coarse_eq_limit the device setup yields a 1-level
         (coarse-solve-only) preconditioner, like the host fallback
