@@ -1222,6 +1222,13 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
             if opts.z_type == ZType.PRODUCT:
                 if inv_Aff.kind == "diagonal":
                     dinv_z = inv_Aff.diag   # the diagonal never drops
+                    if (strong_r != 0.0
+                            and opts.inverse_type == InverseType.WJACOBI):
+                        # the hypre weight sees the DROPPED A_ff on the
+                        # host path (src/AIR_Operators_Setup.F90:406-475)
+                        dinv_z = _inverse_device(
+                            A_ff_drop, opts, opts.inverse_type,
+                            opts.poly_order, False, opts.seed, dtype).diag
                 elif strong_r == 0.0 and inv_Aff.kind == "assembled":
                     inv_for_z = inv_Aff.mat
                 else:
