@@ -57,7 +57,6 @@ from ..sparse.dell import (
     restricted_product,
     sort_rows,
     spgemm_drop_dell,
-    spgemm_merge_dell,
     transpose_pattern,
     union_patterns,
 )
@@ -578,7 +577,8 @@ def _level_prefetch_a(A: DELL, opts: AIROptions, n: int, n_f: int,
                       (A_ffS, None, _sdt((n_f,), fdt)),
                       dict(subspace=order + 1,
                            diag_scale=bool(opts.diag_scale_polys))))
-    if it in (InverseType.POWER, InverseType.ARNOLDI, InverseType.NEUMANN):
+    if it in (InverseType.POWER, InverseType.ARNOLDI):
+        # (NEUMANN assembles through _neumann_dell, not poly_dell)
         tasks.append((poly_dell, (A_ffS, _sdt((order + 1,), fdt)), {}))
     if (opts.z_type == ZType.PRODUCT
             and opts.strong_r_threshold == 0.0
@@ -1061,9 +1061,12 @@ def _assemble_p_ext(wcol, coarse_idx, cf, n: int):
                    .astype(jnp.int32), PADCOL)
     cols = jnp.where(is_c, jnp.arange(n, dtype=jnp.int32), gw)
     vals = jnp.where(is_c | wc_ok, 1.0, 0.0)
-    # width 8, entry in slot 0 (gather-index alignment policy)
-    cols8 = jnp.full((n, 8), PADCOL, jnp.int32).at[:, 0].set(cols)
-    vals8 = jnp.zeros((n, 8), vals.dtype).at[:, 0].set(vals)
+    # width ceil8(1)=16, entry in slot 0 (the width policy: minor dim
+    # exactly 8 is itself a pathological TPU compile shape, see
+    # sparse/dell.py::ceil8)
+    w8 = ceil8(1)
+    cols8 = jnp.full((n, w8), PADCOL, jnp.int32).at[:, 0].set(cols)
+    vals8 = jnp.zeros((n, w8), vals.dtype).at[:, 0].set(vals)
     return cols8, vals8, cols, vals
 
 

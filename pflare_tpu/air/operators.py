@@ -38,6 +38,8 @@ def _matmat(A, B) -> sp.csr_matrix:
 # distributed setup never multiplies unsharded operators
 MESH_PRODUCT_LOG: list | None = None
 
+_WARNED_F32 = False
+
 
 def mesh_matmat_drop(Amat, Bmat, tol: float, lump: bool, mesh,
                      name: str = "") -> sp.csr_matrix:
@@ -50,9 +52,15 @@ def mesh_matmat_drop(Amat, Bmat, tol: float, lump: bool, mesh,
     expand -> sort -> segsum -> fused-drop pipeline compiles SPMD under
     GSPMD -- the B-row gather at A's columns becomes the neighbour
     halo exchange -- and only the compacted result returns to the host.
-    Numerically identical to the host product + relative drop (tol 0
-    still drops explicit zeros, the diagonal never drops); f64 when
-    jax x64 is enabled."""
+    Numerically identical to the host product + relative drop up to two
+    caveats: (a) tol 0 drops EXACT-cancellation zeros that scipy's
+    product keeps in the pattern (visible only through stored reuse-plan
+    patterns); (b) without jax x64 the product values round through
+    f32 -- a one-line notice is printed, since the serial host setup is
+    f64 (on real multi-chip TPU deployments f64 is unavailable anyway;
+    enable x64 for bitwise-f64 distributed setup on CPU meshes)."""
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +69,16 @@ def mesh_matmat_drop(Amat, Bmat, tol: float, lump: bool, mesh,
 
     n_dev = mesh.devices.size
     sh = row_sharding(mesh)
-    dtype = (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    if jax.config.jax_enable_x64:
+        dtype = jnp.float64
+    else:
+        dtype = jnp.float32
+        global _WARNED_F32
+        if not _WARNED_F32:
+            _WARNED_F32 = True
+            print("# pflare_tpu: distributed setup products run in f32 "
+                  "(jax x64 disabled); drop decisions are f32-rounded",
+                  file=sys.stderr)
 
     def _up(M):
         d = DELL.from_scipy(M, dtype=dtype)

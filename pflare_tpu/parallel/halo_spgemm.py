@@ -76,7 +76,6 @@ def _halo_spgemm_core(A: DELL, B: DELL, dor, tol, relative: bool,
     w_b = B.data.shape[0] // S
     fwd = [(i, (i + 1) % S) for i in range(S)]
     bwd = [(i, (i - 1) % S) for i in range(S)]
-    n_cols = B.n_cols
 
     def body(ad, ac, bd, bc, dor_s):
         s = jax.lax.axis_index(axis)
