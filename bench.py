@@ -234,6 +234,42 @@ def main():
         coarsest_matrix_free_polys=True,
     )
 
+    # the flagship reuse subsystem (reference: docs/reuse.md:11 --
+    # "10-20x faster re-setup"): same-pattern numeric re-setup speedup,
+    # reported as its own JSON line
+    if not X64 and os.environ.get("PFLARE_BENCH_REUSE", "1") == "1":
+        try:
+            import dataclasses
+
+            # amount 2 = host reuse (stored CF splitting + patterns +
+            # coefficients); amount 3 additionally builds the triple
+            # plans that feed the ~5 ms DEVICE re-setup
+            # (air/device_resetup.py) and is not timed here
+            ropts = dataclasses.replace(opts, reuse_sparsity=True,
+                                        reuse_amount=2,
+                                        reuse_poly_coeffs=True)
+            pcr = PCAIR(ropts, dtype=dtype)
+            t0 = time.perf_counter()
+            pcr.setup(A)
+            t_first = time.perf_counter() - t0
+            A2 = A.copy()
+            A2.data = A2.data * (1.0 + 1e-4)   # same pattern, new values
+            t0 = time.perf_counter()
+            pcr.setup(A2, structure="same")
+            t_re = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": f"airg_adv_diff_fd_{N_GRID}x{N_GRID}"
+                          "_resetup_speedup",
+                "value": round(t_first / max(t_re, 1e-9), 1),
+                "unit": "x (same-pattern re-setup vs first setup)",
+                "vs_baseline": round((t_first / max(t_re, 1e-9)) / 15.0, 3),
+                "detail": {"first_setup_s": round(t_first, 3),
+                           "resetup_s": round(t_re, 4),
+                           "reference_claim": "10-20x (docs/reuse.md)"},
+            }), flush=True)
+        except Exception as e:
+            print(f"# reuse line failed: {e!r}", file=sys.stderr)
+
     runs = []
     if MODE in ("host", "auto"):
         runs.append(("host",) + _time_setup(opts, A, dtype, False))

@@ -476,9 +476,10 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                                          opts.improve_w_its, is_z=False)
                 # (improve keeps W's pattern fixed, so the plan stays
                 # valid with improve_w_its > 0)
-                if (opts.reuse_sparsity and opts.reuse_amount >= 2
+                if (opts.reuse_sparsity and opts.reuse_amount >= 3
                         and inv_Aff_host is not None
                         and "W_numeric_plan" not in patterns):
+                    # plans feed the DEVICE re-setup only (amount >= 3)
                     patterns["W_numeric_plan"] = _make_product_plan(
                         inv_Aff_host, A_fc_drop, W)
                 if prev is not None and "W_drop" in patterns:
@@ -499,8 +500,10 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
         if opts.z_type == ZType.PRODUCT:
             if (prev is None and opts.improve_z_its == 0
                     and not (opts.reuse_sparsity
-                             and opts.reuse_amount >= 2)):
-                # nothing downstream needs the un-dropped Z: fuse the
+                             and opts.reuse_amount >= 3)):
+                # nothing downstream needs the un-dropped Z (amount 2
+                # stores only the DROPPED pattern; the triple plans of
+                # amount >= 3 are what need the full product): fuse the
                 # -A_cf@inv product with the r_drop into one sweep --
                 # row-sharded over the mesh when one is given, else the
                 # native host kernel
@@ -519,15 +522,44 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                 if zd is not None:
                     zd.data *= -1.0
                     z_pre_dropped = zd
+            elif (prev is not None
+                    and patterns.get("Z_numeric_plan") is None
+                    and opts.improve_z_its == 0
+                    and not (opts.constrain_z and left_nulls is not None)
+                    and "Z_drop" in patterns
+                    and sp.issparse(patterns["Z_drop"])):
+                # numeric-only re-product straight onto the stored Z_drop
+                # pattern (MAT_REUSE_MATRIX semantics) -- never
+                # materialises the undropped Z, whose allocation
+                # dominated re-setup wall time
+                from ..native import spgemm_onto_pattern_native
+
+                zd = spgemm_onto_pattern_native(
+                    A_cf_drop, inv_Aff_host, patterns["Z_drop"],
+                    lump=False)
+                if zd is not None:
+                    zd.data *= -1.0
+                    z_pre_dropped = zd
             zplan = patterns.get("Z_numeric_plan")
             if z_pre_dropped is not None:
                 Z = None
-            elif prev is not None and zplan is not None and                     zplan.pat_A.nnz == A_cf_drop.nnz and                     zplan.pat_B.nnz == inv_Aff_host.nnz:
-                # numeric-only product against the stored pattern (the
-                # reference's MAT_REUSE_MATRIX path)
+            elif (prev is not None and zplan is not None
+                    and zplan.pat_A.nnz == A_cf_drop.nnz
+                    and zplan.pat_B.nnz == inv_Aff_host.nnz):
+                # amount>=3: execute the stored plan so the host re-setup
+                # stays bitwise-paired with the device re-setup (both
+                # reproduce the plan's value-pruned product pattern)
                 Z = _plan_product_host(zplan, A_cf_drop, inv_Aff_host)
                 Z.data *= -1.0
             else:
+                # fresh fused product on re-setup as well: the inputs'
+                # patterns are unchanged (structure='same'), so the
+                # product pattern is reproduced exactly and the stored
+                # Z_drop match below gives the reference's
+                # MAT_REUSE_MATRIX result.  (The triple-plan bincount
+                # re-product measured SLOWER than Gustavson at 512^2 --
+                # plans are built only for the DEVICE re-setup, gated
+                # at reuse_amount >= 3.)
                 if mesh is not None:
                     from .operators import mesh_matmat_drop
 
@@ -536,7 +568,8 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                     Z.data *= -1.0
                 else:
                     Z = compute_z_airg(A_cf_drop, inv_Aff_host)
-                if opts.reuse_sparsity and opts.reuse_amount >= 2:
+                if (opts.reuse_sparsity and opts.reuse_amount >= 3
+                        and "Z_numeric_plan" not in patterns):
                     patterns["Z_numeric_plan"] = _make_product_plan(
                         A_cf_drop, inv_Aff_host, Z)
         else:
@@ -586,21 +619,33 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                 and ap_plan is not None
                 and ap_plan.pat_A.nnz == A.nnz
                 and ap_plan.pat_B.nnz == P.nnz):
+            # amount>=3: execute the stored plans -- bitwise-paired with
+            # the device re-setup (same value-pruned product patterns)
             AP = _plan_product_host(ap_plan, A, P)
             RAP = _plan_product_host(rap_plan, R, AP)
             coarse_A = remove_from_sparse_match(RAP, patterns["RAP_drop"],
                                                 lump=opts.a_lump)
         elif prev is not None and "RAP_drop" in patterns:
-            if opts.symmetric:
-                RAP = sp.csr_matrix(P.T @ (A @ P))
-            else:
-                RAP = sp.csr_matrix(R @ (A @ P))
-            coarse_A = remove_from_sparse_match(RAP, patterns["RAP_drop"],
-                                                lump=opts.a_lump)
+            # amount 2: numeric-only re-product straight onto the stored
+            # dropped pattern with fused lumping (MAT_REUSE_MATRIX
+            # semantics; the undropped RAP is never materialised -- its
+            # allocation dominated re-setup wall time)
+            from ..native import spgemm_onto_pattern_native
+
+            Rm = sp.csr_matrix(P.T).tocsr() if opts.symmetric else R
+            AP = sp.csr_matrix(A @ P)
+            AP.sort_indices()
+            coarse_A = (spgemm_onto_pattern_native(
+                Rm, AP, patterns["RAP_drop"], lump=opts.a_lump)
+                if sp.issparse(patterns["RAP_drop"]) else None)
+            if coarse_A is None:      # numpy fallback (PFLARE_NO_NATIVE)
+                RAP = sp.csr_matrix(Rm @ AP)
+                coarse_A = remove_from_sparse_match(
+                    RAP, patterns["RAP_drop"], lump=opts.a_lump)
         else:
             # symmetric PtAP shares the plan structure: P = R^T exactly,
             # so RAP = P^T (A P) = R (A P) -- same two products
-            want_plans = (opts.reuse_sparsity and opts.reuse_amount >= 2)
+            want_plans = (opts.reuse_sparsity and opts.reuse_amount >= 3)
             if mesh is not None and not opts.symmetric:
                 from .operators import mesh_matmat_drop
 
@@ -633,7 +678,14 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
 def _make_product_plan(A: sp.csr_matrix, B: sp.csr_matrix,
                        C: sp.csr_matrix):
     """Numeric SpGEMM plan C = A@B against C's fixed pattern (built once on
-    the first reuse-enabled setup; numeric re-execution is a segment sum)."""
+    the first reuse-enabled setup; numeric re-execution is a segment sum).
+
+    NOTE: the plan pattern deliberately keys on the FIRST setup's C --
+    scipy's matmul prunes value-dependent zeros, so C can be a subset of
+    the structural product; the device re-setup reproduces exactly this
+    pruned pattern, and the amount>=3 HOST re-setup executes the same
+    plan so both sides stay bitwise-paired (the reference pins the
+    MAT_REUSE pattern the same way)."""
     from ..sparse.pattern import SparsityPattern
     from ..sparse.spgemm import build_spgemm_plan
 
@@ -645,7 +697,8 @@ def _make_product_plan(A: sp.csr_matrix, B: sp.csr_matrix,
 
 def _plan_product_host(plan, A: sp.csr_matrix, B: sp.csr_matrix
                        ) -> sp.csr_matrix:
-    """Execute a stored numeric plan on host csr values."""
+    """Execute a stored numeric plan on host csr values (the amount>=3
+    re-setup product, bitwise-paired with the device re-setup)."""
     a_flat = np.zeros(plan.pat_A.shape[0] * plan.pat_A.K)
     a_flat[plan.pat_A.slot_of_pos] = A.data
     b_flat = np.zeros(plan.pat_B.shape[0] * plan.pat_B.K)

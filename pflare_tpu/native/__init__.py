@@ -97,6 +97,14 @@ def get_lib():
                                         ctypes.c_int64, ctypes.c_int64,
                                         ctypes.c_double, ctypes.c_int,
                                         ctypes.c_int, i32p, i32p, f64p]
+        lib.spgemm_onto_pattern.restype = None
+        lib.spgemm_onto_pattern.argtypes = [
+            i64p, i64p, f64p, i64p, i64p, f64p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, f64p]
+        lib.spgemm_onto_pattern_i32.restype = None
+        lib.spgemm_onto_pattern_i32.argtypes = [
+            i32p, i32p, f64p, i32p, i32p, f64p, i32p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, f64p]
         lib.dd_ratio.restype = None
         lib.dd_ratio.argtypes = [i64p, i64p, f64p, u8p, ctypes.c_int64, f64p]
         lib.dd_ratio_i32.restype = None
@@ -299,6 +307,39 @@ def spgemm_drop_native(R, B, tol, relative, lump):
                          out_indptr), shape=(n_rows, n_cols))
     out.has_sorted_indices = True
     return out
+
+
+def spgemm_onto_pattern_native(A, B, P, lump: bool):
+    """C|_P = (A @ B) restricted onto P's pattern, with the outside mass
+    optionally lumped onto P's diagonal -- the fused numeric-only
+    re-setup product (never materialises the undropped product).
+    Returns a csr with P's pattern, or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    f64p = ctypes.POINTER(ctypes.c_double)
+    if all(M.indices.dtype == np.int32 and M.indptr.dtype == np.int32
+           for M in (A, B, P)):
+        ip, fn = ctypes.POINTER(ctypes.c_int32), lib.spgemm_onto_pattern_i32
+        cvt = lambda a: np.ascontiguousarray(a)
+    else:
+        ip, fn = ctypes.POINTER(ctypes.c_int64), lib.spgemm_onto_pattern
+        cvt = _i64
+    # bind conversions to locals so the buffers outlive the C call
+    aip, aix, ad = cvt(A.indptr), cvt(A.indices), _f64(A.data)
+    bip, bix, bd = cvt(B.indptr), cvt(B.indices), _f64(B.data)
+    pip_, pix = cvt(P.indptr), cvt(P.indices)
+    out = np.empty(P.nnz, dtype=np.float64)
+    fn(_p(aip, ip), _p(aix, ip), _p(ad, f64p),
+       _p(bip, ip), _p(bix, ip), _p(bd, f64p),
+       _p(pip_, ip), _p(pix, ip),
+       A.shape[0], B.shape[1], int(lump), _p(out, f64p))
+    res = sp.csr_matrix((out, P.indices.copy(), P.indptr.copy()),
+                        shape=(A.shape[0], B.shape[1]))
+    res.has_sorted_indices = True
+    return res
 
 
 def dd_ratio_native(indptr, indices, data, f_mask):

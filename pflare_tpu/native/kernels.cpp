@@ -268,6 +268,76 @@ void spgemm_fill(const int64_t* a_indptr, const int64_t* a_indices,
 
 }  // extern "C"
 
+// ~~~~~~~~~~~~~~~~ SpGEMM restricted onto a stored pattern ~~~~~~~~~~~~~~
+// C|_P = (A @ B) restricted onto pattern P, optionally lumping the
+// product mass OUTSIDE the pattern onto P's diagonal -- the numeric-only
+// re-setup product (the reference's MAT_REUSE_MATRIX MatMatMult +
+// remove_small lump, src/AIR_Operators_Setup.F90:1038-1082) WITHOUT
+// materialising the undropped product (whose allocation dominated
+// re-setup wall time).  Gustavson accumulator; out_data written in P's
+// CSR entry order.  Templated on the index type (scipy int32 default).
+template <typename I>
+static void spgemm_onto_pattern_t(
+    const I* a_indptr, const I* a_indices, const double* a_data,
+    const I* b_indptr, const I* b_indices, const double* b_data,
+    const I* p_indptr, const I* p_indices,
+    int64_t n_rows, int64_t n_cols, int lump, double* out_data) {
+    std::vector<int64_t> marker(n_cols, -1);
+    std::vector<double> acc(n_cols, 0.0);
+    for (int64_t i = 0; i < n_rows; ++i) {
+        double total = 0.0;
+        for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+            const int64_t k = (int64_t)a_indices[p];
+            const double av = a_data[p];
+            for (int64_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+                const int64_t j = (int64_t)b_indices[q];
+                const double v = av * b_data[q];
+                if (marker[j] != i) {
+                    marker[j] = i;
+                    acc[j] = v;
+                } else {
+                    acc[j] += v;
+                }
+                total += v;
+            }
+        }
+        double kept = 0.0;
+        int64_t diag_pos = -1;
+        for (int64_t t = p_indptr[i]; t < p_indptr[i + 1]; ++t) {
+            const int64_t j = (int64_t)p_indices[t];
+            const double v = (marker[j] == i) ? acc[j] : 0.0;
+            out_data[t] = v;
+            kept += v;
+            if (j == i) diag_pos = t;
+        }
+        if (lump && diag_pos >= 0) out_data[diag_pos] += total - kept;
+    }
+}
+
+extern "C" {
+
+void spgemm_onto_pattern(
+    const int64_t* a_indptr, const int64_t* a_indices, const double* a_data,
+    const int64_t* b_indptr, const int64_t* b_indices, const double* b_data,
+    const int64_t* p_indptr, const int64_t* p_indices,
+    int64_t n_rows, int64_t n_cols, int lump, double* out_data) {
+    spgemm_onto_pattern_t<int64_t>(a_indptr, a_indices, a_data, b_indptr,
+                                   b_indices, b_data, p_indptr, p_indices,
+                                   n_rows, n_cols, lump, out_data);
+}
+
+void spgemm_onto_pattern_i32(
+    const int32_t* a_indptr, const int32_t* a_indices, const double* a_data,
+    const int32_t* b_indptr, const int32_t* b_indices, const double* b_data,
+    const int32_t* p_indptr, const int32_t* p_indices,
+    int64_t n_rows, int64_t n_cols, int lump, double* out_data) {
+    spgemm_onto_pattern_t<int32_t>(a_indptr, a_indices, a_data, b_indptr,
+                                   b_indices, b_data, p_indptr, p_indices,
+                                   n_rows, n_cols, lump, out_data);
+}
+
+}  // extern "C"
+
 // ~~~~~~~~~~~~~~~~ one-pass drop + compact + lump ~~~~~~~~~~~~~~~~
 // Threshold-and-compact in CSR order (reference: src/PETSc_Helper.F90:
 // 207-412) without materialising any nnz-sized temporaries on the Python

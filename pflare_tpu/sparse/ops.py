@@ -143,7 +143,9 @@ def remove_from_sparse_match(
     inside = (len(keysP) > 0) & (keysP[pos_c] == keysA)
 
     new_data = np.zeros(P.nnz, dtype=np.float64)
-    np.add.at(new_data, pos_c[inside], A.data[inside])
+    # canonical CSR keys are unique, so plain fancy assignment is exact
+    # (np.add.at is unbuffered and measured ~20x slower at 512^2 RAP nnz)
+    new_data[pos_c[inside]] = A.data[inside]
     if alpha is not None:
         new_data = P.data + alpha * new_data
 
@@ -152,8 +154,9 @@ def remove_from_sparse_match(
     if lump:
         outside = ~inside
         if np.any(outside):
-            lump_vec = np.zeros(n_rows)
-            np.add.at(lump_vec, a_rows[outside], A.data[outside])
+            lump_vec = np.bincount(a_rows[outside],
+                                   weights=A.data[outside],
+                                   minlength=n_rows)
             dpos = _diag_positions(P)
             has_diag = dpos >= 0
             out.data[dpos[has_diag]] += lump_vec[has_diag]

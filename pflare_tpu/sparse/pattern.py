@@ -34,8 +34,8 @@ class SparsityPattern:
         "K",
         "indptr",
         "indices",
-        "ell_cols",
-        "slot_of_pos",
+        "_ell_cols",
+        "_slot_of_pos",
         "_csr_bool",
         "_keys",
     )
@@ -46,22 +46,43 @@ class SparsityPattern:
         self.shape = (int(shape[0]), int(shape[1]))
         self.nnz = int(self.indices.shape[0])
         n_rows = self.shape[0]
-        row_len = np.diff(self.indptr)
+        row_len = np.diff(self.indptr) if n_rows > 0 else np.zeros(0)
         self.K = int(row_len.max()) if n_rows > 0 and self.nnz > 0 else 1
         if self.K == 0:
             self.K = 1
-        # Build the ELL layout
+        # The ELL layout (ell_cols / slot_of_pos) is built LAZILY: many
+        # patterns exist only as plan descriptors and never touch it, and
+        # the repeat/arange sweeps were ~20% of a reuse-enabled 512^2
+        # setup when built eagerly.
+        self._ell_cols = None
+        self._slot_of_pos = None
+        self._csr_bool = None
+        self._keys = None
+
+    def _build_ell(self):
+        n_rows = self.shape[0]
         ell_cols = np.zeros((n_rows, self.K), dtype=np.int32)
         slot_of_pos = np.zeros(self.nnz, dtype=np.int64)
         if self.nnz:
+            row_len = np.diff(self.indptr)
             rows = np.repeat(np.arange(n_rows), row_len)
             offs = np.arange(self.nnz) - np.repeat(self.indptr[:-1], row_len)
             ell_cols[rows, offs] = self.indices.astype(np.int32)
             slot_of_pos = rows * self.K + offs
-        self.ell_cols = ell_cols
-        self.slot_of_pos = slot_of_pos
-        self._csr_bool = None
-        self._keys = None
+        self._ell_cols = ell_cols
+        self._slot_of_pos = slot_of_pos
+
+    @property
+    def ell_cols(self):
+        if self._ell_cols is None:
+            self._build_ell()
+        return self._ell_cols
+
+    @property
+    def slot_of_pos(self):
+        if self._slot_of_pos is None:
+            self._build_ell()
+        return self._slot_of_pos
 
     # Hash by identity: two identical patterns built separately will retrace,
     # which is correct (just mildly wasteful) under jit.

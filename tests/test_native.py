@@ -71,3 +71,31 @@ def test_plan_triples_native_matches_numpy():
     C1 = plan_nat.execute(EA, EA).to_scipy()
     C2 = plan_np.execute(EA, EA).to_scipy()
     assert np.allclose(C1.toarray(), C2.toarray(), atol=1e-13)
+
+
+def test_spgemm_onto_pattern_matches_match():
+    """Fused C|_P = (A@B)|_P with lump == full product + match (the
+    numeric-only MAT_REUSE_MATRIX re-product, reference:
+    src/AIR_Operators_Setup.F90:1038-1082)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from pflare_tpu.native import spgemm_onto_pattern_native
+    from pflare_tpu.sparse.ops import (remove_from_sparse_match,
+                                       remove_small_from_sparse)
+
+    rng = np.random.RandomState(7)
+    A = sp.random(150, 140, density=0.05, random_state=rng, format="csr")
+    A = sp.csr_matrix(A + sp.diags(np.full(140, 2.0), shape=(150, 140)))
+    B = sp.random(140, 150, density=0.06, random_state=rng, format="csr")
+    B = sp.csr_matrix(B + sp.diags(np.full(140, 1.5), shape=(140, 150)))
+    A.sort_indices(); B.sort_indices()
+    full = sp.csr_matrix(A @ B)
+    P = remove_small_from_sparse(full, 0.2, relative_max_row_tol=1)
+    for lump in (False, True):
+        ref = remove_from_sparse_match(full, P, lump=lump)
+        got = spgemm_onto_pattern_native(A, B, P, lump=lump)
+        if got is None:
+            import pytest
+            pytest.skip("native unavailable")
+        assert got.nnz == ref.nnz
+        assert abs(got - ref).max() < 1e-12, lump
