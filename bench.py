@@ -172,6 +172,7 @@ def _x64_parity() -> dict | None:
             "true_rel_residual": d["true_rel_residual"],
             "rtol": d["rtol"],
             "dtype": d["dtype"],
+            "resetup": d.get("resetup"),
         }
     except Exception as e:
         print(f"# x64 parity subprocess failed: {e!r}", file=sys.stderr)
@@ -191,7 +192,9 @@ def _time_setup(opts, A, dtype, device: bool):
         A_in = _DELL.from_scipy(A, dtype=dtype)
         A_in.data.block_until_ready()
     best, pc = float("inf"), None
-    for _ in range(2):
+    # best-of-3: this VM's first-touch page-fault penalty can add multiple
+    # seconds to early runs (fresh heap pages fault in at MB/s rates)
+    for _ in range(3 if not device else 2):
         p = PCAIR(opts, dtype=dtype)
         t0 = time.perf_counter()
         if device:
@@ -225,6 +228,18 @@ def main():
             "vs_baseline": round(6.0 / max(parity["iterations"], 1), 3),
             "detail": parity,
         }), flush=True)
+        reuse = parity.get("resetup")
+        if reuse:
+            print(json.dumps({
+                "metric": f"airg_adv_diff_fd_{N_GRID}x{N_GRID}"
+                          "_resetup_speedup",
+                "value": reuse["speedup"],
+                "unit": "x (amount-2 same-pattern re-setup vs first "
+                        "setup, 1-core CPU; the amount-3 DEVICE re-setup "
+                        "is ~5 ms warm)",
+                "vs_baseline": round(reuse["speedup"] / 15.0, 3),
+                "detail": reuse,
+            }), flush=True)
 
     opts = AIROptions(
         a_lump=True, a_drop=1e-5, strong_threshold=0.99,
@@ -233,42 +248,6 @@ def main():
         coarsest_poly_order=16,
         coarsest_matrix_free_polys=True,
     )
-
-    # the flagship reuse subsystem (reference: docs/reuse.md:11 --
-    # "10-20x faster re-setup"): same-pattern numeric re-setup speedup,
-    # reported as its own JSON line
-    if not X64 and os.environ.get("PFLARE_BENCH_REUSE", "1") == "1":
-        try:
-            import dataclasses
-
-            # amount 2 = host reuse (stored CF splitting + patterns +
-            # coefficients); amount 3 additionally builds the triple
-            # plans that feed the ~5 ms DEVICE re-setup
-            # (air/device_resetup.py) and is not timed here
-            ropts = dataclasses.replace(opts, reuse_sparsity=True,
-                                        reuse_amount=2,
-                                        reuse_poly_coeffs=True)
-            pcr = PCAIR(ropts, dtype=dtype)
-            t0 = time.perf_counter()
-            pcr.setup(A)
-            t_first = time.perf_counter() - t0
-            A2 = A.copy()
-            A2.data = A2.data * (1.0 + 1e-4)   # same pattern, new values
-            t0 = time.perf_counter()
-            pcr.setup(A2, structure="same")
-            t_re = time.perf_counter() - t0
-            print(json.dumps({
-                "metric": f"airg_adv_diff_fd_{N_GRID}x{N_GRID}"
-                          "_resetup_speedup",
-                "value": round(t_first / max(t_re, 1e-9), 1),
-                "unit": "x (same-pattern re-setup vs first setup)",
-                "vs_baseline": round((t_first / max(t_re, 1e-9)) / 15.0, 3),
-                "detail": {"first_setup_s": round(t_first, 3),
-                           "resetup_s": round(t_re, 4),
-                           "reference_claim": "10-20x (docs/reuse.md)"},
-            }), flush=True)
-        except Exception as e:
-            print(f"# reuse line failed: {e!r}", file=sys.stderr)
 
     runs = []
     if MODE in ("host", "auto"):
@@ -287,19 +266,65 @@ def main():
     b = jnp.asarray(rng.standard_normal(n), dtype=dtype)
 
     if X64:
-        # the parity regime IS the reference's: right-preconditioned
-        # GMRES, rtol 1e-10, iteration cap 6 (reference:
+        # the parity regime IS the reference's medium study, exactly:
+        # full-depth hierarchy (no TPU truncation), right-preconditioned
+        # GMRES rtol 1e-10, ZERO RHS from x0 = 1 (the reference driver's
+        # convention, reference: tests/adv_diff_fd.c:178,325 +
         # tests/Makefile:1117-1140) -- not the norm-free Richardson
         # production solve timed below for f32 throughput
+        opts_ref = AIROptions(a_lump=True, a_drop=1e-5,
+                              strong_threshold=0.99)
+        pc = PCAIR(opts_ref, dtype=dtype)
+        t0 = time.perf_counter()
+        pc.setup(A)
+        t_setup = time.perf_counter() - t0
+        setup_mode = "host"
+        b0 = jnp.zeros(n, dtype=dtype)
+        x0 = jnp.ones(n, dtype=dtype)
         t1 = time.perf_counter()
-        res = pc.solve(b, rtol=RTOL, max_it=MAX_IT, side="right")
+        res = pc.solve(b0, x0=x0, rtol=RTOL, atol=1e-50, max_it=MAX_IT,
+                       side="right")
         t_solve = time.perf_counter() - t1
         it_conv = int(res.iterations)
         x = np.asarray(res.x, dtype=np.float64)
-        true_res = float(
-            np.linalg.norm(A @ x - np.asarray(b, dtype=np.float64))
-            / np.linalg.norm(np.asarray(b)))
+        # zero-RHS convention: the true residual is ||A x|| / ||A x0||
+        true_res = float(np.linalg.norm(A @ x)
+                         / np.linalg.norm(A @ np.ones(n)))
         converged = bool(res.converged and true_res <= 100 * RTOL)
+
+        # the flagship reuse subsystem (reference: docs/reuse.md:11 --
+        # "10-20x faster re-setup"): same-pattern re-setup, measured HERE
+        # on the CPU backend (the host-setup path is CPU work; timing it
+        # in the tunnel-attached parent mixes in h2d transfers).  amount 2
+        # = fused onto-pattern re-products; amount 3's triple plans feed
+        # the ~5 ms DEVICE re-setup and are not timed here.
+        reuse = None
+        if os.environ.get("PFLARE_BENCH_REUSE", "1") == "1":
+            try:
+                import dataclasses
+
+                ropts = dataclasses.replace(opts, reuse_sparsity=True,
+                                            reuse_amount=2,
+                                            reuse_poly_coeffs=True)
+                A2 = A.copy()
+                A2.data = A2.data * (1.0 + 1e-4)
+                t_first = t_re = float("inf")
+                # best-of-2: first-touch page faults on this VM add
+                # seconds to whichever phase allocates fresh memory first
+                for _ in range(2):
+                    pcr = PCAIR(ropts, dtype=dtype)
+                    t0 = time.perf_counter()
+                    pcr.setup(A)
+                    t_first = min(t_first, time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    pcr.setup(A2, structure="same")
+                    t_re = min(t_re, time.perf_counter() - t0)
+                reuse = {"first_setup_s": round(t_first, 3),
+                         "resetup_s": round(t_re, 4),
+                         "speedup": round(t_first / max(t_re, 1e-9), 2)}
+            except Exception as e:
+                print(f"# reuse measurement failed: {e!r}",
+                      file=sys.stderr)
         total = t_setup + t_solve
         dof_per_s = n / total
         print(json.dumps({
@@ -315,6 +340,7 @@ def main():
                 "levels": pc.n_levels,
                 "dtype": str(np.dtype(dtype).name),
                 "backend": jax.devices()[0].platform,
+                "resetup": reuse,
             },
         }))
         return 0 if converged else 1
