@@ -104,7 +104,13 @@ def mesh_matmat_drop(Amat, Bmat, tol: float, lump: bool, mesh,
 
 def extract_submatrices(A: sp.csr_matrix, fine, coarse, need_acc=False):
     """A_ff, A_fc, A_cf (and A_cc) by CF masks (reference:
-    src/AIR_Operators_Setup.F90:196-227)."""
+    src/AIR_Operators_Setup.F90:196-227).  One streaming native pass
+    (native split_cf) when available; scipy double-slicing otherwise."""
+    from ..native import split_cf_native
+
+    out = split_cf_native(A, fine, coarse, need_acc)
+    if out is not None:
+        return out
     Af = A[fine]
     Ac = A[coarse]
     A_ff = sp.csr_matrix(Af[:, fine])
@@ -126,6 +132,12 @@ def strong_r_drop(A: sp.csr_matrix, fine, coarse, strong_r_threshold: float,
     A_drop = remove_small_from_sparse(A, strong_r_threshold,
                                       relative_max_row_tol=1,
                                       drop_diagonal=0)
+    from ..native import split_cf_native
+
+    out = split_cf_native(A_drop, fine, coarse, False)
+    if out is not None:
+        A_ff_drop, A_fc_drop, A_cf_drop, _ = out
+        return A_ff_drop, A_cf_drop, (A_fc_drop if need_afc else None)
     Ad_f = A_drop[fine]
     Ad_c = A_drop[coarse]
     A_ff_drop = sp.csr_matrix(Ad_f[:, fine])

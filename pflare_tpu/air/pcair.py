@@ -91,6 +91,19 @@ class PCAIR:
             return self
         A = sp.csr_matrix(A)
         A = self._apply_reorder(A)
+        # Single-precision host setup (the reference's single build,
+        # reference: tests/Makefile:34-48): opt-in via
+        # PFLARE_HOST_SETUP_F32=1.  Measured on the 512^2 bench config:
+        # no wall-clock win (the native setup kernels are index/branch
+        # bound, not value-bandwidth bound) and the single-precision drop
+        # tolerance set weakens the hierarchy (4 -> 8 iterations), so f64
+        # setup + f32 solve stays the default.
+        import os as _os
+
+        if (self.dtype is not None and np.dtype(self.dtype) == np.float32
+                and A.dtype == np.float64
+                and _os.environ.get("PFLARE_HOST_SETUP_F32") == "1"):
+            A = A.astype(np.float32)
         with timer("air_setup"):
             previous = None
             if (structure == "same" and self.hierarchy is not None

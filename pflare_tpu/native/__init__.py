@@ -141,6 +141,52 @@ def get_lib():
         lib.spgemm_fill.argtypes = [i64p, i64p, f64p, i64p, i64p, f64p,
                                     ctypes.c_int64, ctypes.c_int64,
                                     i64p, i64p, f64p]
+        # split_cf: 4 ctypes signatures (index dtype x value dtype)
+        for ip_, vp_, nm in ((i64p, f64p, "split_cf"),
+                             (i32p, f64p, "split_cf_i32")):
+            fn = getattr(lib, nm)
+            fn.restype = None
+            fn.argtypes = ([ip_, ip_, vp_, ctypes.c_int64, u8p, ip_]
+                           + [ip_, ip_, vp_] * 4 + [ctypes.c_int])
+        # float32-valued variants (single-precision host setup streams
+        # half the bytes through these memory-bound kernels); index and
+        # value dtypes are orthogonal: "_f32" = i64 idx + f32 values,
+        # "_i32f32" = i32 idx + f32 values
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64_, f64_, int_, dbl = ctypes.c_int64, f64p, ctypes.c_int, \
+            ctypes.c_double
+        for ip_, isuf in ((i64p, "_f32"), (i32p, "_i32f32")):
+            fn = getattr(lib, "drop_small_count" + isuf)
+            fn.restype = i64_
+            fn.argtypes = [ip_, ip_, f32p, i64_, dbl, int_, int_, int_,
+                           int_, ip_]
+            fn = getattr(lib, "drop_small_fill" + isuf)
+            fn.restype = None
+            fn.argtypes = [ip_, ip_, f32p, i64_, dbl, int_, int_, int_,
+                           int_, ip_, f32p]
+            fn = getattr(lib, "spgemm_drop" + isuf)
+            fn.restype = i64_
+            fn.argtypes = [ip_, ip_, f32p, ip_, ip_, f32p, i64_, i64_,
+                           dbl, int_, int_, ip_, ip_, f32p]
+            fn = getattr(lib, "spgemm_onto_pattern" + isuf)
+            fn.restype = None
+            fn.argtypes = [ip_, ip_, f32p, ip_, ip_, f32p, ip_, ip_,
+                           i64_, i64_, int_, f32p]
+            fn = getattr(lib, "poly_on_sparsity" + isuf)
+            fn.restype = None
+            fn.argtypes = [ip_, ip_, f32p, ip_, ip_, i64_, i64_, f64_,
+                           i64_, f32p]
+            fn = getattr(lib, "newton_on_sparsity" + isuf)
+            fn.restype = None
+            fn.argtypes = [ip_, ip_, f32p, ip_, ip_, i64_, i64_, f64_,
+                           f64_, i64_, dbl, f32p]
+            fn = getattr(lib, "dd_ratio" + isuf)
+            fn.restype = None
+            fn.argtypes = [ip_, ip_, f32p, u8p, i64_, f64_]
+            fn = getattr(lib, "split_cf" + isuf)
+            fn.restype = None
+            fn.argtypes = ([ip_, ip_, f32p, i64_, u8p, ip_]
+                           + [ip_, ip_, f32p] * 4 + [int_])
         _LIB = lib
     except Exception:
         _LIB = None
@@ -157,6 +203,22 @@ def _i64(a):
 
 def _f64(a):
     return np.ascontiguousarray(a, dtype=np.float64)
+
+
+def _val_dispatch(*arrays):
+    """(numpy value dtype, ctypes value pointer, f32 flag) shared by the
+    given data arrays: float32 when EVERY one is float32 (zero-copy into
+    the f32 kernel variants), else float64 (converting as needed)."""
+    if all(getattr(a, "dtype", None) == np.float32 for a in arrays):
+        return np.float32, ctypes.POINTER(ctypes.c_float), True
+    return np.float64, ctypes.POINTER(ctypes.c_double), False
+
+
+def _vfn(lib, base, i32: bool, f32: bool):
+    """Kernel symbol for the (index, value) dtype combination."""
+    if f32:
+        return getattr(lib, base + ("_i32f32" if i32 else "_f32"))
+    return getattr(lib, base + ("_i32" if i32 else ""))
 
 
 def pmisr_luby_native(indptr, indices, measure, cf, assigned, max_steps):
@@ -223,31 +285,30 @@ def drop_small_native(A, tol, rel_mode, diag_strength, drop_diag_mode, lump):
         return None
     import scipy.sparse as sp
 
-    f64p = ctypes.POINTER(ctypes.c_double)
     # dispatch on scipy's index dtype -- no conversion copies either way
-    if A.indices.dtype == np.int32 and A.indptr.dtype == np.int32:
-        idt, ip = np.int32, ctypes.POINTER(ctypes.c_int32)
-        count, fill = lib.drop_small_count_i32, lib.drop_small_fill_i32
-    else:
-        idt, ip = np.int64, ctypes.POINTER(ctypes.c_int64)
-        count, fill = lib.drop_small_count, lib.drop_small_fill
+    i32 = A.indices.dtype == np.int32 and A.indptr.dtype == np.int32
+    idt = np.int32 if i32 else np.int64
+    ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
+    vdt, vp, f32 = _val_dispatch(A.data)
+    count = _vfn(lib, "drop_small_count", i32, f32)
+    fill = _vfn(lib, "drop_small_fill", i32, f32)
     indptr = np.ascontiguousarray(A.indptr, dtype=idt)
     indices = np.ascontiguousarray(A.indices, dtype=idt)
-    data = _f64(A.data)
+    data = np.ascontiguousarray(A.data, dtype=vdt)
     n_rows = A.shape[0]
     out_indptr = np.empty(n_rows + 1, dtype=idt)
     nnz = count(
-        _p(indptr, ip), _p(indices, ip), _p(data, f64p), n_rows,
+        _p(indptr, ip), _p(indices, ip), _p(data, vp), n_rows,
         float(tol), int(rel_mode), int(diag_strength), int(drop_diag_mode),
         int(lump), _p(out_indptr, ip))
     if nnz < 0:
         return None
     out_cols = np.empty(nnz, dtype=idt)
-    out_data = np.empty(nnz, dtype=np.float64)
+    out_data = np.empty(nnz, dtype=vdt)
     fill(
-        _p(indptr, ip), _p(indices, ip), _p(data, f64p), n_rows,
+        _p(indptr, ip), _p(indices, ip), _p(data, vp), n_rows,
         float(tol), int(rel_mode), int(diag_strength), int(drop_diag_mode),
-        int(lump), _p(out_cols, ip), _p(out_data, f64p))
+        int(lump), _p(out_cols, ip), _p(out_data, vp))
     out = sp.csr_matrix((out_data, out_cols, out_indptr), shape=A.shape)
     out.has_sorted_indices = True
     return out
@@ -278,29 +339,29 @@ def spgemm_drop_native(R, B, tol, relative, lump):
         return None
     import scipy.sparse as sp
 
-    f64p = ctypes.POINTER(ctypes.c_double)
-    if (R.indices.dtype == np.int32 and R.indptr.dtype == np.int32
-            and B.indices.dtype == np.int32 and B.indptr.dtype == np.int32):
-        idt, ip, fn = np.int32, ctypes.POINTER(ctypes.c_int32), lib.spgemm_drop_i32
-    else:
-        idt, ip, fn = np.int64, ctypes.POINTER(ctypes.c_int64), lib.spgemm_drop
+    i32 = (R.indices.dtype == np.int32 and R.indptr.dtype == np.int32
+           and B.indices.dtype == np.int32 and B.indptr.dtype == np.int32)
+    idt = np.int32 if i32 else np.int64
+    ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
+    vdt, vp, f32 = _val_dispatch(R.data, B.data)
+    fn = _vfn(lib, "spgemm_drop", i32, f32)
     r_indptr = np.ascontiguousarray(R.indptr, dtype=idt)
     r_indices = np.ascontiguousarray(R.indices, dtype=idt)
-    r_data = _f64(R.data)
+    r_data = np.ascontiguousarray(R.data, dtype=vdt)
     b_indptr = np.ascontiguousarray(B.indptr, dtype=idt)
     b_indices = np.ascontiguousarray(B.indices, dtype=idt)
-    b_data = _f64(B.data)
+    b_data = np.ascontiguousarray(B.data, dtype=vdt)
     n_rows, n_cols = R.shape[0], B.shape[1]
     # upper bound on product nnz = triple count, written into the
     # persistent scratch; the kept entries are copied out exact-size
     ub = int(np.diff(B.indptr)[R.indices].sum()) if R.nnz else 0
     out_indptr = np.empty(n_rows + 1, dtype=idt)
     out_cols = _scratch(("cols", idt), max(ub, 1), idt)
-    out_data = _scratch(("data",), max(ub, 1), np.float64)
-    nnz = fn(_p(r_indptr, ip), _p(r_indices, ip), _p(r_data, f64p),
-             _p(b_indptr, ip), _p(b_indices, ip), _p(b_data, f64p),
+    out_data = _scratch(("data", vdt), max(ub, 1), vdt)
+    nnz = fn(_p(r_indptr, ip), _p(r_indices, ip), _p(r_data, vp),
+             _p(b_indptr, ip), _p(b_indices, ip), _p(b_data, vp),
              n_rows, n_cols, float(tol), int(relative), int(lump),
-             _p(out_indptr, ip), _p(out_cols, ip), _p(out_data, f64p))
+             _p(out_indptr, ip), _p(out_cols, ip), _p(out_data, vp))
     if nnz < 0:
         return None
     out = sp.csr_matrix((out_data[:nnz].copy(), out_cols[:nnz].copy(),
@@ -319,23 +380,23 @@ def spgemm_onto_pattern_native(A, B, P, lump: bool):
         return None
     import scipy.sparse as sp
 
-    f64p = ctypes.POINTER(ctypes.c_double)
-    if all(M.indices.dtype == np.int32 and M.indptr.dtype == np.int32
-           for M in (A, B, P)):
-        ip, fn = ctypes.POINTER(ctypes.c_int32), lib.spgemm_onto_pattern_i32
-        cvt = lambda a: np.ascontiguousarray(a)
-    else:
-        ip, fn = ctypes.POINTER(ctypes.c_int64), lib.spgemm_onto_pattern
-        cvt = _i64
+    i32 = all(M.indices.dtype == np.int32 and M.indptr.dtype == np.int32
+              for M in (A, B, P))
+    ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
+    cvt = (lambda a: np.ascontiguousarray(a)) if i32 else _i64
+    vdt, vp, f32 = _val_dispatch(A.data, B.data)
+    fn = _vfn(lib, "spgemm_onto_pattern", i32, f32)
     # bind conversions to locals so the buffers outlive the C call
-    aip, aix, ad = cvt(A.indptr), cvt(A.indices), _f64(A.data)
-    bip, bix, bd = cvt(B.indptr), cvt(B.indices), _f64(B.data)
+    aip, aix = cvt(A.indptr), cvt(A.indices)
+    ad = np.ascontiguousarray(A.data, dtype=vdt)
+    bip, bix = cvt(B.indptr), cvt(B.indices)
+    bd = np.ascontiguousarray(B.data, dtype=vdt)
     pip_, pix = cvt(P.indptr), cvt(P.indices)
-    out = np.empty(P.nnz, dtype=np.float64)
-    fn(_p(aip, ip), _p(aix, ip), _p(ad, f64p),
-       _p(bip, ip), _p(bix, ip), _p(bd, f64p),
+    out = np.empty(P.nnz, dtype=vdt)
+    fn(_p(aip, ip), _p(aix, ip), _p(ad, vp),
+       _p(bip, ip), _p(bix, ip), _p(bd, vp),
        _p(pip_, ip), _p(pix, ip),
-       A.shape[0], B.shape[1], int(lump), _p(out, f64p))
+       A.shape[0], B.shape[1], int(lump), _p(out, vp))
     res = sp.csr_matrix((out, P.indices.copy(), P.indptr.copy()),
                         shape=(A.shape[0], B.shape[1]))
     res.has_sorted_indices = True
@@ -348,20 +409,23 @@ def dd_ratio_native(indptr, indices, data, f_mask):
         return None
     f64p = ctypes.POINTER(ctypes.c_double)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    if (getattr(indptr, "dtype", None) == np.int32
-            and getattr(indices, "dtype", None) == np.int32):
-        ip, fn = ctypes.POINTER(ctypes.c_int32), lib.dd_ratio_i32
+    i32 = (getattr(indptr, "dtype", None) == np.int32
+           and getattr(indices, "dtype", None) == np.int32)
+    if i32:
+        ip = ctypes.POINTER(ctypes.c_int32)
         indptr = np.ascontiguousarray(indptr)
         indices = np.ascontiguousarray(indices)
     else:
-        ip, fn = ctypes.POINTER(ctypes.c_int64), lib.dd_ratio
+        ip = ctypes.POINTER(ctypes.c_int64)
         indptr = _i64(indptr)
         indices = _i64(indices)
-    data = _f64(data)
+    vdt, vp, f32 = _val_dispatch(data)
+    fn = _vfn(lib, "dd_ratio", i32, f32)
+    data = np.ascontiguousarray(data, dtype=vdt)
     fm = np.ascontiguousarray(f_mask, dtype=np.uint8)
     n = len(indptr) - 1
     out = np.zeros(n, dtype=np.float64)
-    fn(_p(indptr, ip), _p(indices, ip), _p(data, f64p),
+    fn(_p(indptr, ip), _p(indices, ip), _p(data, vp),
        _p(fm, u8p), n, _p(out, f64p))
     return out
 
@@ -399,23 +463,22 @@ def poly_on_sparsity_native(A, s_indptr, s_indices, coeffs):
     if lib is None:
         return None
     f64p = ctypes.POINTER(ctypes.c_double)
-    if (A.indices.dtype == np.int32 and A.indptr.dtype == np.int32
-            and s_indices.dtype == np.int32 and s_indptr.dtype == np.int32):
-        idt, ip, fn = np.int32, ctypes.POINTER(ctypes.c_int32), \
-            lib.poly_on_sparsity_i32
-    else:
-        idt, ip, fn = np.int64, ctypes.POINTER(ctypes.c_int64), \
-            lib.poly_on_sparsity
+    i32 = (A.indices.dtype == np.int32 and A.indptr.dtype == np.int32
+           and s_indices.dtype == np.int32 and s_indptr.dtype == np.int32)
+    idt = np.int32 if i32 else np.int64
+    ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
+    vdt, vp, f32 = _val_dispatch(A.data)
+    fn = _vfn(lib, "poly_on_sparsity", i32, f32)
     a_indptr = np.ascontiguousarray(A.indptr, dtype=idt)
     a_indices = np.ascontiguousarray(A.indices, dtype=idt)
-    a_data = _f64(A.data)
+    a_data = np.ascontiguousarray(A.data, dtype=vdt)
     s_indptr = np.ascontiguousarray(s_indptr, dtype=idt)
     s_indices = np.ascontiguousarray(s_indices, dtype=idt)
     coeffs = _f64(coeffs)
-    out = np.empty(int(s_indptr[-1]), dtype=np.float64)
-    fn(_p(a_indptr, ip), _p(a_indices, ip), _p(a_data, f64p),
+    out = np.empty(int(s_indptr[-1]), dtype=vdt)
+    fn(_p(a_indptr, ip), _p(a_indices, ip), _p(a_data, vp),
        _p(s_indptr, ip), _p(s_indices, ip), A.shape[0], A.shape[1],
-       _p(coeffs, f64p), len(coeffs) - 1, _p(out, f64p))
+       _p(coeffs, f64p), len(coeffs) - 1, _p(out, vp))
     return out
 
 
@@ -426,25 +489,82 @@ def newton_on_sparsity_native(A, s_indptr, s_indices, wr, wi, tol_zero):
     if lib is None:
         return None
     f64p = ctypes.POINTER(ctypes.c_double)
-    if (A.indices.dtype == np.int32 and A.indptr.dtype == np.int32
-            and s_indices.dtype == np.int32 and s_indptr.dtype == np.int32):
-        idt, ip, fn = np.int32, ctypes.POINTER(ctypes.c_int32), \
-            lib.newton_on_sparsity_i32
-    else:
-        idt, ip, fn = np.int64, ctypes.POINTER(ctypes.c_int64), \
-            lib.newton_on_sparsity
+    i32 = (A.indices.dtype == np.int32 and A.indptr.dtype == np.int32
+           and s_indices.dtype == np.int32 and s_indptr.dtype == np.int32)
+    idt = np.int32 if i32 else np.int64
+    ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
+    vdt, vp, f32 = _val_dispatch(A.data)
+    fn = _vfn(lib, "newton_on_sparsity", i32, f32)
     a_indptr = np.ascontiguousarray(A.indptr, dtype=idt)
     a_indices = np.ascontiguousarray(A.indices, dtype=idt)
-    a_data = _f64(A.data)
+    a_data = np.ascontiguousarray(A.data, dtype=vdt)
     s_indptr = np.ascontiguousarray(s_indptr, dtype=idt)
     s_indices = np.ascontiguousarray(s_indices, dtype=idt)
     wr = _f64(wr)
     wi = _f64(wi)
-    out = np.empty(int(s_indptr[-1]), dtype=np.float64)
-    fn(_p(a_indptr, ip), _p(a_indices, ip), _p(a_data, f64p),
+    out = np.empty(int(s_indptr[-1]), dtype=vdt)
+    fn(_p(a_indptr, ip), _p(a_indices, ip), _p(a_data, vp),
        _p(s_indptr, ip), _p(s_indices, ip), A.shape[0], A.shape[1],
-       _p(wr, f64p), _p(wi, f64p), len(wr), float(tol_zero), _p(out, f64p))
+       _p(wr, f64p), _p(wi, f64p), len(wr), float(tol_zero), _p(out, vp))
     return out
+
+
+def split_cf_native(A, fine, coarse, need_cc: bool):
+    """(A_ff, A_fc, A_cf, A_cc) extracted in ONE streaming pass over A by
+    the CF classes (kernels.cpp split_cf) -- replaces scipy's per-block
+    double fancy-indexing + re-sorts.  fine/coarse are sorted ascending
+    index arrays partitioning range(n).  Returns the 4 csr matrices
+    (A_cc None unless need_cc), or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    n = A.shape[0]
+    i32 = A.indices.dtype == np.int32 and A.indptr.dtype == np.int32
+    idt = np.int32 if i32 else np.int64
+    ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
+    vdt, vp, f32 = _val_dispatch(A.data)
+    fn = _vfn(lib, "split_cf", i32, f32)
+    indptr = np.ascontiguousarray(A.indptr, dtype=idt)
+    indices = np.ascontiguousarray(A.indices, dtype=idt)
+    data = np.ascontiguousarray(A.data, dtype=vdt)
+    n_f, n_c = len(fine), len(coarse)
+    is_fine = np.zeros(n, dtype=np.uint8)
+    is_fine[fine] = 1
+    col_new = np.empty(n, dtype=idt)      # position within its class
+    col_new[fine] = np.arange(n_f, dtype=idt)
+    col_new[coarse] = np.arange(n_c, dtype=idt)
+    nnz = A.nnz
+    ff_ip = np.empty(n_f + 1, dtype=idt)
+    fc_ip = np.empty(n_f + 1, dtype=idt)
+    cf_ip = np.empty(n_c + 1, dtype=idt)
+    cc_ip = np.empty(n_c + 1, dtype=idt)
+    # entry routing is exclusive, so per-block upper bound = nnz(A); the
+    # persistent scratch avoids re-faulting tens of MB per level
+    bufs = [(_scratch(("split_cols", k, idt), max(nnz, 1), idt),
+             _scratch(("split_data", k, vdt), max(nnz, 1), vdt))
+            for k in range(4)]
+    fn(_p(indptr, ip), _p(indices, ip), _p(data, vp), n,
+       _p(is_fine, ctypes.POINTER(ctypes.c_uint8)), _p(col_new, ip),
+       _p(ff_ip, ip), _p(bufs[0][0], ip), _p(bufs[0][1], vp),
+       _p(fc_ip, ip), _p(bufs[1][0], ip), _p(bufs[1][1], vp),
+       _p(cf_ip, ip), _p(bufs[2][0], ip), _p(bufs[2][1], vp),
+       _p(cc_ip, ip), _p(bufs[3][0], ip), _p(bufs[3][1], vp),
+       int(need_cc))
+
+    def _mk(indp, cols, dat, shape, m):
+        M = sp.csr_matrix((dat[:m].copy(), cols[:m].copy(), indp),
+                          shape=shape)
+        M.has_sorted_indices = True
+        return M
+
+    A_ff = _mk(ff_ip, *bufs[0], (n_f, n_f), int(ff_ip[-1]))
+    A_fc = _mk(fc_ip, *bufs[1], (n_f, n_c), int(fc_ip[-1]))
+    A_cf = _mk(cf_ip, *bufs[2], (n_c, n_f), int(cf_ip[-1]))
+    A_cc = (_mk(cc_ip, *bufs[3], (n_c, n_c), int(cc_ip[-1]))
+            if need_cc else None)
+    return A_ff, A_fc, A_cf, A_cc
 
 
 def spgemm_native(A, B):

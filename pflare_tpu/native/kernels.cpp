@@ -8,7 +8,11 @@
 // enumeration, and one-pass drop/lump.
 //
 // Plain C ABI over raw pointers, loaded with ctypes (no pybind11 in this
-// image).  All index arrays are int64, values double.
+// image).  Index arrays are int64 or int32 (scipy's default), values
+// double or float: the value-streaming kernels are templated on the value
+// type T so a single-precision setup (PCAIR(dtype=float32), the
+// reference's single build, reference: tests/Makefile:34-48) streams half
+// the bytes -- these kernels are memory-bound.  Accumulation stays double.
 
 #include <cstdint>
 #include <cstdlib>
@@ -168,9 +172,9 @@ void drop_small(const int64_t* indptr, const int64_t* indices,
 // (reference: src/MatDiagDom.F90:98).  Templated on the index type: scipy
 // hands int32 CSR indices, and converting them to int64 per call costs
 // more than the kernel itself on large levels.
-template <typename I>
+template <typename I, typename T>
 static void dd_ratio_t(const I* indptr, const I* indices,
-                       const double* data, const uint8_t* f_mask,
+                       const T* data, const uint8_t* f_mask,
                        int64_t n_rows, double* ratio) {
     for (int64_t i = 0; i < n_rows; ++i) {
         ratio[i] = 0.0;
@@ -179,8 +183,8 @@ static void dd_ratio_t(const I* indptr, const I* indices,
         for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
             const int64_t j = (int64_t)indices[p];
             if (!f_mask[j]) continue;
-            if (j == i) diag = std::fabs(data[p]);
-            else offsum += std::fabs(data[p]);
+            if (j == i) diag = std::fabs((double)data[p]);
+            else offsum += std::fabs((double)data[p]);
         }
         if (diag > 0.0) ratio[i] = offsum / diag;
         else if (offsum > 0.0) ratio[i] = INFINITY;
@@ -192,13 +196,25 @@ extern "C" {
 void dd_ratio(const int64_t* indptr, const int64_t* indices,
               const double* data, const uint8_t* f_mask, int64_t n_rows,
               double* ratio) {
-    dd_ratio_t<int64_t>(indptr, indices, data, f_mask, n_rows, ratio);
+    dd_ratio_t(indptr, indices, data, f_mask, n_rows, ratio);
 }
 
 void dd_ratio_i32(const int32_t* indptr, const int32_t* indices,
                   const double* data, const uint8_t* f_mask,
                   int64_t n_rows, double* ratio) {
-    dd_ratio_t<int32_t>(indptr, indices, data, f_mask, n_rows, ratio);
+    dd_ratio_t(indptr, indices, data, f_mask, n_rows, ratio);
+}
+
+void dd_ratio_f32(const int64_t* indptr, const int64_t* indices,
+                  const float* data, const uint8_t* f_mask, int64_t n_rows,
+                  double* ratio) {
+    dd_ratio_t(indptr, indices, data, f_mask, n_rows, ratio);
+}
+
+void dd_ratio_i32f32(const int32_t* indptr, const int32_t* indices,
+                     const float* data, const uint8_t* f_mask,
+                     int64_t n_rows, double* ratio) {
+    dd_ratio_t(indptr, indices, data, f_mask, n_rows, ratio);
 }
 
 }  // extern "C"
@@ -276,12 +292,12 @@ void spgemm_fill(const int64_t* a_indptr, const int64_t* a_indices,
 // materialising the undropped product (whose allocation dominated
 // re-setup wall time).  Gustavson accumulator; out_data written in P's
 // CSR entry order.  Templated on the index type (scipy int32 default).
-template <typename I>
+template <typename I, typename T>
 static void spgemm_onto_pattern_t(
-    const I* a_indptr, const I* a_indices, const double* a_data,
-    const I* b_indptr, const I* b_indices, const double* b_data,
+    const I* a_indptr, const I* a_indices, const T* a_data,
+    const I* b_indptr, const I* b_indices, const T* b_data,
     const I* p_indptr, const I* p_indices,
-    int64_t n_rows, int64_t n_cols, int lump, double* out_data) {
+    int64_t n_rows, int64_t n_cols, int lump, T* out_data) {
     std::vector<int64_t> marker(n_cols, -1);
     std::vector<double> acc(n_cols, 0.0);
     for (int64_t i = 0; i < n_rows; ++i) {
@@ -306,11 +322,13 @@ static void spgemm_onto_pattern_t(
         for (int64_t t = p_indptr[i]; t < p_indptr[i + 1]; ++t) {
             const int64_t j = (int64_t)p_indices[t];
             const double v = (marker[j] == i) ? acc[j] : 0.0;
-            out_data[t] = v;
+            out_data[t] = (T)v;
             kept += v;
             if (j == i) diag_pos = t;
         }
-        if (lump && diag_pos >= 0) out_data[diag_pos] += total - kept;
+        if (lump && diag_pos >= 0)
+            out_data[diag_pos] = (T)((double)out_data[diag_pos]
+                                     + (total - kept));
     }
 }
 
@@ -321,9 +339,9 @@ void spgemm_onto_pattern(
     const int64_t* b_indptr, const int64_t* b_indices, const double* b_data,
     const int64_t* p_indptr, const int64_t* p_indices,
     int64_t n_rows, int64_t n_cols, int lump, double* out_data) {
-    spgemm_onto_pattern_t<int64_t>(a_indptr, a_indices, a_data, b_indptr,
-                                   b_indices, b_data, p_indptr, p_indices,
-                                   n_rows, n_cols, lump, out_data);
+    spgemm_onto_pattern_t(a_indptr, a_indices, a_data, b_indptr,
+                          b_indices, b_data, p_indptr, p_indices,
+                          n_rows, n_cols, lump, out_data);
 }
 
 void spgemm_onto_pattern_i32(
@@ -331,9 +349,29 @@ void spgemm_onto_pattern_i32(
     const int32_t* b_indptr, const int32_t* b_indices, const double* b_data,
     const int32_t* p_indptr, const int32_t* p_indices,
     int64_t n_rows, int64_t n_cols, int lump, double* out_data) {
-    spgemm_onto_pattern_t<int32_t>(a_indptr, a_indices, a_data, b_indptr,
-                                   b_indices, b_data, p_indptr, p_indices,
-                                   n_rows, n_cols, lump, out_data);
+    spgemm_onto_pattern_t(a_indptr, a_indices, a_data, b_indptr,
+                          b_indices, b_data, p_indptr, p_indices,
+                          n_rows, n_cols, lump, out_data);
+}
+
+void spgemm_onto_pattern_f32(
+    const int64_t* a_indptr, const int64_t* a_indices, const float* a_data,
+    const int64_t* b_indptr, const int64_t* b_indices, const float* b_data,
+    const int64_t* p_indptr, const int64_t* p_indices,
+    int64_t n_rows, int64_t n_cols, int lump, float* out_data) {
+    spgemm_onto_pattern_t(a_indptr, a_indices, a_data, b_indptr,
+                          b_indices, b_data, p_indptr, p_indices,
+                          n_rows, n_cols, lump, out_data);
+}
+
+void spgemm_onto_pattern_i32f32(
+    const int32_t* a_indptr, const int32_t* a_indices, const float* a_data,
+    const int32_t* b_indptr, const int32_t* b_indices, const float* b_data,
+    const int32_t* p_indptr, const int32_t* p_indices,
+    int64_t n_rows, int64_t n_cols, int lump, float* out_data) {
+    spgemm_onto_pattern_t(a_indptr, a_indices, a_data, b_indptr,
+                          b_indices, b_data, p_indptr, p_indices,
+                          n_rows, n_cols, lump, out_data);
 }
 
 }  // extern "C"
@@ -353,19 +391,19 @@ void spgemm_onto_pattern_i32(
 // Templated over the CSR index type so scipy's int32 matrices avoid a
 // full int64 conversion copy on every call.
 
-template <typename I>
+template <typename I, typename T>
 static double row_drop_tol(const I* indptr, const I* indices,
-                           const double* data, int64_t i, double tol,
+                           const T* data, int64_t i, double tol,
                            int rel_mode, int diag_strength) {
     if (rel_mode == 0) return tol;
     double m = 0.0;
     if (diag_strength) {
         for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
-            if (indices[p] == (I)i) { m = std::fabs(data[p]); break; }
+            if (indices[p] == (I)i) { m = std::fabs((double)data[p]); break; }
     } else {
         for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
             if (rel_mode == -1 && indices[p] == (I)i) continue;
-            m = std::max(m, std::fabs(data[p]));
+            m = std::max(m, std::fabs((double)data[p]));
         }
     }
     return tol * m;
@@ -385,9 +423,9 @@ static inline bool keep_entry(int64_t i, int64_t j, double v, double row_tol,
 // Counts kept entries per row into out_indptr (cumulative).  Returns the
 // output nnz, or -1 when lumping needs a diagonal a row doesn't keep
 // (caller falls back to the COO insertion path).
-template <typename I>
+template <typename I, typename T>
 static int64_t drop_count_t(const I* indptr, const I* indices,
-                            const double* data, int64_t n_rows, double tol,
+                            const T* data, int64_t n_rows, double tol,
                             int rel_mode, int diag_strength,
                             int drop_diag_mode, int lump, I* out_indptr) {
     int64_t out = 0;
@@ -410,11 +448,11 @@ static int64_t drop_count_t(const I* indptr, const I* indices,
     return out;
 }
 
-template <typename I>
+template <typename I, typename T>
 static void drop_fill_t(const I* indptr, const I* indices,
-                        const double* data, int64_t n_rows, double tol,
+                        const T* data, int64_t n_rows, double tol,
                         int rel_mode, int diag_strength, int drop_diag_mode,
-                        int lump, I* out_cols, double* out_data) {
+                        int lump, I* out_cols, T* out_data) {
     int64_t out = 0;
     for (int64_t i = 0; i < n_rows; ++i) {
         const double rt =
@@ -423,18 +461,18 @@ static void drop_fill_t(const I* indptr, const I* indices,
         double lump_acc = 0.0;
         for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
             const int64_t j = indices[p];
-            const double v = data[p];
+            const double v = (double)data[p];
             if (keep_entry(i, j, v, rt, drop_diag_mode)) {
                 if (j == i) diag_out = out;
                 out_cols[out] = (I)j;
-                out_data[out] = v;
+                out_data[out] = data[p];
                 ++out;
             } else if (lump && v != 0.0) {
                 lump_acc += v;
             }
         }
         if (lump && lump_acc != 0.0 && diag_out >= 0)
-            out_data[diag_out] += lump_acc;
+            out_data[diag_out] = (T)((double)out_data[diag_out] + lump_acc);
     }
 }
 
@@ -473,6 +511,41 @@ void drop_small_fill_i32(const int32_t* indptr, const int32_t* indices,
                 drop_diag_mode, lump, out_cols, out_data);
 }
 
+int64_t drop_small_count_f32(const int64_t* indptr, const int64_t* indices,
+                             const float* data, int64_t n_rows, double tol,
+                             int rel_mode, int diag_strength,
+                             int drop_diag_mode, int lump,
+                             int64_t* out_indptr) {
+    return drop_count_t(indptr, indices, data, n_rows, tol, rel_mode,
+                        diag_strength, drop_diag_mode, lump, out_indptr);
+}
+
+void drop_small_fill_f32(const int64_t* indptr, const int64_t* indices,
+                         const float* data, int64_t n_rows, double tol,
+                         int rel_mode, int diag_strength, int drop_diag_mode,
+                         int lump, int64_t* out_cols, float* out_data) {
+    drop_fill_t(indptr, indices, data, n_rows, tol, rel_mode, diag_strength,
+                drop_diag_mode, lump, out_cols, out_data);
+}
+
+int64_t drop_small_count_i32f32(const int32_t* indptr,
+                                const int32_t* indices, const float* data,
+                                int64_t n_rows, double tol, int rel_mode,
+                                int diag_strength, int drop_diag_mode,
+                                int lump, int32_t* out_indptr) {
+    return drop_count_t(indptr, indices, data, n_rows, tol, rel_mode,
+                        diag_strength, drop_diag_mode, lump, out_indptr);
+}
+
+void drop_small_fill_i32f32(const int32_t* indptr, const int32_t* indices,
+                            const float* data, int64_t n_rows, double tol,
+                            int rel_mode, int diag_strength,
+                            int drop_diag_mode, int lump, int32_t* out_cols,
+                            float* out_data) {
+    drop_fill_t(indptr, indices, data, n_rows, tol, rel_mode, diag_strength,
+                drop_diag_mode, lump, out_cols, out_data);
+}
+
 }  // extern "C"
 
 // ~~~~~~~~~~~~ fused R@(AP) product + relative drop + lump ~~~~~~~~~~~~
@@ -485,13 +558,21 @@ void drop_small_fill_i32(const int32_t* indptr, const int32_t* indices,
 // pages are never committed.  Returns kept nnz, or -1 when a row needs
 // lumping but keeps no diagonal (caller falls back to the two-step path).
 
-template <typename I>
+// Accumulation strategy note: a per-row L1-resident hash accumulator
+// (the Kokkos-GPU SpGEMM trick) was implemented and benchmarked against
+// this stamped dense accumulator on the 512^2 bench's RAP products --
+// the dense form won at every level (hash 0.79-0.93x), because warm
+// per-triple cost here is ~10 ns (cache-resident already); the apparent
+// 30-90 ns/triple in fresh processes is first-touch page-fault overhead
+// on newly-allocated matrices, addressed by malloc tuning in bench.py,
+// not by the kernel.  Keeping the simpler dense accumulator.
+template <typename I, typename T>
 static int64_t spgemm_drop_t(const I* r_indptr, const I* r_indices,
-                             const double* r_data, const I* b_indptr,
-                             const I* b_indices, const double* b_data,
+                             const T* r_data, const I* b_indptr,
+                             const I* b_indices, const T* b_data,
                              int64_t n_rows, int64_t n_cols, double tol,
                              int relative, int lump, I* out_indptr,
-                             I* out_cols, double* out_data) {
+                             I* out_cols, T* out_data) {
     std::vector<double> vacc(n_cols, 0.0);
     std::vector<int64_t> stamp(n_cols, -1);
     std::vector<I> cols, kept;
@@ -545,7 +626,7 @@ static int64_t spgemm_drop_t(const I* r_indptr, const I* r_indices,
         std::sort(kept.begin(), kept.end());
         for (size_t c = 0; c < kept.size(); ++c) {
             out_cols[out] = kept[c];
-            out_data[out] = vacc[kept[c]];
+            out_data[out] = (T)vacc[kept[c]];
             ++out;
         }
         out_indptr[i + 1] = (I)out;
@@ -577,6 +658,143 @@ int64_t spgemm_drop_i32(const int32_t* r_indptr, const int32_t* r_indices,
                          out_indptr, out_cols, out_data);
 }
 
+int64_t spgemm_drop_f32(const int64_t* r_indptr, const int64_t* r_indices,
+                        const float* r_data, const int64_t* b_indptr,
+                        const int64_t* b_indices, const float* b_data,
+                        int64_t n_rows, int64_t n_cols, double tol,
+                        int relative, int lump, int64_t* out_indptr,
+                        int64_t* out_cols, float* out_data) {
+    return spgemm_drop_t(r_indptr, r_indices, r_data, b_indptr, b_indices,
+                         b_data, n_rows, n_cols, tol, relative, lump,
+                         out_indptr, out_cols, out_data);
+}
+
+int64_t spgemm_drop_i32f32(const int32_t* r_indptr,
+                           const int32_t* r_indices, const float* r_data,
+                           const int32_t* b_indptr, const int32_t* b_indices,
+                           const float* b_data, int64_t n_rows,
+                           int64_t n_cols, double tol, int relative,
+                           int lump, int32_t* out_indptr, int32_t* out_cols,
+                           float* out_data) {
+    return spgemm_drop_t(r_indptr, r_indices, r_data, b_indptr, b_indices,
+                         b_data, n_rows, n_cols, tol, relative, lump,
+                         out_indptr, out_cols, out_data);
+}
+
+}  // extern "C"
+
+// ~~~~~~~~~~~~ one-pass CF submatrix split ~~~~~~~~~~~~
+// A -> (A_ff, A_fc, A_cf, A_cc) by the CF markers in ONE streaming pass
+// (reference: MatCreateSubMatrixWrapper extraction of the four blocks,
+// src/AIR_Operators_Setup.F90:196-227 + src/PETSc_Helper.F90:1121).
+// scipy's A[rows][:, cols] double fancy-indexing allocates and re-sorts
+// per block; here each CSR entry is routed to exactly one output with
+// columns renumbered via col_new (position within its class), staying
+// sorted for free.  Outputs are written at the upper bound nnz(A) into
+// caller scratch; per-block nnz is returned through the indptrs.
+
+template <typename I, typename T>
+static void split_cf_t(const I* indptr, const I* indices, const T* data,
+                       int64_t n, const uint8_t* is_fine, const I* col_new,
+                       I* ff_indptr, I* ff_cols, T* ff_data,
+                       I* fc_indptr, I* fc_cols, T* fc_data,
+                       I* cf_indptr, I* cf_cols, T* cf_data,
+                       I* cc_indptr, I* cc_cols, T* cc_data, int need_cc) {
+    int64_t rf = 0, rc = 0;          // output row counters
+    int64_t off = 0, ofc = 0, ocf = 0, occ = 0;
+    ff_indptr[0] = fc_indptr[0] = cf_indptr[0] = 0;
+    if (need_cc) cc_indptr[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (is_fine[i]) {
+            for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+                const I j = indices[p];
+                if (is_fine[j]) {
+                    ff_cols[off] = col_new[j];
+                    ff_data[off] = data[p];
+                    ++off;
+                } else {
+                    fc_cols[ofc] = col_new[j];
+                    fc_data[ofc] = data[p];
+                    ++ofc;
+                }
+            }
+            ++rf;
+            ff_indptr[rf] = (I)off;
+            fc_indptr[rf] = (I)ofc;
+        } else {
+            for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+                const I j = indices[p];
+                if (is_fine[j]) {
+                    cf_cols[ocf] = col_new[j];
+                    cf_data[ocf] = data[p];
+                    ++ocf;
+                } else if (need_cc) {
+                    cc_cols[occ] = col_new[j];
+                    cc_data[occ] = data[p];
+                    ++occ;
+                }
+            }
+            ++rc;
+            cf_indptr[rc] = (I)ocf;
+            if (need_cc) cc_indptr[rc] = (I)occ;
+        }
+    }
+}
+
+extern "C" {
+
+void split_cf(const int64_t* indptr, const int64_t* indices,
+              const double* data, int64_t n, const uint8_t* is_fine,
+              const int64_t* col_new,
+              int64_t* ff_indptr, int64_t* ff_cols, double* ff_data,
+              int64_t* fc_indptr, int64_t* fc_cols, double* fc_data,
+              int64_t* cf_indptr, int64_t* cf_cols, double* cf_data,
+              int64_t* cc_indptr, int64_t* cc_cols, double* cc_data,
+              int need_cc) {
+    split_cf_t(indptr, indices, data, n, is_fine, col_new, ff_indptr,
+               ff_cols, ff_data, fc_indptr, fc_cols, fc_data, cf_indptr,
+               cf_cols, cf_data, cc_indptr, cc_cols, cc_data, need_cc);
+}
+
+void split_cf_i32(const int32_t* indptr, const int32_t* indices,
+                  const double* data, int64_t n, const uint8_t* is_fine,
+                  const int32_t* col_new,
+                  int32_t* ff_indptr, int32_t* ff_cols, double* ff_data,
+                  int32_t* fc_indptr, int32_t* fc_cols, double* fc_data,
+                  int32_t* cf_indptr, int32_t* cf_cols, double* cf_data,
+                  int32_t* cc_indptr, int32_t* cc_cols, double* cc_data,
+                  int need_cc) {
+    split_cf_t(indptr, indices, data, n, is_fine, col_new, ff_indptr,
+               ff_cols, ff_data, fc_indptr, fc_cols, fc_data, cf_indptr,
+               cf_cols, cf_data, cc_indptr, cc_cols, cc_data, need_cc);
+}
+
+void split_cf_f32(const int64_t* indptr, const int64_t* indices,
+                  const float* data, int64_t n, const uint8_t* is_fine,
+                  const int64_t* col_new,
+                  int64_t* ff_indptr, int64_t* ff_cols, float* ff_data,
+                  int64_t* fc_indptr, int64_t* fc_cols, float* fc_data,
+                  int64_t* cf_indptr, int64_t* cf_cols, float* cf_data,
+                  int64_t* cc_indptr, int64_t* cc_cols, float* cc_data,
+                  int need_cc) {
+    split_cf_t(indptr, indices, data, n, is_fine, col_new, ff_indptr,
+               ff_cols, ff_data, fc_indptr, fc_cols, fc_data, cf_indptr,
+               cf_cols, cf_data, cc_indptr, cc_cols, cc_data, need_cc);
+}
+
+void split_cf_i32f32(const int32_t* indptr, const int32_t* indices,
+                     const float* data, int64_t n, const uint8_t* is_fine,
+                     const int32_t* col_new,
+                     int32_t* ff_indptr, int32_t* ff_cols, float* ff_data,
+                     int32_t* fc_indptr, int32_t* fc_cols, float* fc_data,
+                     int32_t* cf_indptr, int32_t* cf_cols, float* cf_data,
+                     int32_t* cc_indptr, int32_t* cc_cols, float* cc_data,
+                     int need_cc) {
+    split_cf_t(indptr, indices, data, n, is_fine, col_new, ff_indptr,
+               ff_cols, ff_data, fc_indptr, fc_cols, fc_data, cf_indptr,
+               cf_cols, cf_data, cc_indptr, cc_cols, cc_data, need_cc);
+}
+
 }  // extern "C"
 
 // ~~~~~~~~~~~~ fixed-sparsity polynomial assembly ~~~~~~~~~~~~
@@ -588,12 +806,12 @@ int64_t spgemm_drop_i32(const int32_t* r_indptr, const int32_t* r_indices,
 // ever materialised, unlike the scipy SpGEMM + mask formulation.
 // S must contain the diagonal for the k=0 term.
 
-template <typename I>
+template <typename I, typename T>
 static void poly_on_sparsity_t(const I* a_indptr, const I* a_indices,
-                               const double* a_data, const I* s_indptr,
+                               const T* a_data, const I* s_indptr,
                                const I* s_indices, int64_t n_rows,
                                int64_t n_cols, const double* coeffs,
-                               int64_t order, double* out_data) {
+                               int64_t order, T* out_data) {
     std::vector<int64_t> stamp(n_cols, -1);
     std::vector<int32_t> slot(n_cols, 0);
     std::vector<double> cur, nxt, acc;
@@ -630,7 +848,7 @@ static void poly_on_sparsity_t(const I* a_indptr, const I* a_indices,
             cur.swap(nxt);
         }
         if (i < n_cols && stamp[i] == i) acc[slot[i]] += coeffs[0];
-        for (int t = 0; t < m; ++t) out_data[s0 + t] = acc[t];
+        for (int t = 0; t < m; ++t) out_data[s0 + t] = (T)acc[t];
     }
 }
 
@@ -641,13 +859,13 @@ static void poly_on_sparsity_t(const I* a_indptr, const I* a_indices,
 // the same reason as above.  wr/wi are the Leja-ordered harmonic-Ritz
 // roots, k_roots their count.
 
-template <typename I>
+template <typename I, typename V>
 static void newton_on_sparsity_t(const I* a_indptr, const I* a_indices,
-                                 const double* a_data, const I* s_indptr,
+                                 const V* a_data, const I* s_indptr,
                                  const I* s_indices, int64_t n_rows,
                                  int64_t n_cols, const double* wr,
                                  const double* wi, int64_t k_roots,
-                                 double tol_zero, double* out_data) {
+                                 double tol_zero, V* out_data) {
     std::vector<int64_t> stamp(n_cols, -1);
     std::vector<int32_t> slot(n_cols, 0);
     std::vector<double> T, M, TA, T2;
@@ -710,7 +928,7 @@ static void newton_on_sparsity_t(const I* a_indptr, const I* a_indices,
             const double th = wr[k_roots - 1];
             for (int t = 0; t < m; ++t) M[t] += T[t] / th;
         }
-        for (int t = 0; t < m; ++t) out_data[s0 + t] = M[t];
+        for (int t = 0; t < m; ++t) out_data[s0 + t] = (V)M[t];
     }
 }
 
@@ -804,6 +1022,49 @@ void newton_on_sparsity_i32(const int32_t* a_indptr,
                             int64_t n_cols, const double* wr,
                             const double* wi, int64_t k_roots,
                             double tol_zero, double* out_data) {
+    newton_on_sparsity_t(a_indptr, a_indices, a_data, s_indptr, s_indices,
+                         n_rows, n_cols, wr, wi, k_roots, tol_zero,
+                         out_data);
+}
+
+void poly_on_sparsity_f32(const int64_t* a_indptr, const int64_t* a_indices,
+                          const float* a_data, const int64_t* s_indptr,
+                          const int64_t* s_indices, int64_t n_rows,
+                          int64_t n_cols, const double* coeffs,
+                          int64_t order, float* out_data) {
+    poly_on_sparsity_t(a_indptr, a_indices, a_data, s_indptr, s_indices,
+                       n_rows, n_cols, coeffs, order, out_data);
+}
+
+void poly_on_sparsity_i32f32(const int32_t* a_indptr,
+                             const int32_t* a_indices, const float* a_data,
+                             const int32_t* s_indptr,
+                             const int32_t* s_indices, int64_t n_rows,
+                             int64_t n_cols, const double* coeffs,
+                             int64_t order, float* out_data) {
+    poly_on_sparsity_t(a_indptr, a_indices, a_data, s_indptr, s_indices,
+                       n_rows, n_cols, coeffs, order, out_data);
+}
+
+void newton_on_sparsity_f32(const int64_t* a_indptr,
+                            const int64_t* a_indices, const float* a_data,
+                            const int64_t* s_indptr,
+                            const int64_t* s_indices, int64_t n_rows,
+                            int64_t n_cols, const double* wr,
+                            const double* wi, int64_t k_roots,
+                            double tol_zero, float* out_data) {
+    newton_on_sparsity_t(a_indptr, a_indices, a_data, s_indptr, s_indices,
+                         n_rows, n_cols, wr, wi, k_roots, tol_zero,
+                         out_data);
+}
+
+void newton_on_sparsity_i32f32(const int32_t* a_indptr,
+                               const int32_t* a_indices, const float* a_data,
+                               const int32_t* s_indptr,
+                               const int32_t* s_indices, int64_t n_rows,
+                               int64_t n_cols, const double* wr,
+                               const double* wi, int64_t k_roots,
+                               double tol_zero, float* out_data) {
     newton_on_sparsity_t(a_indptr, a_indices, a_data, s_indptr, s_indices,
                          n_rows, n_cols, wr, wi, k_roots, tol_zero,
                          out_data);

@@ -99,3 +99,36 @@ def test_spgemm_onto_pattern_matches_match():
             pytest.skip("native unavailable")
         assert got.nnz == ref.nnz
         assert abs(got - ref).max() < 1e-12, lump
+
+
+def test_split_cf_matches_scipy_slicing():
+    """One-pass native CF submatrix split == scipy double fancy-indexing
+    (the MatCreateSubMatrix extraction of the four CF blocks, reference:
+    src/AIR_Operators_Setup.F90:196-227)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from pflare_tpu.native import split_cf_native
+
+    rng = np.random.RandomState(3)
+    A = sp.random(220, 220, density=0.04, random_state=rng, format="csr")
+    A = sp.csr_matrix(A + sp.eye(220))
+    A.sort_indices()
+    cf = rng.rand(220) < 0.45
+    fine = np.nonzero(cf)[0]
+    coarse = np.nonzero(~cf)[0]
+    got = split_cf_native(A, fine, coarse, True)
+    if got is None:
+        import pytest
+        pytest.skip("native unavailable")
+    Af, Ac = A[fine], A[coarse]
+    refs = (sp.csr_matrix(Af[:, fine]), sp.csr_matrix(Af[:, coarse]),
+            sp.csr_matrix(Ac[:, fine]), sp.csr_matrix(Ac[:, coarse]))
+    for M, R in zip(got, refs):
+        R.sort_indices()
+        assert M.nnz == R.nnz
+        assert (M != R).nnz == 0
+        assert M.has_sorted_indices
+    # f32 values stream through the f32 kernel variant without upcast
+    got32 = split_cf_native(A.astype(np.float32), fine, coarse, False)
+    assert got32[0].dtype == np.float32
+    assert abs(got32[0] - refs[0].astype(np.float32)).nnz == 0
