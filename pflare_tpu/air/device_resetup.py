@@ -23,11 +23,13 @@ Supported configuration (others raise ValueError at plan build):
 AIRG / lAIR / SAI-lAIR restrictors, one-point classical, ideal
 (-inv(A_ff) A_fc) or symmetric (P = R^T) transfers, every inverse kind
 (assembled power/Arnoldi/Newton, SAI/ISAI re-solves, matrix-free,
-diagonal), strong-R dropping, improve_w/z iterations, near-nullspace
-constraints (device-smoothed candidates + batched projector corrections),
-F/C (not full) smoothing, setup done with ``reuse_sparsity=True`` and
-``reuse_amount >= 3``.  Not covered (loud rejects): full up/down
-smoothing, improve with lAIR, auto-truncated hierarchies.
+diagonal), strong-R dropping, improve_w/z iterations (incl. lAIR Z),
+near-nullspace constraints (device-smoothed candidates + batched
+projector corrections), F/C and full up/down smoothing, auto-truncated
+hierarchies (truncation level fixed as stored structure; the probe
+re-runs on device and install() flags a stale truncation), setup done
+with ``reuse_sparsity=True`` and ``reuse_amount >= 3``.  Loud rejects:
+lAIR z_type combined with the ideal prolongator or symmetric transfers.
 """
 
 from __future__ import annotations
@@ -631,6 +633,21 @@ class DeviceResetup:
             self.arrays.append(a)
         self.coarse_meta, self.coarse_arrays = self._build_coarse_plan(
             hierarchy, opts)
+        # auto-truncated hierarchies re-setup with the truncation level
+        # FIXED (it is part of the stored structure, like the CF
+        # splitting), and the probe (reference: src/AIR_MG_Setup.F90:
+        # 158-256) re-runs ON DEVICE against the rebuilt coarse values so
+        # install() can flag a truncation the new values no longer justify
+        self._probe = None
+        self.probe_quality: float | None = None
+        if hierarchy.auto_truncated:
+            Ac = hierarchy.coarse_matrix
+            rng = np.random.default_rng(opts.seed + 101)
+            self._probe = {
+                "mv": _matvec_arrays(Ac),
+                "b": jnp.asarray(rng.standard_normal(Ac.shape[0])),
+                "n": Ac.shape[0],
+            }
         self._jitted = jax.jit(self._execute)
 
     # ~~~~~~~~~~ host plan build ~~~~~~~~~~
@@ -1419,7 +1436,17 @@ class DeviceResetup:
             levels_vals.append(lv)
             a_flat = coarse_vals
         coarse_inv = self._exec_coarse(coarse_arrays, a_flat)
-        return levels_vals, coarse_inv
+        quality = None
+        if self._probe is not None:
+            # the auto-truncation probe on the NEW values: relative
+            # residual of the rebuilt coarse solver on the same seeded
+            # RHS the host probe used (hierarchy._coarse_solver_quality)
+            b = self._probe["b"].astype(dtype)
+            x = coarse_inv.apply(b)
+            r = b - _exec_matvec(self._probe["mv"], a_flat, x,
+                                 self._probe["n"])
+            quality = jnp.linalg.norm(r) / jnp.linalg.norm(b)
+        return levels_vals, coarse_inv, quality
 
     def _exec_coarse(self, arrs, a_flat):
         meta = self.coarse_meta
@@ -1499,9 +1526,10 @@ class DeviceResetup:
         zerow = jnp.zeros((n0, 0), dtype=self.dtype)
         nulls = (stacked if opts.constrain_z else zerow,
                  stacked if opts.constrain_w else zerow)
-        lvl_vals, coarse_inv = self._jitted(self.arrays,
-                                            self.coarse_arrays, a_flat,
-                                            nulls)
+        lvl_vals, coarse_inv, quality = self._jitted(self.arrays,
+                                                     self.coarse_arrays,
+                                                     a_flat, nulls)
+        self.probe_quality = None if quality is None else float(quality)
         # merge: static leaves (masks, index vectors, P) come from the
         # existing device levels; rebuilt operators replace the rest
         out_levels = []
@@ -1517,8 +1545,24 @@ class DeviceResetup:
         The host-side LevelData (coarse host matrices, stats) is left
         stale by design -- the device hierarchy and the top-level Krylov
         operator are what solves read.  A later host ``setup(...,
-        structure='same')`` rebuilds host state from scratch."""
+        structure='same')`` rebuilds host state from scratch.
+
+        For auto-truncated hierarchies the truncation level is part of
+        the stored structure and stays fixed; the truncation probe
+        re-runs on device against the rebuilt coarse values, and a
+        quality that no longer meets ``auto_truncate_tol`` is reported
+        loudly (structure changes need a full ``setup()``)."""
         levels, coarse_inv = self(A_new)
+        if (self.probe_quality is not None
+                and self.probe_quality
+                > self.hierarchy.options.auto_truncate_tol):
+            import sys as _sys
+
+            print(f"# device re-setup: truncation probe "
+                  f"{self.probe_quality:.2e} exceeds auto_truncate_tol "
+                  f"{self.hierarchy.options.auto_truncate_tol:.2e} on the "
+                  "new values; structure kept -- run a full setup() to "
+                  "re-truncate", file=_sys.stderr)
         pc.hierarchy.device_levels = levels
         pc.hierarchy.coarse_inv = coarse_inv
         if sp.issparse(A_new) and pc.hierarchy.levels:
@@ -1557,8 +1601,6 @@ def _validate(opts: AIROptions, hierarchy):
         bad.append("z_type=lair with symmetric")
     if not opts.reuse_sparsity or opts.reuse_amount < 3:
         bad.append("reuse_sparsity/amount")
-    if hierarchy.auto_truncated:
-        bad.append("auto-truncated hierarchy")
     if bad:
         raise ValueError(
             "device re-setup does not support: " + ", ".join(bad))

@@ -202,3 +202,45 @@ def test_device_resetup_rejects_wrong_pattern():
         plan(A_bad)
     with pytest.raises(ValueError, match="nnz"):
         plan(np.ones(3))
+
+
+def test_device_resetup_auto_truncated():
+    """Auto-truncated hierarchies re-setup on device: the truncation
+    level is stored structure (kept fixed), the coarse inverse rebuilds
+    from the new values, and the truncation probe re-runs ON DEVICE --
+    its quality matches the host probe (reference truncation test:
+    src/AIR_MG_Setup.F90:158-256)."""
+    from pflare_tpu.air.hierarchy import _coarse_solver_quality
+
+    A = adv_diff_2d(20)
+    opts = _base_opts(auto_truncate_start_level=2, auto_truncate_tol=0.5,
+                      coarsest_poly_order=12)
+    pc = PCAIR(opts, jit=False)
+    pc.setup(A)
+    assert pc.hierarchy.auto_truncated, "config no longer truncates"
+    n_lvls = pc.n_levels
+
+    A2 = _perturbed(A, eps=0.01)
+    plan = pc.build_device_resetup()
+    plan.install(pc, A2)
+    assert pc.n_levels == n_lvls           # structure fixed
+    assert plan.probe_quality is not None
+
+    # probe parity vs the host quality on an identically rebuilt coarse
+    pc_ref = PCAIR(opts, jit=False)
+    pc_ref.setup(A2)
+    if pc_ref.hierarchy.auto_truncated:
+        q_host = _coarse_solver_quality(pc_ref.hierarchy.coarse_matrix,
+                                        pc_ref.hierarchy.coarse_inv,
+                                        opts.seed)
+        assert abs(plan.probe_quality - q_host) < 5e-2
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(A.shape[0]))
+    # tol 0.5 accepts a weak coarse solve by design, so the cap is loose
+    res = pc.solve(b, rtol=1e-5, max_it=40)
+    assert res.converged, int(res.iterations)
+    x = np.asarray(res.x)
+    rr = np.linalg.norm(A2 @ x - np.asarray(b)) / np.linalg.norm(
+        np.asarray(b))
+    assert rr < 1e-4, rr
