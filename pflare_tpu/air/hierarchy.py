@@ -633,8 +633,9 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
             from ..native import spgemm_onto_pattern_native
 
             Rm = sp.csr_matrix(P.T).tocsr() if opts.symmetric else R
-            AP = sp.csr_matrix(A @ P)
-            AP.sort_indices()
+            from .operators import ap_product
+
+            AP = ap_product(A, P)
             coarse_A = (spgemm_onto_pattern_native(
                 Rm, AP, patterns["RAP_drop"], lump=opts.a_lump)
                 if sp.issparse(patterns["RAP_drop"]) else None)
@@ -661,8 +662,9 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                     need_rap=want_plans)
             patterns["RAP_drop"] = coarse_A
             if want_plans:
-                AP = sp.csr_matrix(A @ P)
-                AP.sort_indices()
+                from .operators import ap_product
+
+                AP = ap_product(A, P)
                 patterns["AP_numeric_plan"] = _make_product_plan(A, P, AP)
                 patterns["RAP_numeric_plan"] = _make_product_plan(R, AP, RAP)
     patterns["coarse_A"] = coarse_A

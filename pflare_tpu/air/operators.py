@@ -33,6 +33,22 @@ def _matmat(A, B) -> sp.csr_matrix:
     return C
 
 
+def ap_product(A: sp.csr_matrix, P: sp.csr_matrix) -> sp.csr_matrix:
+    """AP = A @ P, specialised when every row of P holds at most one entry
+    (one-point classical prolongator, the default): a single O(nnz(A))
+    relabel-and-merge native sweep replaces the general SpGEMM, whose
+    dense-accumulator stamping over n_c columns dominated host-setup RAP
+    time (the MatMatMult this specialises:
+    src/AIR_Operators_Setup.F90:1006-1033)."""
+    if np.diff(P.indptr).max(initial=0) <= 1:
+        from ..native import ap_onepoint_native
+
+        AP = ap_onepoint_native(A, P)
+        if AP is not None:
+            return AP
+    return _matmat(A, P)
+
+
 # test hook: when set to a list, mesh_matmat_drop appends
 # (name, inputs_row_sharded) per product so tests can assert the
 # distributed setup never multiplies unsharded operators
@@ -239,9 +255,9 @@ def compute_coarse_matrix(A, R, P, a_drop: float, a_lump: bool,
     i.e. no reuse plans), the second product and the drop fuse into one
     native sweep that never materialises RAP; the returned RAP is None."""
     if symmetric:
-        RAP = _matmat(sp.csr_matrix(P.T).tocsr(), _matmat(A, P))
+        RAP = _matmat(sp.csr_matrix(P.T).tocsr(), ap_product(A, P))
     else:
-        AP = _matmat(A, P)
+        AP = ap_product(A, P)
         if not need_rap:
             from ..native import spgemm_drop_native
 

@@ -148,6 +148,12 @@ def get_lib():
             fn.restype = None
             fn.argtypes = ([ip_, ip_, vp_, ctypes.c_int64, u8p, ip_]
                            + [ip_, ip_, vp_] * 4 + [ctypes.c_int])
+        lib.ap_onepoint.restype = ctypes.c_int64
+        lib.ap_onepoint.argtypes = [i64p, i64p, f64p, i64p, f64p,
+                                    ctypes.c_int64, i64p, i64p, f64p]
+        lib.ap_onepoint_i32.restype = ctypes.c_int64
+        lib.ap_onepoint_i32.argtypes = [i32p, i32p, f64p, i32p, f64p,
+                                        ctypes.c_int64, i32p, i32p, f64p]
         # float32-valued variants (single-precision host setup streams
         # half the bytes through these memory-bound kernels); index and
         # value dtypes are orthogonal: "_f32" = i64 idx + f32 values,
@@ -187,6 +193,9 @@ def get_lib():
             fn.restype = None
             fn.argtypes = ([ip_, ip_, f32p, i64_, u8p, ip_]
                            + [ip_, ip_, f32p] * 4 + [int_])
+            fn = getattr(lib, "ap_onepoint" + isuf)
+            fn.restype = i64_
+            fn.argtypes = [ip_, ip_, f32p, ip_, f32p, i64_, ip_, ip_, f32p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -521,6 +530,8 @@ def split_cf_native(A, fine, coarse, need_cc: bool):
     import scipy.sparse as sp
 
     n = A.shape[0]
+    if len(fine) + len(coarse) != n:   # guard: fine/coarse must partition
+        return None                    # range(n) or the row routing walks
     i32 = A.indices.dtype == np.int32 and A.indptr.dtype == np.int32
     idt = np.int32 if i32 else np.int64
     ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
@@ -565,6 +576,46 @@ def split_cf_native(A, fine, coarse, need_cc: bool):
     A_cc = (_mk(cc_ip, *bufs[3], (n_c, n_c), int(cc_ip[-1]))
             if need_cc else None)
     return A_ff, A_fc, A_cf, A_cc
+
+
+def ap_onepoint_native(A, P):
+    """C = A @ P when every row of P holds at most ONE entry (the
+    one-point classical prolongator P = [W; I], the default config): the
+    product degenerates to a streaming column relabel + per-row duplicate
+    merge (kernels.cpp ap_onepoint) instead of a Gustavson SpGEMM with a
+    dense accumulator over n_c columns.  The caller checks P's row widths;
+    returns the product csr, or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    i32 = A.indices.dtype == np.int32 and A.indptr.dtype == np.int32
+    idt = np.int32 if i32 else np.int64
+    ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
+    vdt, vp, f32 = _val_dispatch(A.data, P.data)
+    fn = _vfn(lib, "ap_onepoint", i32, f32)
+    indptr = np.ascontiguousarray(A.indptr, dtype=idt)
+    indices = np.ascontiguousarray(A.indices, dtype=idt)
+    data = np.ascontiguousarray(A.data, dtype=vdt)
+    n_rows = A.shape[0]
+    # dense per-row (column, value) view of P; -1 marks an empty row
+    pcol = np.full(P.shape[0], -1, dtype=idt)
+    pval = np.zeros(P.shape[0], dtype=vdt)
+    prows = np.flatnonzero(np.diff(P.indptr) == 1)
+    pcol[prows] = P.indices
+    pval[prows] = P.data
+    out_indptr = np.empty(n_rows + 1, dtype=idt)
+    ub = max(A.nnz, 1)                 # <=1 output entry per A entry
+    out_cols = _scratch(("ap_cols", idt), ub, idt)
+    out_data = _scratch(("ap_data", vdt), ub, vdt)
+    nnz = fn(_p(indptr, ip), _p(indices, ip), _p(data, vp),
+             _p(pcol, ip), _p(pval, vp), n_rows,
+             _p(out_indptr, ip), _p(out_cols, ip), _p(out_data, vp))
+    out = sp.csr_matrix((out_data[:nnz].copy(), out_cols[:nnz].copy(),
+                         out_indptr), shape=(n_rows, P.shape[1]))
+    out.has_sorted_indices = True
+    return out
 
 
 def spgemm_native(A, B):

@@ -1071,3 +1071,113 @@ void newton_on_sparsity_i32f32(const int32_t* a_indptr,
 }
 
 }  // extern "C"
+
+// ~~~~~~~~~~~~~~~~ AP product for one-entry-per-row P ~~~~~~~~~~~~~~~~
+// C = A @ P when every row of P holds at most ONE entry (the one-point
+// classical prolongator P = [W;I] with W one-point, the default; and the
+// reference's own device fast path exploits the same structure).  The
+// product degenerates to a column relabel pcol[j] + per-row duplicate
+// merge -- one streaming O(nnz(A)) pass instead of a general Gustavson
+// SpGEMM (reference: the MatMatMult in
+// src/AIR_Operators_Setup.F90:1006-1033, here specialised on P's
+// structure).  Rows of A are short (<= a few dozen), so the merge is an
+// insertion sort into a small local buffer.  Output written at the
+// nnz(A) upper bound; returns total kept nnz.
+template <typename I, typename T>
+static int64_t ap_onepoint_t(const I* a_indptr, const I* a_indices,
+                             const T* a_data, const I* pcol, const T* pval,
+                             int64_t n_rows, I* out_indptr, I* out_cols,
+                             T* out_data) {
+    int64_t out = 0;
+    out_indptr[0] = 0;
+    I cols[512];
+    double vals[512];
+    std::vector<I> big_cols;
+    std::vector<double> big_vals;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const int64_t row_len = a_indptr[i + 1] - a_indptr[i];
+        I* c = cols;
+        double* v = vals;
+        if (row_len > 512) {            // arbitrarily wide rows: heap
+            big_cols.resize(row_len);
+            big_vals.resize(row_len);
+            c = big_cols.data();
+            v = big_vals.data();
+        }
+        int64_t m = 0;
+        for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+            const I j = a_indices[p];
+            const I jj = pcol[j];
+            if (jj < 0) continue;       // empty P row contributes nothing
+            const double av = (double)a_data[p] * (double)pval[j];
+            // insertion into the sorted (c, v) prefix, merging duplicates
+            int64_t lo = 0, hi = m;
+            while (lo < hi) {           // lower_bound
+                const int64_t mid = (lo + hi) >> 1;
+                if (c[mid] < jj) lo = mid + 1; else hi = mid;
+            }
+            if (lo < m && c[lo] == jj) {
+                v[lo] += av;
+            } else {
+                for (int64_t k = m; k > lo; --k) {
+                    c[k] = c[k - 1];
+                    v[k] = v[k - 1];
+                }
+                c[lo] = jj;
+                v[lo] = av;
+                ++m;
+            }
+        }
+        for (int64_t k = 0; k < m; ++k) {
+            // exact-cancellation zeros from the duplicate merge are
+            // dropped, matching scipy's csr_matmat output pattern
+            const T tv = (T)v[k];
+            if (tv == (T)0) continue;
+            out_cols[out] = c[k];
+            out_data[out] = tv;
+            ++out;
+        }
+        out_indptr[i + 1] = (I)out;
+    }
+    return out;
+}
+
+extern "C" {
+
+int64_t ap_onepoint(const int64_t* a_indptr, const int64_t* a_indices,
+                    const double* a_data, const int64_t* pcol,
+                    const double* pval, int64_t n_rows,
+                    int64_t* out_indptr, int64_t* out_cols,
+                    double* out_data) {
+    return ap_onepoint_t(a_indptr, a_indices, a_data, pcol, pval, n_rows,
+                         out_indptr, out_cols, out_data);
+}
+
+int64_t ap_onepoint_i32(const int32_t* a_indptr, const int32_t* a_indices,
+                        const double* a_data, const int32_t* pcol,
+                        const double* pval, int64_t n_rows,
+                        int32_t* out_indptr, int32_t* out_cols,
+                        double* out_data) {
+    return ap_onepoint_t(a_indptr, a_indices, a_data, pcol, pval, n_rows,
+                         out_indptr, out_cols, out_data);
+}
+
+int64_t ap_onepoint_f32(const int64_t* a_indptr, const int64_t* a_indices,
+                        const float* a_data, const int64_t* pcol,
+                        const float* pval, int64_t n_rows,
+                        int64_t* out_indptr, int64_t* out_cols,
+                        float* out_data) {
+    return ap_onepoint_t(a_indptr, a_indices, a_data, pcol, pval, n_rows,
+                         out_indptr, out_cols, out_data);
+}
+
+int64_t ap_onepoint_i32f32(const int32_t* a_indptr,
+                           const int32_t* a_indices, const float* a_data,
+                           const int32_t* pcol, const float* pval,
+                           int64_t n_rows, int32_t* out_indptr,
+                           int32_t* out_cols, float* out_data) {
+    return ap_onepoint_t(a_indptr, a_indices, a_data, pcol, pval, n_rows,
+                         out_indptr, out_cols, out_data);
+}
+
+}  // extern "C"

@@ -132,3 +132,44 @@ def test_split_cf_matches_scipy_slicing():
     got32 = split_cf_native(A.astype(np.float32), fine, coarse, False)
     assert got32[0].dtype == np.float32
     assert abs(got32[0] - refs[0].astype(np.float32)).nnz == 0
+
+
+def test_ap_onepoint_matches_scipy_product():
+    """Streaming one-point AP product == scipy A@P for a P with at most
+    one entry per row (the one-point classical prolongator structure,
+    reference: src/AIR_Operators_Setup.F90:1006-1033), across index and
+    value dtypes, empty P rows included."""
+    import scipy.sparse as sp
+    from pflare_tpu.native import ap_onepoint_native
+
+    rng = np.random.RandomState(3)
+    A = sp.random(120, 120, density=0.08, random_state=rng, format="csr")
+    A = sp.csr_matrix(A + sp.diags(np.full(120, 2.0)))
+    A.sort_indices()
+    # P: one entry in most rows, some empty rows, duplicate target cols
+    pcol = rng.randint(0, 40, size=120)
+    keep = rng.random(120) > 0.15
+    rows = np.flatnonzero(keep)
+    P = sp.csr_matrix((rng.randn(len(rows)), (rows, pcol[rows])),
+                      shape=(120, 40))
+    P.sort_indices()
+    assert np.diff(P.indptr).max() == 1
+    for idt in (np.int32, np.int64):
+        for vdt in (np.float64, np.float32):
+            Ad = sp.csr_matrix(
+                (A.data.astype(vdt), A.indices.astype(idt),
+                 A.indptr.astype(idt)), shape=A.shape)
+            Pd = sp.csr_matrix(
+                (P.data.astype(vdt), P.indices.astype(idt),
+                 P.indptr.astype(idt)), shape=P.shape)
+            got = ap_onepoint_native(Ad, Pd)
+            if got is None:
+                pytest.skip("native unavailable")
+            ref = sp.csr_matrix(Ad.astype(np.float64)
+                                @ Pd.astype(np.float64))
+            ref.sort_indices()
+            assert got.nnz == ref.nnz, (idt, vdt)
+            assert np.array_equal(got.indices.astype(np.int64),
+                                  ref.indices.astype(np.int64))
+            tol = 1e-12 if vdt == np.float64 else 1e-5
+            assert abs(got.astype(np.float64) - ref).max() < tol
