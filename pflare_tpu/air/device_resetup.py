@@ -80,22 +80,15 @@ def _submatrix_map(A: sp.csr_matrix, sub: sp.csr_matrix,
     return m
 
 
-def _slot_to_pos(pat: SparsityPattern) -> np.ndarray:
-    """Inverse of slot_of_pos: ELL flat slot -> CSR position (valid slots)."""
-    inv = np.zeros(pat.shape[0] * pat.K, dtype=np.int64)
-    inv[pat.slot_of_pos] = np.arange(pat.nnz, dtype=np.int64)
-    return inv
-
-
 def _product_arrays(plan) -> dict:
-    """SpGEMM plan triples re-expressed in CSR-position space, sorted by
-    output position (lets XLA use the sorted-scatter path)."""
-    a_pos = _slot_to_pos(plan.pat_A)[plan.a_slot_np]
-    b_pos = _slot_to_pos(plan.pat_B)[plan.b_slot_np]
+    """SpGEMM plan triples in CSR-position space (the plan's native
+    space), sorted by output position (lets XLA use the sorted-scatter
+    path).  plan_fill enumerates triples row-major in C, so out_pos is
+    already grouped by C row; the within-row argsort is near-free."""
     order = np.argsort(plan.out_pos_np, kind="stable")
     return {
-        "a_pos": jnp.asarray(a_pos[order]),
-        "b_pos": jnp.asarray(b_pos[order]),
+        "a_pos": jnp.asarray(plan.a_pos_np[order]),
+        "b_pos": jnp.asarray(plan.b_pos_np[order]),
         "out_pos": jnp.asarray(plan.out_pos_np[order]),
     }
 

@@ -701,11 +701,7 @@ def _plan_product_host(plan, A: sp.csr_matrix, B: sp.csr_matrix
                        ) -> sp.csr_matrix:
     """Execute a stored numeric plan on host csr values (the amount>=3
     re-setup product, bitwise-paired with the device re-setup)."""
-    a_flat = np.zeros(plan.pat_A.shape[0] * plan.pat_A.K)
-    a_flat[plan.pat_A.slot_of_pos] = A.data
-    b_flat = np.zeros(plan.pat_B.shape[0] * plan.pat_B.K)
-    b_flat[plan.pat_B.slot_of_pos] = B.data
-    vals = plan.execute_host(a_flat, b_flat)
+    vals = plan.execute_host(A.data, B.data)
     out = sp.csr_matrix(
         (vals, plan.pat_C.indices.astype(np.int64), plan.pat_C.indptr),
         shape=plan.pat_C.shape,

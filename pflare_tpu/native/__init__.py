@@ -56,11 +56,19 @@ def get_lib():
         lib.pmisr_luby.restype = ctypes.c_int
         lib.pmisr_luby.argtypes = [i64p, i64p, ctypes.c_int64, f64p, i64p,
                                    u8p, ctypes.c_int]
+        i32p_ = ctypes.POINTER(ctypes.c_int32)
         lib.plan_count.restype = ctypes.c_int64
         lib.plan_count.argtypes = [i64p, i64p, i64p, ctypes.c_int64]
+        lib.plan_count_i32.restype = ctypes.c_int64
+        lib.plan_count_i32.argtypes = [i32p_, i32p_, i32p_, ctypes.c_int64]
         lib.plan_fill.restype = ctypes.c_int64
         lib.plan_fill.argtypes = [i64p, i64p, i64p, i64p, i64p, i64p,
-                                  ctypes.c_int64, i64p, i64p, i64p]
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  i64p, i64p, i64p]
+        lib.plan_fill_i32.restype = ctypes.c_int64
+        lib.plan_fill_i32.argtypes = [i32p_, i32p_, i32p_, i32p_, i32p_,
+                                      i32p_, ctypes.c_int64, ctypes.c_int64,
+                                      i64p, i64p, i64p]
         lib.drop_small.restype = None
         lib.drop_small.argtypes = [i64p, i64p, f64p, f64p, ctypes.c_int64,
                                    ctypes.c_int, ctypes.c_int, u8p, f64p]
@@ -259,28 +267,32 @@ def pmisr_luby_native(indptr, indices, measure, cf, assigned, max_steps):
 
 
 def plan_triples_native(a_indptr, a_indices, b_indptr, b_indices,
-                        c_indptr, c_indices):
-    """Returns (a_pos, b_pos, c_pos) or None."""
+                        c_indptr, c_indices, n_cols):
+    """Returns (a_pos, b_pos, c_pos) or None.  ``n_cols`` is the column
+    count of B/C (sizes the per-row stamp table)."""
     lib = get_lib()
     if lib is None:
         return None
     i64p = ctypes.POINTER(ctypes.c_int64)
-    a_indptr = _i64(a_indptr)
-    a_indices = _i64(a_indices)
-    b_indptr = _i64(b_indptr)
-    b_indices = _i64(b_indices)
-    c_indptr = _i64(c_indptr)
-    c_indices = _i64(c_indices)
+    arrs = (a_indptr, a_indices, b_indptr, b_indices, c_indptr, c_indices)
+    if all(getattr(a, "dtype", None) == np.int32 for a in arrs):
+        ip = ctypes.POINTER(ctypes.c_int32)
+        count, fill = lib.plan_count_i32, lib.plan_fill_i32
+        arrs = tuple(np.ascontiguousarray(a) for a in arrs)
+    else:
+        ip, count, fill = i64p, lib.plan_count, lib.plan_fill
+        arrs = tuple(_i64(a) for a in arrs)
+    a_indptr, a_indices, b_indptr, b_indices, c_indptr, c_indices = arrs
     n_rows = len(a_indptr) - 1
-    total = lib.plan_count(_p(a_indptr, i64p), _p(a_indices, i64p),
-                           _p(b_indptr, i64p), n_rows)
+    total = count(_p(a_indptr, ip), _p(a_indices, ip),
+                  _p(b_indptr, ip), n_rows)
     a_pos = np.empty(total, dtype=np.int64)
     b_pos = np.empty(total, dtype=np.int64)
     c_pos = np.empty(total, dtype=np.int64)
-    kept = lib.plan_fill(_p(a_indptr, i64p), _p(a_indices, i64p),
-                         _p(b_indptr, i64p), _p(b_indices, i64p),
-                         _p(c_indptr, i64p), _p(c_indices, i64p), n_rows,
-                         _p(a_pos, i64p), _p(b_pos, i64p), _p(c_pos, i64p))
+    kept = fill(_p(a_indptr, ip), _p(a_indices, ip),
+                _p(b_indptr, ip), _p(b_indices, ip),
+                _p(c_indptr, ip), _p(c_indices, ip), n_rows, int(n_cols),
+                _p(a_pos, i64p), _p(b_pos, i64p), _p(c_pos, i64p))
     return a_pos[:kept], b_pos[:kept], c_pos[:kept]
 
 

@@ -27,24 +27,27 @@ def _csr64(A):
 class SpGEMMPlan:
     """Plan for C = (A @ B) restricted to a fixed output pattern.
 
-    ``a_slot``/``b_slot`` index the flat ELL value arrays of A and B;
-    ``out_pos`` is the CSR entry position in C for each product term.
-    """
+    ``a_pos``/``b_pos`` index the CSR value arrays of A and B; ``out_pos``
+    is the CSR entry position in C for each product term.  The ELL
+    flat-slot view needed by the device path is derived lazily -- most
+    plans (host re-setup, device-resetup tables) never touch ELL space,
+    and the slot conversion is a full pass over the (often huge) triple
+    list."""
 
     def __init__(self, pat_A: SparsityPattern, pat_B: SparsityPattern,
-                 pat_C: SparsityPattern, a_slot, b_slot, out_pos):
+                 pat_C: SparsityPattern, a_pos, b_pos, out_pos):
         self.pat_A = pat_A
         self.pat_B = pat_B
         self.pat_C = pat_C
-        self.a_slot_np = np.asarray(a_slot)
-        self.b_slot_np = np.asarray(b_slot)
+        self.a_pos_np = np.asarray(a_pos)
+        self.b_pos_np = np.asarray(b_pos)
         self.out_pos_np = np.asarray(out_pos)
         self._dev = None
 
     def _device_arrays(self):
         if self._dev is None:
-            self._dev = (jnp.asarray(self.a_slot_np),
-                         jnp.asarray(self.b_slot_np),
+            self._dev = (jnp.asarray(self.pat_A.slot_of_pos[self.a_pos_np]),
+                         jnp.asarray(self.pat_B.slot_of_pos[self.b_pos_np]),
                          jnp.asarray(self.out_pos_np))
         return self._dev
 
@@ -70,10 +73,11 @@ class SpGEMMPlan:
         )
         return ELL.from_flat(self.pat_C, c_flat)
 
-    def execute_host(self, a_flat: np.ndarray, b_flat: np.ndarray) -> np.ndarray:
-        """Numeric product on host (setup phase): flat ELL value arrays in,
+    def execute_host(self, a_data: np.ndarray, b_data: np.ndarray
+                     ) -> np.ndarray:
+        """Numeric product on host (setup phase): CSR value arrays in,
         CSR-ordered C values out."""
-        prod = a_flat[self.a_slot_np] * b_flat[self.b_slot_np]
+        prod = a_data[self.a_pos_np] * b_data[self.b_pos_np]
         return np.bincount(self.out_pos_np, weights=prod,
                            minlength=self.pat_C.nnz)
 
@@ -88,9 +92,9 @@ def build_spgemm_plan(
     If ``pat_C`` is None the full product pattern is used (computed
     symbolically with scipy).
     """
-    A = pat_A.csr_bool().astype(np.float64)
-    B = pat_B.csr_bool().astype(np.float64)
     if pat_C is None:
+        A = pat_A.csr_bool().astype(np.float64)
+        B = pat_B.csr_bool().astype(np.float64)
         C = _csr64(A @ B)
         pat_C = SparsityPattern(C.indptr, C.indices, C.shape)
 
@@ -99,7 +103,8 @@ def build_spgemm_plan(
 
     nat = plan_triples_native(pat_A.indptr, pat_A.indices,
                               pat_B.indptr, pat_B.indices,
-                              pat_C.indptr, pat_C.indices)
+                              pat_C.indptr, pat_C.indices,
+                              pat_B.shape[1])
     if nat is not None:
         a_idx, b_idx, out_pos = nat
     else:
@@ -125,12 +130,7 @@ def build_spgemm_plan(
         keep = out_pos >= 0
         a_idx, b_idx, out_pos = a_idx[keep], b_idx[keep], out_pos[keep]
 
-    return SpGEMMPlan(
-        pat_A, pat_B, pat_C,
-        pat_A.slot_of_pos[a_idx],
-        pat_B.slot_of_pos[b_idx],
-        out_pos,
-    )
+    return SpGEMMPlan(pat_A, pat_B, pat_C, a_idx, b_idx, out_pos)
 
 
 class FixedSparsityPolyPlan:
@@ -196,24 +196,18 @@ class FixedSparsityPolyPlan:
 
     def execute_host(self, A_csr, coefficients) -> "sp.csr_matrix":
         """Host numeric path (setup phase, no XLA): same plan, numpy
-        bincount segment sums."""
+        bincount segment sums.  All value vectors stay in CSR entry order
+        (the plan triples index CSR positions directly)."""
         coefficients = np.asarray(coefficients, dtype=np.float64)
-        patA, patS = self.pat_A, self.pat_S
-        a_flat = np.zeros(patA.shape[0] * patA.K)
-        a_flat[patA.slot_of_pos] = A_csr.data
-        a_on_s = np.bincount(self.inject_pos_np,
-                             weights=a_flat[self.inject_slot_np],
+        patS = self.pat_S
+        # inject_pos is injective, so the bincount is a pure placement of
+        # A's CSR values onto the S pattern
+        a_on_s = np.bincount(self.inject_pos_np, weights=A_csr.data,
                              minlength=patS.nnz)
         acc = coefficients[1] * a_on_s
         power_csr = a_on_s
-
-        def to_flat(csr_vals):
-            flat = np.zeros(patS.shape[0] * patS.K)
-            flat[patS.slot_of_pos] = csr_vals
-            return flat
-
         for k in range(2, self.order + 1):
-            power_csr = self.step_plan.execute_host(to_flat(power_csr), a_flat)
+            power_csr = self.step_plan.execute_host(power_csr, A_csr.data)
             acc = acc + coefficients[k] * power_csr
         dmask = self.diag_pos_np >= 0
         acc[self.diag_pos_np[dmask]] += coefficients[0]
