@@ -25,8 +25,11 @@ see BASELINE.md "Benchmark denominator").
 
 Besides the main (f32 throughput) line, a FIRST line reports the
 BASELINE.json parity metric itself -- f64, rtol 1e-10, iterations <= 6
-(reference: tests/Makefile:1117-1140) -- computed in a CPU subprocess;
-its summary is also embedded in the main line's detail.x64_parity.
+(reference: tests/Makefile:1117-1140) -- computed in a CPU subprocess,
+and a _resetup_speedup line reports the flagship reuse subsystem: the
+warm device numeric re-setup vs the first setup (reference claims
+10-20x for same-pattern re-setup, docs/reuse.md:11).  The main metric
+stays the LAST line.
 """
 
 import json
@@ -162,6 +165,72 @@ def _device_probe(host_best: float | None) -> bool:
         return False
 
 
+def _device_resetup_probe() -> dict | None:
+    """Measure the FLAGSHIP reuse path: the fully-jitted device numeric
+    re-setup (air/device_resetup.py) -- the analogue of the reference's
+    same-pattern Kokkos re-setup (reference: docs/reuse.md:11, '10-20x
+    faster re-setup').  Runs in a subprocess under a budget (its XLA
+    compiles land in the shared persistent cache; the one-time plan build
+    + compile is NOT the steady-state cost).  Returns
+    {build_s, cold_s, warm_s} or None on timeout/failure."""
+    budget = int(os.environ.get("PFLARE_BENCH_RESETUP_BUDGET", "480"))
+    if budget <= 0:
+        return None
+    import subprocess
+
+    code = (
+        "import os, time, json\n"
+        f"os.environ.setdefault('PFLARE_JAX_CACHE', {_CACHE!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " os.environ['PFLARE_JAX_CACHE'])\n"
+        f"plat = {os.environ.get('PFLARE_BENCH_PLATFORM', '')!r}\n"
+        "plat and jax.config.update('jax_platforms', plat)\n"
+        "import jax.numpy as jnp\n"
+        "from pflare_tpu import PCAIR, AIROptions, InverseType, adv_diff_2d\n"
+        f"A = adv_diff_2d({N_GRID})\n"
+        "opts = AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99,"
+        f" max_levels={MAX_LEVELS},"
+        " coarsest_inverse_type=InverseType.NEWTON, coarsest_poly_order=16,"
+        " coarsest_matrix_free_polys=True,"
+        " reuse_sparsity=True, reuse_amount=3)\n"
+        "pc = PCAIR(opts, dtype=jnp.float32)\n"
+        "pc.setup(A)\n"
+        "t0 = time.perf_counter()\n"
+        "rs = pc.build_device_resetup()\n"
+        "build_s = time.perf_counter() - t0\n"
+        "A2 = A.copy(); A2.data = A2.data * (1.0 + 1e-4)\n"
+        "ts = []\n"
+        "for _ in range(3):\n"
+        "    t0 = time.perf_counter()\n"
+        "    out = rs(A2)\n"
+        "    jax.block_until_ready(out)\n"
+        "    ts.append(time.perf_counter() - t0)\n"
+        "print(json.dumps({'build_s': round(build_s, 2),"
+        " 'cold_s': round(ts[0], 2), 'warm_s': round(min(ts[1:]), 4)}),"
+        " flush=True)\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=budget,
+                           capture_output=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        if r.returncode != 0:
+            print(f"# device resetup probe failed: {r.stderr[-400:]!r}",
+                  file=sys.stderr)
+            return None
+        for line in r.stdout.decode().splitlines():
+            try:
+                d = json.loads(line)
+                if "warm_s" in d:
+                    return d
+            except Exception:
+                pass
+        return None
+    except subprocess.TimeoutExpired:
+        print(f"# device resetup probe exceeded {budget}s", file=sys.stderr)
+        return None
+
+
 def _x64_parity() -> dict | None:
     """The BASELINE.json metric itself: f64, rtol 1e-10, iterations <= 6
     on the same 512^2 config (reference: tests/Makefile:1117-1140).
@@ -248,18 +317,9 @@ def main():
             "vs_baseline": round(6.0 / max(parity["iterations"], 1), 3),
             "detail": parity,
         }), flush=True)
-        reuse = parity.get("resetup")
-        if reuse:
-            print(json.dumps({
-                "metric": f"airg_adv_diff_fd_{N_GRID}x{N_GRID}"
-                          "_resetup_speedup",
-                "value": reuse["speedup"],
-                "unit": "x (amount-2 same-pattern re-setup vs first "
-                        "setup, 1-core CPU; the amount-3 DEVICE re-setup "
-                        "is ~5 ms warm)",
-                "vs_baseline": round(reuse["speedup"] / 15.0, 3),
-                "detail": reuse,
-            }), flush=True)
+        # (parity["resetup"] holds the host amount-2 CPU reuse tier; the
+        # flagship DEVICE re-setup speedup line is printed after the main
+        # setup timing below, which it is measured against)
 
     opts = AIROptions(
         a_lump=True, a_drop=1e-5, strong_threshold=0.99,
@@ -364,6 +424,22 @@ def main():
             },
         }))
         return 0 if converged else 1
+
+    # the flagship reuse subsystem (reference: docs/reuse.md:11 -- "10-20x
+    # faster re-setup"): same-pattern DEVICE numeric re-setup, warm,
+    # measured against the first-setup time reported above
+    resetup = _device_resetup_probe()
+    if resetup is not None:
+        speedup = round(t_setup / max(resetup["warm_s"], 1e-9), 1)
+        print(json.dumps({
+            "metric": f"airg_adv_diff_fd_{N_GRID}x{N_GRID}_resetup_speedup",
+            "value": speedup,
+            "unit": "x (device same-pattern numeric re-setup, warm, vs "
+                    "first setup; reference claims 10-20x)",
+            "vs_baseline": round(speedup / 15.0, 3),
+            "detail": {**resetup, "first_setup_s": round(t_setup, 3),
+                       "host_amount2_cpu": (parity or {}).get("resetup")},
+        }), flush=True)
 
     E = (pc.hierarchy.top_A
          if getattr(pc.hierarchy, "top_A", None) is not None
