@@ -87,7 +87,14 @@ from pflare_tpu.sparse import ELL  # noqa: E402
 from pflare_tpu.solvers.jitted import richardson_fixed  # noqa: E402
 
 N_GRID = int(os.environ.get("PFLARE_BENCH_N", "512"))
-MAX_LEVELS = int(os.environ.get("PFLARE_BENCH_LEVELS", "8"))
+# Hierarchy truncation depth + coarse polynomial order: measured frontier
+# on this config (see docs/tpu.md) -- 6 levels + Newton-24 mf coarse solve
+# converges in 7 of the 10 fixed Richardson iterations with a 50x residual
+# margin while cutting the deep dense levels whose build dominated setup
+# (the reference's own accelerator guidance: truncate and spend a high-
+# order matrix-free polynomial on the coarsest level, docs/gpus.md:34-40).
+MAX_LEVELS = int(os.environ.get("PFLARE_BENCH_LEVELS", "6"))
+COARSE_ORDER = int(os.environ.get("PFLARE_BENCH_COARSE_ORDER", "24"))
 RTOL = 1e-10 if X64 else 1e-5
 MAX_IT = int(os.environ.get("PFLARE_BENCH_MAXIT", "10"))
 MODE = os.environ.get("PFLARE_BENCH_MODE", "auto")
@@ -125,7 +132,8 @@ def _device_probe(host_best: float | None) -> bool:
         f"A = adv_diff_2d({N_GRID})\n"
         "opts = AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99,"
         f" max_levels={MAX_LEVELS},"
-        " coarsest_inverse_type=InverseType.NEWTON, coarsest_poly_order=16,"
+        " coarsest_inverse_type=InverseType.NEWTON,"
+        f" coarsest_poly_order={COARSE_ORDER},"
         " coarsest_matrix_free_polys=True)\n"
         "Ad = DELL.from_scipy(A, dtype=jnp.float32)\n"
         "Ad.data.block_until_ready()\n"
@@ -191,7 +199,8 @@ def _device_resetup_probe() -> dict | None:
         f"A = adv_diff_2d({N_GRID})\n"
         "opts = AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99,"
         f" max_levels={MAX_LEVELS},"
-        " coarsest_inverse_type=InverseType.NEWTON, coarsest_poly_order=16,"
+        " coarsest_inverse_type=InverseType.NEWTON,"
+        f" coarsest_poly_order={COARSE_ORDER},"
         " coarsest_matrix_free_polys=True,"
         " reuse_sparsity=True, reuse_amount=3)\n"
         "pc = PCAIR(opts, dtype=jnp.float32)\n"
@@ -325,7 +334,7 @@ def main():
         a_lump=True, a_drop=1e-5, strong_threshold=0.99,
         max_levels=MAX_LEVELS,
         coarsest_inverse_type=InverseType.NEWTON,
-        coarsest_poly_order=16,
+        coarsest_poly_order=COARSE_ORDER,
         coarsest_matrix_free_polys=True,
     )
 
