@@ -486,6 +486,10 @@ def _cf_split_device(A: DELL, opts: AIROptions):
 
 _COMPILE_POOL = None
 
+import threading as _threading
+
+_LOWER_LOCK = _threading.Lock()
+
 
 def _compile_pool():
     global _COMPILE_POOL
@@ -513,8 +517,24 @@ def _prefetch(tasks):
         return []
 
     def one(f, a, k):
+        # Concurrent AOT lower+compile is not thread-safe end to end:
+        # jax's compile-options step walks the lowered MLIR module in
+        # Python (compiler.py::use_detailed_logging) and racing walks
+        # segfault intermittently (observed on the CPU backend in long
+        # multi-setup processes).  On CPU the whole body serialises --
+        # a 1-core host gains nothing from concurrent local compiles
+        # anyway; the cache warming is the point.  On accelerator
+        # backends only the LOWERING serialises, keeping the remote
+        # compile service's parallelism (the measured 4-in-the-time-of-1
+        # win) for the C++/network phase.
         try:
-            f.lower(*a, **k).compile()
+            if jax.default_backend() == "cpu":
+                with _LOWER_LOCK:
+                    f.lower(*a, **k).compile()
+            else:
+                with _LOWER_LOCK:
+                    lowered = f.lower(*a, **k)
+                lowered.compile()
         except Exception:
             pass
 
