@@ -515,26 +515,26 @@ def _prefetch(tasks):
 
     if os.environ.get("PFLARE_NO_PRECOMPILE") == "1":
         return []
+    if jax.default_backend() == "cpu":
+        # Pool-side AOT compile races the MAIN thread's own jit
+        # tracing/compiles (the pool lock below only excludes other pool
+        # threads): jax's compile step walks the lowered MLIR module in
+        # Python and racing walks segfault intermittently -- reproduced
+        # on the in-process CPU backend mid-test-suite even with the
+        # pool fully serialised.  A 1-core host gains nothing from
+        # concurrent local compiles anyway, so prefetch is accelerator
+        # -only (there the compile runs in a remote service and only the
+        # LOWERING shares in-process state, serialised below).
+        return []
 
     def one(f, a, k):
-        # Concurrent AOT lower+compile is not thread-safe end to end:
-        # jax's compile-options step walks the lowered MLIR module in
-        # Python (compiler.py::use_detailed_logging) and racing walks
-        # segfault intermittently (observed on the CPU backend in long
-        # multi-setup processes).  On CPU the whole body serialises --
-        # a 1-core host gains nothing from concurrent local compiles
-        # anyway; the cache warming is the point.  On accelerator
-        # backends only the LOWERING serialises, keeping the remote
-        # compile service's parallelism (the measured 4-in-the-time-of-1
-        # win) for the C++/network phase.
+        # Only the lowering serialises: it shares in-process jax/MLIR
+        # state; the backend compile is remote and genuinely concurrent
+        # (measured 4 compiles in the wall-clock of one).
         try:
-            if jax.default_backend() == "cpu":
-                with _LOWER_LOCK:
-                    f.lower(*a, **k).compile()
-            else:
-                with _LOWER_LOCK:
-                    lowered = f.lower(*a, **k)
-                lowered.compile()
+            with _LOWER_LOCK:
+                lowered = f.lower(*a, **k)
+            lowered.compile()
         except Exception:
             pass
 
