@@ -204,6 +204,10 @@ def get_lib():
             fn = getattr(lib, "ap_onepoint" + isuf)
             fn.restype = i64_
             fn.argtypes = [ip_, ip_, f32p, ip_, f32p, i64_, ip_, ip_, f32p]
+        lib.csr_to_ell.restype = None
+        lib.csr_to_ell.argtypes = [i64p, i64p, i64_, i64_, i32p, i64p]
+        lib.csr_to_ell_i32.restype = None
+        lib.csr_to_ell_i32.argtypes = [i32p, i32p, i64_, i64_, i32p, i64p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -665,3 +669,30 @@ def spgemm_native(A, B):
     # rows are already column-sorted
     C.has_sorted_indices = True
     return C
+
+
+def csr_to_ell_native(indptr, indices, n_rows: int, K: int):
+    """Padded-ELL layout of a sorted CSR pattern in one native pass:
+    returns (ell_cols [n_rows, K] int32, slot_of_pos [nnz] int64) or None
+    when native is unavailable.  Padded slots hold column 0 (their values
+    are 0 so they contribute nothing to a SpMV)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if (getattr(indptr, "dtype", None) == np.int32
+            and getattr(indices, "dtype", None) == np.int32):
+        ip, fn = ctypes.POINTER(ctypes.c_int32), lib.csr_to_ell_i32
+        indptr = np.ascontiguousarray(indptr)
+        indices = np.ascontiguousarray(indices)
+    else:
+        ip, fn = ctypes.POINTER(ctypes.c_int64), lib.csr_to_ell
+        indptr = _i64(indptr)
+        indices = _i64(indices)
+    nnz = int(indptr[-1])
+    ell_cols = np.empty((n_rows, int(K)), dtype=np.int32)
+    slot_of_pos = np.empty(nnz, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    fn(_p(indptr, ip), _p(indices, ip), int(n_rows), int(K),
+       _p(ell_cols, i32p), _p(slot_of_pos, i64p))
+    return ell_cols, slot_of_pos

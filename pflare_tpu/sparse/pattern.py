@@ -61,14 +61,23 @@ class SparsityPattern:
 
     def _build_ell(self):
         n_rows = self.shape[0]
-        ell_cols = np.zeros((n_rows, self.K), dtype=np.int32)
-        slot_of_pos = np.zeros(self.nnz, dtype=np.int64)
         if self.nnz:
+            from ..native import csr_to_ell_native
+
+            out = csr_to_ell_native(self.indptr, self.indices, n_rows,
+                                    self.K)
+            if out is not None:
+                self._ell_cols, self._slot_of_pos = out
+                return
             row_len = np.diff(self.indptr)
             rows = np.repeat(np.arange(n_rows), row_len)
             offs = np.arange(self.nnz) - np.repeat(self.indptr[:-1], row_len)
+            ell_cols = np.zeros((n_rows, self.K), dtype=np.int32)
             ell_cols[rows, offs] = self.indices.astype(np.int32)
             slot_of_pos = rows * self.K + offs
+        else:
+            ell_cols = np.zeros((n_rows, self.K), dtype=np.int32)
+            slot_of_pos = np.zeros(0, dtype=np.int64)
         self._ell_cols = ell_cols
         self._slot_of_pos = slot_of_pos
 

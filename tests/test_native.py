@@ -173,3 +173,24 @@ def test_ap_onepoint_matches_scipy_product():
                                   ref.indices.astype(np.int64))
             tol = 1e-12 if vdt == np.float64 else 1e-5
             assert abs(got.astype(np.float64) - ref).max() < tol
+
+
+@pytest.mark.smoke
+def test_csr_to_ell_native_matches_numpy():
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(7)
+    mats = [adv_diff_2d(20),
+            sp.random(60, 60, density=0.15, random_state=rng, format="csr"),
+            sp.csr_matrix((5, 5))]  # empty pattern
+    for A in mats:
+        A = sp.csr_matrix(A)
+        A.sort_indices()
+        _force(True)
+        p_nat = SparsityPattern(A.indptr, A.indices, A.shape)
+        ec_nat, sp_nat = p_nat.ell_cols, p_nat.slot_of_pos
+        _force(False)
+        p_np = SparsityPattern(A.indptr, A.indices, A.shape)
+        ec_np, sp_np = p_np.ell_cols, p_np.slot_of_pos
+        assert np.array_equal(ec_nat, ec_np)
+        assert np.array_equal(sp_nat, sp_np)
