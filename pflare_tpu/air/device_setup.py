@@ -993,8 +993,13 @@ def _improve_z_device(Z: DELL, A_ff: DELL, A_cf: DELL, inv_diag,
     dcol = jnp.where(Z.cols < PADCOL, inv_diag[safe], 0.0)
     acf_at = gather_at_pattern(Z.cols, A_cf)
     zv = Z.data
+    # all iterations restrict onto Z's fixed pattern: one gather of
+    # A_ff's rows (restrict_plan), gather-free contractions per step
+    from ..sparse.dell import apply_restrict_plan, restrict_plan
+
+    T = restrict_plan(Z.cols, A_ff)
     for _ in range(its):
-        za = restricted_product(Z.cols, zv, A_ff)
+        za = apply_restrict_plan(T, zv)
         zv = zv - (za + acf_at) * dcol
     return DELL(zv, Z.cols, Z.n_cols)
 

@@ -476,23 +476,103 @@ def _extract_core(A: DELL, row_idx, col_mask, col_newidx,
 # ~~~~~~~~~~~~~~~~~~ fixed-sparsity polynomial ~~~~~~~~~~~~~~~~~~
 
 
+# Above this many mask elements (rows x Ka*Kb x K_out) the compare-reduce
+# runs row-chunked under lax.map: XLA usually fuses the [n, Ka*Kb, K]
+# select into the reduction, but chunking bounds peak memory even when it
+# does not.
+_RESTRICT_CHUNK_LIMIT = 1 << 31
+_RESTRICT_CHUNK_ROWS = 1 << 15
+
+
 @jax.jit
 def restricted_product(Xc, Xv, A: DELL):
     """(X @ A) restricted to X's own pattern (device sibling of
     mat_mult_powers_share_sparsity, reference: src/Gmres_Poly.F90:777-920).
-    Xc/Xv are X's padded (cols, vals)."""
-    n = Xc.shape[0]
+    Xc/Xv are X's padded (cols, vals).
+
+    Because the OUTPUT pattern is known (X's own), no merge of the product
+    triples is needed at all: out[i, j] = sum over candidate triples whose
+    column equals Xc[i, j] -- a broadcast compare + masked reduction over
+    the expand, with no row sort.  The earlier expand->sort->segsum->
+    searchsorted form paid ~log^2(Ka*Kb) VPU compare stages per product
+    and dominated the warm device setup; this form measures 9-38x faster
+    across the 512^2 hierarchy's shapes on a v5 chip (dead slots carry
+    value 0, so they contribute nothing to any target)."""
+    n, K = Xc.shape
     X = DELL(Xv, Xc, A.data.shape[0])
-    pc, pv = spgemm_expand(X, A)
-    pc, pv = sort_rows(pc, pv)
-    pc, pv = segsum_rows(pc, pv)
-    pc, pv = sort_rows(pc, pv)          # live merged entries, left-packed
-    idx = jax.vmap(jnp.searchsorted)(pc, Xc)
-    idx = jnp.minimum(idx, pc.shape[1] - 1)
-    hit = jnp.take_along_axis(pc, idx, axis=1) == Xc
-    vals = jnp.where(hit & (Xc < PADCOL),
-                     jnp.take_along_axis(pv, idx, axis=1), 0.0)
-    return vals
+    if n * K * A.K * K > _RESTRICT_CHUNK_LIMIT and n > _RESTRICT_CHUNK_ROWS:
+        CH = _RESTRICT_CHUNK_ROWS
+        nch = -(-n // CH)
+        padn = nch * CH - n
+        c3 = jnp.pad(Xc, ((0, padn), (0, 0)),
+                     constant_values=PADCOL).reshape(nch, CH, K)
+        v3 = jnp.pad(Xv, ((0, padn), (0, 0))).reshape(nch, CH, K)
+
+        def body(args):
+            xc, xv = args
+            return _restrict_compare(xc, xv, A)
+
+        out = jax.lax.map(body, (c3, v3))
+        return out.reshape(nch * CH, K)[:n]
+    return _restrict_compare(Xc, Xv, A)
+
+
+def _restrict_compare(Xc, Xv, A: DELL):
+    X = DELL(Xv, Xc, A.data.shape[0])
+    pc, pv = spgemm_expand(X, A)            # [rows, K*Ka]
+    m = pc[:, :, None] == Xc[:, None, :]
+    return jnp.sum(jnp.where(m, pv[:, :, None], 0.0), axis=1)
+
+
+# ~~~~~~~~~~ restriction plan: repeated products on ONE pattern ~~~~~~~~~~
+#
+# When several products restrict onto the SAME pattern (the polynomial
+# power recurrence, Newton basis steps, fixed-sparsity improve
+# iterations), the whole product collapses to a precomputed per-row local
+# stencil operator
+#     T[i, k, j] = A[Xc[i, k], Xc[i, j]]
+# so each product is  out[i, j] = sum_k Xv[i, k] * T[i, k, j]  -- a
+# batched [K]x[K, K] contraction with NO gather and NO sort.  The gather
+# of A's rows (the dominant cost on TPU: measured ~46 ms per [262k, 16]
+# row gather vs ~1.5 ms for the row sort) is paid ONCE per (pattern, A)
+# instead of once per product step.
+
+
+def restrict_plan(Xc, A: DELL):
+    """T [n, K, K] with T[i,k,j] = A[Xc[i,k], Xc[i,j]] (0 where either
+    index is dead or the entry is outside A's pattern)."""
+    n, K = Xc.shape
+    if n * K * A.K * K > _RESTRICT_CHUNK_LIMIT and n > _RESTRICT_CHUNK_ROWS:
+        CH = _RESTRICT_CHUNK_ROWS
+        nch = -(-n // CH)
+        padn = nch * CH - n
+        c3 = jnp.pad(Xc, ((0, padn), (0, 0)),
+                     constant_values=PADCOL).reshape(nch, CH, K)
+        out = jax.lax.map(lambda xc: _restrict_plan_core(xc, A), c3)
+        return out.reshape(nch * CH, K, K)[:n]
+    return _restrict_plan_core(Xc, A)
+
+
+@jax.jit
+def _restrict_plan_core(Xc, A: DELL):
+    nb = A.data.shape[0]
+    Ka = A.data.shape[1]
+    bc1 = jnp.concatenate(
+        [A.cols, jnp.full((1, Ka), PADCOL, A.cols.dtype)], axis=0)
+    bd1 = jnp.concatenate(
+        [A.data, jnp.zeros((1, Ka), A.data.dtype)], axis=0)
+    alive = Xc < PADCOL
+    safe = jnp.where(alive, jnp.minimum(Xc, nb - 1), nb)
+    gc = bc1[safe]                               # [n, K, Ka]
+    gv = bd1[safe]                               # [n, K, Ka]
+    m = gc[:, :, :, None] == Xc[:, None, None, :]
+    return jnp.sum(jnp.where(m, gv[:, :, :, None], 0.0), axis=2)
+
+
+@jax.jit
+def apply_restrict_plan(T, Xv):
+    """out[i,j] = sum_k Xv[i,k] * T[i,k,j] -- one restricted product."""
+    return jnp.einsum("nk,nkj->nj", Xv, T)
 
 
 @jax.jit
@@ -500,16 +580,19 @@ def poly_dell(A: DELL, coeffs):
     """Assembled polynomial sum_k c_k A^k restricted onto A's pattern
     (sparsity_order 1; A must carry a structural diagonal -- use
     extract_dell(..., ensure_diag=True)).  The power recurrence runs as a
-    lax.scan over the coefficients so the restricted product compiles
-    ONCE, not order-1 times (measured 24s -> a few s of XLA compile at
-    512^2; the setup is compile-bound on TPU backends)."""
+    lax.scan over the coefficients so the product compiles ONCE, not
+    order-1 times, and rides a restriction PLAN: the gather of A's rows
+    happens once (restrict_plan), every power step is a gather-free
+    batched contraction (apply_restrict_plan)."""
     n = A.data.shape[0]
     acc = coeffs[1] * A.data
     order = coeffs.shape[0] - 1
     if order >= 2:
+        T = restrict_plan(A.cols, A)
+
         def step(carry, ck):
             cur, acc = carry
-            cur = restricted_product(A.cols, cur, A)
+            cur = apply_restrict_plan(T, cur)
             return (cur, acc + ck * cur), None
         (_, acc), _ = jax.lax.scan(step, (A.data, acc), coeffs[2:])
     isd = A.cols == jnp.arange(n, dtype=A.cols.dtype)[:, None]
@@ -529,6 +612,9 @@ def newton_poly_dell(A: DELL, wr, wi, tol_zero: float):
     isd = A.cols == jnp.arange(n, dtype=A.cols.dtype)[:, None]
     T = jnp.where(isd, 1.0, 0.0).astype(A.dtype)
     M = jnp.zeros_like(T)
+    # one gather for the whole Newton recurrence: every step restricts
+    # onto A's own pattern, so they all share one restriction plan
+    P = restrict_plan(A.cols, A)
     k = len(wr)
     i = 0
     while i <= k - 2:
@@ -537,7 +623,7 @@ def newton_poly_dell(A: DELL, wr, wi, tol_zero: float):
                 i += 1
                 continue
             M = M + T / wr[i]
-            TA = restricted_product(A.cols, T, A)
+            TA = apply_restrict_plan(P, T)
             T = T - TA / wr[i]
             i += 1
         else:
@@ -545,11 +631,11 @@ def newton_poly_dell(A: DELL, wr, wi, tol_zero: float):
             if s < tol_zero:
                 i += 2
                 continue
-            TA = restricted_product(A.cols, T, A)
+            TA = apply_restrict_plan(P, T)
             T2 = 2.0 * wr[i] * T - TA
             M = M + T2 / s
             if i <= k - 3:
-                T = T - restricted_product(A.cols, T2, A) / s
+                T = T - apply_restrict_plan(P, T2) / s
             i += 2
     if k >= 1 and wi[k - 1] == 0.0 and abs(wr[k - 1]) > tol_zero:
         M = M + T / wr[k - 1]

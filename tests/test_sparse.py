@@ -182,3 +182,28 @@ def test_adv_diff_generator_structure():
     row = 2 * 5 + 2
     assert A[row].nnz == 3
     assert np.isclose(A[row].sum(), 0.0)
+
+
+@pytest.mark.smoke
+def test_restrict_plan_matches_direct_product():
+    """restrict_plan/apply_restrict_plan vs the one-shot restricted
+    product AND a dense scipy oracle, on a rectangular X @ A."""
+    from pflare_tpu.sparse.dell import (DELL, apply_restrict_plan,
+                                        restrict_plan, restricted_product)
+
+    A = rand_csr(80, 80, density=0.12, seed=3) + sp.eye(80)
+    A = sp.csr_matrix(A)
+    A.sort_indices()
+    X = rand_csr(60, 80, density=0.15, seed=4)
+    Ad = DELL.from_scipy(A, dtype=jnp.float64)
+    Xd = DELL.from_scipy(X, dtype=jnp.float64)
+
+    direct = restricted_product(Xd.cols, Xd.data, Ad)
+    T = restrict_plan(Xd.cols, Ad)
+    plan = apply_restrict_plan(T, Xd.data)
+    assert np.max(np.abs(np.asarray(direct - plan))) < 1e-12
+
+    dense = (X @ A).toarray()
+    want = np.where(np.abs(X.toarray()) > 0, dense, 0.0)
+    got = DELL(plan, Xd.cols, 80).to_scipy().toarray()
+    assert np.max(np.abs(got - want)) < 1e-12
