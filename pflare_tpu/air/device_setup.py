@@ -302,6 +302,114 @@ def _ddc_pass(A: DELL, cf, fraction_swap):
     return jnp.where(swap, -cf, cf)
 
 
+# ~~~~~~~~~~ offset-structured (DIA) CF splitting ~~~~~~~~~~
+#
+# When the strength graph has few distinct (col - row) offsets (any
+# stencil-structured fine grid; the 512^2 bench's level 0 has 2), every
+# neighbour access in the Luby rounds and the degree computation is a
+# STATIC SHIFT instead of a gather/scatter: measured on a v5 chip,
+# a [262k, 16] vector gather costs ~30 ms and the K-column scatter pass
+# ~29 ms, while 8 shifts measure below timer noise.  Semantics are
+# edge-for-edge identical to _luby_directed / _symmetric_degree on the
+# directed strength cols (ties break on index; the index comparison
+# i vs i+offset is the STATIC sign of the offset).
+
+_DIA_SPLIT_CAP = 12
+
+
+def _scols_offsets(scols):
+    """Distinct (col - row) offsets of the strength pattern as a static
+    host tuple, or None when their count exceeds _DIA_SPLIT_CAP.  One
+    f32 readback (int d2h stalls on remote TPU backends)."""
+    cand = np.asarray(distinct_offsets_device(
+        scols, cap=_DIA_SPLIT_CAP).astype(jnp.float32))
+    offs = np.unique(cand[np.isfinite(cand)])
+    offs = offs[np.abs(offs) < float(OFFBIG)]
+    if len(offs) > _DIA_SPLIT_CAP:
+        return None
+    return tuple(int(o) for o in offs)
+
+
+def _shift(x, od: int):
+    """y[i] = x[i + od] with zero fill (static offset -> pure slices)."""
+    n = x.shape[0]
+    if od == 0:
+        return x
+    zeros = jnp.zeros((abs(od),), dtype=x.dtype)
+    if od > 0:
+        return jnp.concatenate([x[od:], zeros])
+    return jnp.concatenate([zeros, x[:od]])
+
+
+@partial(jax.jit, static_argnames=("offs", "rounds", "pmis", "ddc_its"))
+def _split_fused_dia(A: DELL, scols, rand, ddc_frac, offs: tuple,
+                     rounds: int, pmis: bool, ddc_its: int):
+    """Measure + Luby + DDC for an offset-structured strength graph as
+    ONE gather-free XLA program (shifts + elementwise only; the DDC pass
+    keeps its single pattern gather)."""
+    n = A.data.shape[0]
+    ridx = jnp.arange(n, dtype=scols.dtype)
+    # out-edge presence P[d][i]: edge i -> i+offs[d] (true only for real
+    # columns, so shift wrap-around is always masked); in-edge presence
+    # Pin[d][i]: edge (i-offs[d]) -> i
+    P = [jnp.any(scols == (ridx + od)[:, None], axis=1) for od in offs]
+    Pin = [_shift(p, -od) for p, od in zip(P, offs)]
+
+    # symmetric degree |out| + |in| - |reciprocal| (reciprocal: the
+    # out-edge i -> i+od whose reverse offset -od is present at i+od)
+    deg = jnp.zeros(n, jnp.int32)
+    neg_of = {od: i for i, od in enumerate(offs)}
+    for d, od in enumerate(offs):
+        deg = deg + P[d] + Pin[d]
+        dn = neg_of.get(-od)
+        if dn is not None:
+            deg = deg - (P[d] & _shift(P[dn], od))
+
+    measure = rand + deg.astype(A.dtype)
+    if pmis:
+        measure = -measure
+
+    m_out = [_shift(measure, od) for od in offs]      # m[i + od]
+    m_in = [_shift(measure, -od) for od in offs]      # m[i - od]
+    zero_nodes = jnp.abs(measure) < 1
+    zero_val = C_POINT if pmis else F_POINT
+    cf = jnp.where(zero_nodes, zero_val, 0).astype(jnp.int32)
+    removed0 = zero_nodes
+
+    def body(carry):
+        in_set, r, _ = carry
+        covered = removed0 | in_set
+        for d, od in enumerate(offs):
+            covered = covered | (P[d] & _shift(in_set, od))
+            covered = covered | (Pin[d] & _shift(in_set, -od))
+        blocker = ~covered
+        lose = jnp.zeros(n, dtype=bool)
+        for d, od in enumerate(offs):
+            # out edge i -> j=i+od: i loses to blocker j on larger
+            # measure (tie: larger index, i > j iff od < 0)
+            t_out = (measure > m_out[d]) if od > 0 else \
+                (measure >= m_out[d])
+            lose = lose | (P[d] & _shift(blocker, od) & t_out)
+            # in edge j=i-od -> i: i loses to blocker j (tie: i > j iff
+            # od > 0)
+            t_in = (measure >= m_in[d]) if od > 0 else \
+                (measure > m_in[d])
+            lose = lose | (Pin[d] & _shift(blocker, -od) & t_in)
+        new = blocker & ~lose
+        return in_set | new, r + 1, jnp.any(new)
+
+    init = (jnp.zeros(n, dtype=bool), jnp.int32(0), jnp.bool_(True))
+    in_set, _, _ = jax.lax.while_loop(
+        lambda c: c[2] & (c[1] < rounds), body, init)
+    cf = jnp.where(in_set, F_POINT, cf)
+    cf = jnp.where(cf == 0, C_POINT, cf)
+    if pmis:
+        cf = -cf
+    for _ in range(ddc_its):
+        cf = _ddc_pass(A, cf, ddc_frac)
+    return cf, jnp.sum(cf == F_POINT).astype(jnp.float32)
+
+
 def _sym_graph(A: DELL, theta, square: bool = False):
     """Symmetrized (optionally squared, for distance-2) strength graph as
     padded cols [n, K] (reference: src/SAbs.F90 symmetrize/square)."""
@@ -478,6 +586,12 @@ def _cf_split_device(A: DELL, opts: AIROptions):
                if (opts.strong_threshold != 0.0
                    and t in (CFSplittingType.PMISR_DDC,
                              CFSplittingType.DIAG_DOM)) else 0)
+    # offset-structured graphs take the gather-free shift formulation
+    # (identical markers; the census is one more f32 readback per level)
+    offs = _scols_offsets(scols)
+    if offs is not None and len(offs) > 0:
+        return _split_fused_dia(A, scols, rand, float(opts.ddc_fraction),
+                                offs, rounds, pmis, ddc_its)
     return _split_fused(A, scols, rand, float(opts.ddc_fraction), rounds,
                         pmis, ddc_its)
 

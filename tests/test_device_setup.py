@@ -377,3 +377,33 @@ class TestDeviceHierarchy:
         assert pc.n_levels == 1
         x, _ = pc.solve_device(jnp.ones(6), max_it=10)
         assert np.linalg.norm(A @ np.asarray(x) - 1.0) < 1e-8
+
+
+def test_dia_split_matches_general():
+    """The shift-based (offset-structured) CF split must produce markers
+    IDENTICAL to the gather/scatter Luby formulation."""
+    import pflare_tpu.air.device_setup as ds
+    from pflare_tpu.params import CFSplittingType
+    from pflare_tpu.sparse.dell import ceil8, max_row_count
+
+    for theta, mk in [(0.99, lambda: adv_diff_2d(48)),
+                      (0.5, lambda: adv_diff_2d(48, curved_velocity=True))]:
+        A = mk()
+        Ad = DELL.from_scipy(A, dtype=jnp.float32)
+        for t in (CFSplittingType.PMISR_DDC, CFSplittingType.PMIS):
+            opts = AIROptions(strong_threshold=theta, cf_splitting_type=t)
+            rng = np.random.default_rng(opts.seed)
+            rand = jnp.asarray(rng.random(Ad.shape[0]), dtype=jnp.float32)
+            scols = ds._strength_cols(Ad, theta)
+            w = min(ceil8(max_row_count(scols)), scols.shape[1])
+            scols = ds._compact_cols(scols, w)
+            pmis = t == CFSplittingType.PMIS
+            ddc_its = opts.ddc_its if t == CFSplittingType.PMISR_DDC else 0
+            offs = ds._scols_offsets(scols)
+            assert offs is not None and len(offs) >= 1
+            cf_gen, _ = ds._split_fused(Ad, scols, rand, opts.ddc_fraction,
+                                        25, pmis, ddc_its)
+            cf_dia, _ = ds._split_fused_dia(Ad, scols, rand,
+                                            opts.ddc_fraction, offs, 25,
+                                            pmis, ddc_its)
+            assert bool(jnp.all(cf_gen == cf_dia)), (theta, t)
