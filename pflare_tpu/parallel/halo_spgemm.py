@@ -128,3 +128,130 @@ def spgemm_drop_halo(A: DELL, B: DELL, tol: float, relative: bool,
         diag_of_row = rows_global
     return _halo_spgemm_core(A, B, diag_of_row, float(tol),
                              bool(relative), bool(lump), mesh=mesh)
+
+
+# ~~~~~~~~~~~~~~~~ neighbour-only submatrix extraction ~~~~~~~~~~~~~~~~
+#
+# extract_dell's row gather (A.cols[row_idx]) under GSPMD reshards the
+# whole operator for an arbitrary-index gather.  For banded partitions
+# the source rows of each OUTPUT block are a contiguous global window
+# (row_idx is sorted) spanning at most the shard's own input block plus
+# one neighbour per side, and the referenced columns stay within two
+# blocks -- so the exchange is ppermute shifts of the operator (+-1) and
+# of the column mask/renumber vectors (+-2): the PetscSF neighbour
+# semantics of the reference's distributed MatCreateSubMatrix
+# (reference: src/PETSc_Helperk.kokkos.cxx:1801-2403).
+
+
+@jax.jit
+def _extract_band_ok(acols, ridx_pad, w_in: int, w_out: int):
+    """f32 flag: every padded output row's source lives within one input
+    block of its own shard AND every referenced column within one block
+    of its row (=> within two blocks of the output shard)."""
+    n_out = ridx_pad.shape[0]
+    live_r = ridx_pad < PADCOL
+    own_out = jnp.arange(n_out, dtype=jnp.int32) // w_out
+    own_src = jnp.where(live_r, ridx_pad, 0) // w_in
+    ok_rows = jnp.all(jnp.where(live_r, jnp.abs(own_src - own_out), 0) <= 1)
+    n_in = acols.shape[0]
+    rows_global = jnp.arange(n_in, dtype=jnp.int32)
+    live_c = acols < PADCOL
+    cshard = jnp.where(live_c, acols, 0) // w_in
+    rshard = rows_global[:, None] // w_in
+    ok_cols = jnp.all(jnp.where(live_c, jnp.abs(cshard - rshard), 0) <= 1)
+    return (ok_rows & ok_cols).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("ensure_diag", "mesh", "axis"))
+def _halo_extract_core(A: DELL, ridx_pad, col_mask, col_newidx,
+                       ensure_diag: bool, mesh=None, axis: str = ROW_AXIS):
+    S = mesh.devices.size
+    n_in = A.data.shape[0]
+    w_in = n_in // S
+    w_out = ridx_pad.shape[0] // S
+    fwd = [(i, (i + 1) % S) for i in range(S)]    # receive the LEFT block
+    bwd = [(i, (i - 1) % S) for i in range(S)]    # receive the RIGHT block
+
+    def body(ridx_s, ad, ac, cm, cn):
+        s = jax.lax.axis_index(axis)
+        K = ad.shape[1]
+        ad_l = jax.lax.ppermute(ad, axis, fwd)
+        ad_r = jax.lax.ppermute(ad, axis, bwd)
+        ac_l = jax.lax.ppermute(ac, axis, fwd)
+        ac_r = jax.lax.ppermute(ac, axis, bwd)
+        aw_d = jnp.concatenate(
+            [ad_l, ad, ad_r, jnp.zeros((1, K), ad.dtype)], axis=0)
+        aw_c = jnp.concatenate(
+            [ac_l, ac, ac_r, jnp.full((1, K), PADCOL, ac.dtype)], axis=0)
+        live_r = ridx_s < PADCOL
+        base = (s.astype(jnp.int32) - 1) * w_in
+        loc = jnp.where(live_r,
+                        jnp.clip(ridx_s - base, 0, 3 * w_in - 1), 3 * w_in)
+        cols = aw_c[loc]
+        vals = aw_d[loc]
+
+        cm_l = jax.lax.ppermute(cm, axis, fwd)
+        cm_r = jax.lax.ppermute(cm, axis, bwd)
+        cm_l2 = jax.lax.ppermute(cm_l, axis, fwd)
+        cm_r2 = jax.lax.ppermute(cm_r, axis, bwd)
+        cn_l = jax.lax.ppermute(cn, axis, fwd)
+        cn_r = jax.lax.ppermute(cn, axis, bwd)
+        cn_l2 = jax.lax.ppermute(cn_l, axis, fwd)
+        cn_r2 = jax.lax.ppermute(cn_r, axis, bwd)
+        cw = jnp.concatenate(
+            [cm_l2, cm_l, cm, cm_r, cm_r2,
+             jnp.zeros((1,), cm.dtype)])
+        nw = jnp.concatenate(
+            [cn_l2, cn_l, cn, cn_r, cn_r2, jnp.zeros((1,), cn.dtype)])
+        base_c = (s.astype(jnp.int32) - 2) * w_in
+        live = cols < PADCOL
+        cloc = jnp.where(live,
+                         jnp.clip(cols - base_c, 0, 5 * w_in - 1),
+                         5 * w_in)
+        keep = live & (cw[cloc] != 0)
+        ncols = jnp.where(keep, nw[cloc].astype(cols.dtype), PADCOL)
+        nvals = jnp.where(keep, vals, 0.0)
+        if ensure_diag:
+            grow = s.astype(jnp.int32) * w_out + jnp.arange(
+                w_out, dtype=jnp.int32)
+            has = jnp.any(ncols == grow[:, None], axis=1)
+            extra_c = jnp.where(has | ~live_r, PADCOL, grow)[:, None]
+            ncols = jnp.concatenate([ncols, extra_c], axis=1)
+            nvals = jnp.concatenate(
+                [nvals, jnp.zeros((w_out, 1), nvals.dtype)], axis=1)
+        return ncols, nvals
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis, None), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,
+    )(ridx_pad, A.data, A.cols, col_mask.astype(jnp.int32),
+      col_newidx.astype(jnp.int32))
+
+
+def extract_halo(A: DELL, row_idx, col_mask, col_newidx,
+                 ensure_diag: bool, mesh):
+    """Neighbour-exchange submatrix extraction on a row-sharded operator.
+
+    Returns UNCOMPACTED (cols, vals) of A[row_idx][:, col_mask] with
+    columns renumbered (rows in row_idx order), or None when the band
+    condition fails or sizes do not divide the mesh (caller falls back
+    to the GSPMD gather)."""
+    S = mesh.devices.size
+    n_in = A.data.shape[0]
+    if n_in % S:
+        return None
+    w_in = n_in // S
+    n_new = row_idx.shape[0]
+    w_out = -(-n_new // S)
+    pad = S * w_out - n_new
+    ridx_pad = jnp.pad(row_idx.astype(jnp.int32), (0, pad),
+                       constant_values=PADCOL)
+    if not bool(_extract_band_ok(A.cols, ridx_pad, w_in, w_out)):
+        return None
+    ncols, nvals = _halo_extract_core(A, ridx_pad, col_mask, col_newidx,
+                                      bool(ensure_diag), mesh=mesh)
+    if pad:
+        ncols, nvals = ncols[:n_new], nvals[:n_new]
+    return ncols, nvals

@@ -441,9 +441,25 @@ def extract_dell(A: DELL, row_idx, col_mask, col_newidx, n_cols_new: int,
     compact_width=False keeps the input capacity (rows still sorted and
     left-packed) and skips the scalar shape readback -- extraction can
     only shrink rows, so the input width is already a valid bound and the
-    tunnel round-trip usually costs more than the padding."""
-    ccols, cvals = _extract_core(A, row_idx, col_mask, col_newidx,
-                                 bool(ensure_diag))
+    tunnel round-trip usually costs more than the padding.
+
+    Row-sharded operators on a 1-D mesh take the NEIGHBOUR-ONLY halo
+    path for banded partitions (ppermute shifts instead of GSPMD's
+    general resharding of the row gather); see
+    parallel/halo_spgemm.py::extract_halo."""
+    ccols = cvals = None
+    if _row_sharded(A.data):
+        from ..parallel.halo_spgemm import _mesh_of, extract_halo
+
+        mesh = _mesh_of(A.data)
+        if mesh is not None:
+            out = extract_halo(A, row_idx, col_mask, col_newidx,
+                               bool(ensure_diag), mesh)
+            if out is not None:
+                ccols, cvals = out
+    if ccols is None:
+        ccols, cvals = _extract_core(A, row_idx, col_mask, col_newidx,
+                                     bool(ensure_diag))
     if compact_width:
         K_new = max(max_row_count(ccols), 1)
     else:

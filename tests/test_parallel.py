@@ -253,3 +253,52 @@ def test_distributed_setup_slice_identical_hierarchy():
     rd = pc_dist.solve(b, rtol=1e-8, max_it=20)
     assert rs.converged and rd.converged
     assert rs.iterations == rd.iterations
+
+
+def test_halo_extraction_parity_and_neighbour_only_hlo():
+    """Sharded submatrix extraction takes the NEIGHBOUR-ONLY halo path
+    for banded partitions: the extracted operator matches the serial
+    one exactly and the compiled HLO contains collective-permutes but
+    no all-gather / all-to-all (the distributed MatCreateSubMatrix
+    analogue, reference: src/PETSc_Helperk.kokkos.cxx:1801-2403)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pflare_tpu import adv_diff_2d
+    from pflare_tpu.parallel import make_mesh
+    from pflare_tpu.parallel.halo_spgemm import (_halo_extract_core,
+                                                 extract_halo)
+    from pflare_tpu.parallel.mesh import row_sharding
+    from pflare_tpu.sparse.dell import DELL, PADCOL, extract_dell
+
+    A = adv_diff_2d(48)
+    d = DELL.from_scipy(A, dtype=jnp.float64)
+    mesh = make_mesh(8)
+    sh = row_sharding(mesh)
+    d_sh = DELL(jax.device_put(d.data, sh), jax.device_put(d.cols, sh),
+                d.n_cols)
+    rng = np.random.default_rng(0)
+    n = A.shape[0]
+    is_f = rng.random(n) < 0.6
+    n_f = int(is_f.sum())
+    fine_idx = jnp.asarray(np.nonzero(is_f)[0].astype(np.int32))
+    f_mask = jnp.asarray(is_f)
+    f_new = jnp.asarray((np.cumsum(is_f) - 1).astype(np.int32))
+
+    for ed in (True, False):
+        ref = extract_dell(d, fine_idx, f_mask, f_new, n_f, ensure_diag=ed)
+        assert extract_halo(d_sh, fine_idx, f_mask, f_new, ed,
+                            mesh) is not None
+        got = extract_dell(d_sh, fine_idx, f_mask, f_new, n_f,
+                           ensure_diag=ed)
+        diff = abs(got.to_scipy() - ref.to_scipy())
+        assert (diff.max() if diff.nnz else 0.0) < 1e-14
+
+    w_out = -(-n_f // 8)
+    ridx_pad = jnp.pad(fine_idx, (0, 8 * w_out - n_f),
+                       constant_values=PADCOL)
+    txt = _halo_extract_core.lower(d_sh, ridx_pad, f_mask, f_new, True,
+                                   mesh=mesh).as_text()
+    assert "collective_permute" in txt or "collective-permute" in txt
+    for bad in ("all_gather", "all-gather", "all_to_all", "all-to-all"):
+        assert bad not in txt, bad
