@@ -54,7 +54,6 @@ from ..sparse.dell import (
     newton_poly_dell,
     onecol_product,
     poly_dell,
-    restricted_product,
     sort_rows,
     spgemm_drop_dell,
     transpose_pattern,

@@ -204,9 +204,9 @@ def get_lib():
             fn = getattr(lib, "ap_onepoint" + isuf)
             fn.restype = i64_
             fn.argtypes = [ip_, ip_, f32p, ip_, f32p, i64_, ip_, ip_, f32p]
-        lib.csr_to_ell.restype = None
+        lib.csr_to_ell.restype = ctypes.c_int
         lib.csr_to_ell.argtypes = [i64p, i64p, i64_, i64_, i32p, i64p]
-        lib.csr_to_ell_i32.restype = None
+        lib.csr_to_ell_i32.restype = ctypes.c_int
         lib.csr_to_ell_i32.argtypes = [i32p, i32p, i64_, i64_, i32p, i64p]
         _LIB = lib
     except Exception:
@@ -693,6 +693,9 @@ def csr_to_ell_native(indptr, indices, n_rows: int, K: int):
     slot_of_pos = np.empty(nnz, dtype=np.int64)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    fn(_p(indptr, ip), _p(indices, ip), int(n_rows), int(K),
-       _p(ell_cols, i32p), _p(slot_of_pos, i64p))
+    rc = fn(_p(indptr, ip), _p(indices, ip), int(n_rows), int(K),
+            _p(ell_cols, i32p), _p(slot_of_pos, i64p))
+    if rc != 0:
+        raise ValueError(
+            f"csr_to_ell: a row exceeds the padded width K={K}")
     return ell_cols, slot_of_pos

@@ -1229,34 +1229,36 @@ int64_t ap_onepoint_i32f32(const int32_t* a_indptr,
 // zero here: we zero here so the caller can use np.empty).
 
 template <typename I>
-static void csr_to_ell_t(const I* indptr, const I* indices, int64_t n_rows,
-                         int64_t K, int32_t* ell_cols,
-                         int64_t* slot_of_pos) {
+static int csr_to_ell_t(const I* indptr, const I* indices, int64_t n_rows,
+                        int64_t K, int32_t* ell_cols,
+                        int64_t* slot_of_pos) {
     for (int64_t r = 0; r < n_rows; ++r) {
         const int64_t s = (int64_t)indptr[r];
         const int64_t e = (int64_t)indptr[r + 1];
         int32_t* row = ell_cols + r * K;
         const int64_t len = e - s;
+        if (len > K) return 1;  // caller's K too small: loud, not corrupt
         for (int64_t j = 0; j < len; ++j) {
             row[j] = (int32_t)indices[s + j];
             slot_of_pos[s + j] = r * K + j;
         }
         for (int64_t j = len; j < K; ++j) row[j] = 0;
     }
+    return 0;
 }
 
 extern "C" {
 
-void csr_to_ell(const int64_t* indptr, const int64_t* indices,
-                int64_t n_rows, int64_t K, int32_t* ell_cols,
-                int64_t* slot_of_pos) {
-    csr_to_ell_t(indptr, indices, n_rows, K, ell_cols, slot_of_pos);
+int csr_to_ell(const int64_t* indptr, const int64_t* indices,
+               int64_t n_rows, int64_t K, int32_t* ell_cols,
+               int64_t* slot_of_pos) {
+    return csr_to_ell_t(indptr, indices, n_rows, K, ell_cols, slot_of_pos);
 }
 
-void csr_to_ell_i32(const int32_t* indptr, const int32_t* indices,
-                    int64_t n_rows, int64_t K, int32_t* ell_cols,
-                    int64_t* slot_of_pos) {
-    csr_to_ell_t(indptr, indices, n_rows, K, ell_cols, slot_of_pos);
+int csr_to_ell_i32(const int32_t* indptr, const int32_t* indices,
+                   int64_t n_rows, int64_t K, int32_t* ell_cols,
+                   int64_t* slot_of_pos) {
+    return csr_to_ell_t(indptr, indices, n_rows, K, ell_cols, slot_of_pos);
 }
 
 }  // extern "C"

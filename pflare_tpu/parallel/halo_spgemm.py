@@ -240,10 +240,15 @@ def extract_halo(A: DELL, row_idx, col_mask, col_newidx,
     to the GSPMD gather)."""
     S = mesh.devices.size
     n_in = A.data.shape[0]
-    if n_in % S:
+    n_new = row_idx.shape[0]
+    # the 5-block column window is indexed in units of A's ROW blocks, so
+    # the column space must coincide with the row space (square operator);
+    # rectangular extractions (e.g. the coarse-compressed RAP's [n_c, n]
+    # source) fall back to the GSPMD gather
+    if n_in % S or n_new == 0 or col_mask.shape[0] != n_in \
+            or col_newidx.shape[0] != n_in or A.n_cols != n_in:
         return None
     w_in = n_in // S
-    n_new = row_idx.shape[0]
     w_out = -(-n_new // S)
     pad = S * w_out - n_new
     ridx_pad = jnp.pad(row_idx.astype(jnp.int32), (0, pad),

@@ -495,9 +495,16 @@ def _extract_core(A: DELL, row_idx, col_mask, col_newidx,
 # Above this many mask elements (rows x Ka*Kb x K_out) the compare-reduce
 # runs row-chunked under lax.map: XLA usually fuses the [n, Ka*Kb, K]
 # select into the reduction, but chunking bounds peak memory even when it
-# does not.
+# does not.  The chunk height adapts to the per-row mask volume so one
+# chunk's intermediate stays within the element budget at any width.
 _RESTRICT_CHUNK_LIMIT = 1 << 31
-_RESTRICT_CHUNK_ROWS = 1 << 15
+
+
+def _restrict_chunk_rows(per_row: int) -> int:
+    """Rows per chunk keeping CH * per_row within the element budget
+    (multiple of 8, at least 8)."""
+    ch = max(int(_RESTRICT_CHUNK_LIMIT // max(per_row, 1)), 8)
+    return max((ch // 8) * 8, 8)
 
 
 @jax.jit
@@ -515,9 +522,9 @@ def restricted_product(Xc, Xv, A: DELL):
     across the 512^2 hierarchy's shapes on a v5 chip (dead slots carry
     value 0, so they contribute nothing to any target)."""
     n, K = Xc.shape
-    X = DELL(Xv, Xc, A.data.shape[0])
-    if n * K * A.K * K > _RESTRICT_CHUNK_LIMIT and n > _RESTRICT_CHUNK_ROWS:
-        CH = _RESTRICT_CHUNK_ROWS
+    per_row = K * A.K * K
+    if n * per_row > _RESTRICT_CHUNK_LIMIT:
+        CH = _restrict_chunk_rows(per_row)
         nch = -(-n // CH)
         padn = nch * CH - n
         c3 = jnp.pad(Xc, ((0, padn), (0, 0)),
@@ -558,8 +565,9 @@ def restrict_plan(Xc, A: DELL):
     """T [n, K, K] with T[i,k,j] = A[Xc[i,k], Xc[i,j]] (0 where either
     index is dead or the entry is outside A's pattern)."""
     n, K = Xc.shape
-    if n * K * A.K * K > _RESTRICT_CHUNK_LIMIT and n > _RESTRICT_CHUNK_ROWS:
-        CH = _RESTRICT_CHUNK_ROWS
+    per_row = K * A.K * K
+    if n * per_row > _RESTRICT_CHUNK_LIMIT:
+        CH = _restrict_chunk_rows(per_row)
         nch = -(-n // CH)
         padn = nch * CH - n
         c3 = jnp.pad(Xc, ((0, padn), (0, 0)),
@@ -587,8 +595,12 @@ def _restrict_plan_core(Xc, A: DELL):
 
 @jax.jit
 def apply_restrict_plan(T, Xv):
-    """out[i,j] = sum_k Xv[i,k] * T[i,k,j] -- one restricted product."""
-    return jnp.einsum("nk,nkj->nj", Xv, T)
+    """out[i,j] = sum_k Xv[i,k] * T[i,k,j] -- one restricted product.
+    Precision.HIGHEST: a default f32 dot on TPU rounds operands to bf16
+    (~1e-3 relative error), which would compound over the order-6..24
+    polynomial recurrences (same hazard documented in sparse/banded.py)."""
+    return jnp.einsum("nk,nkj->nj", Xv, T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
@@ -629,8 +641,17 @@ def newton_poly_dell(A: DELL, wr, wi, tol_zero: float):
     T = jnp.where(isd, 1.0, 0.0).astype(A.dtype)
     M = jnp.zeros_like(T)
     # one gather for the whole Newton recurrence: every step restricts
-    # onto A's own pattern, so they all share one restriction plan
-    P = restrict_plan(A.cols, A)
+    # onto A's own pattern, so they all share one restriction plan --
+    # built lazily so a degenerate schedule (k <= 1 or all roots below
+    # tol_zero) never pays the gather or the [n, K, K] tensor
+    _plan = [None]
+
+    def _P():
+        if _plan[0] is None:
+            _plan[0] = restrict_plan(A.cols, A)
+        return _plan[0]
+
+    apply_restrict = lambda X: apply_restrict_plan(_P(), X)
     k = len(wr)
     i = 0
     while i <= k - 2:
@@ -639,7 +660,7 @@ def newton_poly_dell(A: DELL, wr, wi, tol_zero: float):
                 i += 1
                 continue
             M = M + T / wr[i]
-            TA = apply_restrict_plan(P, T)
+            TA = apply_restrict(T)
             T = T - TA / wr[i]
             i += 1
         else:
@@ -647,11 +668,11 @@ def newton_poly_dell(A: DELL, wr, wi, tol_zero: float):
             if s < tol_zero:
                 i += 2
                 continue
-            TA = apply_restrict_plan(P, T)
+            TA = apply_restrict(T)
             T2 = 2.0 * wr[i] * T - TA
             M = M + T2 / s
             if i <= k - 3:
-                T = T - apply_restrict_plan(P, T2) / s
+                T = T - apply_restrict(T2) / s
             i += 2
     if k >= 1 and wi[k - 1] == 0.0 and abs(wr[k - 1]) > tol_zero:
         M = M + T / wr[k - 1]

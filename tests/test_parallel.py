@@ -302,3 +302,38 @@ def test_halo_extraction_parity_and_neighbour_only_hlo():
     assert "collective_permute" in txt or "collective-permute" in txt
     for bad in ("all_gather", "all-gather", "all_to_all", "all-to-all"):
         assert bad not in txt, bad
+
+
+def test_halo_extraction_rejects_rectangular():
+    """A rectangular row-sharded operator (col space != row space, e.g.
+    the coarse-compressed RAP source) must NOT take the halo path: its
+    5-block column window is indexed in row-block units.  The guard
+    falls back to the GSPMD gather and extraction stays exact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+    from pflare_tpu.parallel import make_mesh
+    from pflare_tpu.parallel.halo_spgemm import extract_halo
+    from pflare_tpu.parallel.mesh import row_sharding
+    from pflare_tpu.sparse.dell import DELL, extract_dell
+
+    rng = np.random.default_rng(1)
+    n_r, n_c_sp = 16, 32
+    A = sp.random(n_r, n_c_sp, density=0.2, random_state=1, format="csr")
+    A = sp.csr_matrix(A + sp.eye(n_r, n_c_sp))
+    A.sort_indices()
+    d = DELL.from_scipy(A, dtype=jnp.float64)
+    mesh = make_mesh(8)
+    sh = row_sharding(mesh)
+    d_sh = DELL(jax.device_put(d.data, sh), jax.device_put(d.cols, sh),
+                d.n_cols)
+    keep = rng.random(n_c_sp) < 0.7
+    cmask = jnp.asarray(keep)
+    cnew = jnp.asarray((np.cumsum(keep) - 1).astype(np.int32))
+    ridx = jnp.arange(n_r, dtype=jnp.int32)
+    assert extract_halo(d_sh, ridx, cmask, cnew, False, mesh) is None
+    ref = extract_dell(d, ridx, cmask, cnew, int(keep.sum()))
+    got = extract_dell(d_sh, ridx, cmask, cnew, int(keep.sum()))
+    diff = abs(got.to_scipy() - ref.to_scipy())
+    assert (diff.max() if diff.nnz else 0.0) < 1e-14
