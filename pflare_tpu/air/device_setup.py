@@ -578,8 +578,15 @@ def _cf_split_device(A: DELL, opts: AIROptions):
     # is never materialised (its device transpose needs a global sort --
     # a pathological XLA compile on TPU).  Compact the strength pattern
     # first: one scalar readback buys narrow Luby/degree programs.
+    # The width is EXACT-bucketed (4/8/then ceil8) rather than ceil8's
+    # min-16: the Luby rounds are gather/scatter-bound and their cost is
+    # linear in the width (measured 149ms at w=4 vs 507ms at w=16 for an
+    # identical [166k] graph); strength graphs at production thresholds
+    # keep only 1-4 entries per row.
     scols = _strength_cols(A, float(opts.strong_threshold))
-    w = min(ceil8(max_row_count(scols)), scols.shape[1])
+    true_w = max(max_row_count(scols), 1)
+    w = 4 if true_w <= 4 else (8 if true_w <= 8 else ceil8(true_w))
+    w = min(w, scols.shape[1])
     scols = _compact_cols(scols, w)
     ddc_its = (opts.ddc_its
                if (opts.strong_threshold != 0.0
