@@ -7,12 +7,21 @@ sharding is validated on the virtual 8-device CPU mesh; real-TPU
 benchmarking happens in bench.py.
 """
 
+import os
+
 import jax
 import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+# Persistent XLA compile cache: the full suite is compile-dominated
+# (hundreds of device-setup programs); repeat runs skip XLA entirely.
+# Keyed separately from bench.py's caches (different backend config).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PFLARE_TEST_JAX_CACHE", "/tmp/pflare_jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_configure(config):
