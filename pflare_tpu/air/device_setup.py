@@ -70,25 +70,9 @@ from ..utils.timers import timer
 
 
 def device_setup_supported(opts: AIROptions) -> bool:
-    """True when the device first-setup covers this option set."""
-    return not (
-        opts.symmetric
-        or opts.improve_w_its
-        or opts.constrain_w or opts.constrain_z
-        or opts.full_smoothing_up_and_down
-        or not opts.one_point_classical_prolong
-        or opts.cf_splitting_type not in (CFSplittingType.PMISR_DDC,
-                                          CFSplittingType.PMIS,
-                                          CFSplittingType.PMIS_DIST2,
-                                          CFSplittingType.CR)
-        or opts.inverse_sparsity_order != 1
-        or opts.c_inverse_sparsity_order_eff != 1
-        or opts.any_c_smooths
-        or opts.inverse_type in (InverseType.SAI, InverseType.ISAI,
-                                 InverseType.LU)
-        or opts.coarsest_inverse_type in (InverseType.SAI, InverseType.ISAI,
-                                          InverseType.LU)
-    )
+    """True when the device first-setup covers this option set (single
+    source of truth: device_setup_unsupported_reason's checklist)."""
+    return device_setup_unsupported_reason(opts) is None
 
 
 def device_setup_unsupported_reason(opts: AIROptions) -> str | None:
@@ -406,7 +390,7 @@ def _split_fused_dia(A: DELL, scols, rand, ddc_frac, offs: tuple,
         cf = -cf
     for _ in range(ddc_its):
         cf = _ddc_pass(A, cf, ddc_frac)
-    return cf, jnp.sum(cf == F_POINT).astype(jnp.float32)
+    return cf, _count_pair(cf == F_POINT)
 
 
 def _sym_graph(A: DELL, theta, square: bool = False):
@@ -456,7 +440,7 @@ def _cr_split_device(A: DELL, opts: AIROptions):
     rng = np.random.default_rng(opts.seed)
     rand_full = jnp.asarray(rng.random(n), dtype=A.dtype)
     for _ in range(CR_MAX_ITS):
-        n_f = int(float(jnp.sum(cf == F_POINT).astype(jnp.float32)))
+        n_f = _read_pair(_count_pair(cf == F_POINT))
         if n_f == 0:
             break
         is_f = cf == F_POINT
@@ -547,7 +531,7 @@ def _split_fused(A: DELL, scols, rand, ddc_frac, rounds: int, pmis: bool,
         cf = -cf
     for _ in range(ddc_its):
         cf = _ddc_pass(A, cf, ddc_frac)
-    return cf, jnp.sum(cf == F_POINT).astype(jnp.float32)
+    return cf, _count_pair(cf == F_POINT)
 
 
 def _cf_split_device(A: DELL, opts: AIROptions):
@@ -558,7 +542,7 @@ def _cf_split_device(A: DELL, opts: AIROptions):
     t = CFSplittingType(opts.cf_splitting_type)
     if t == CFSplittingType.CR:
         cf = _cr_split_device(A, opts)
-        return cf, jnp.sum(cf == F_POINT).astype(jnp.float32)
+        return cf, _count_pair(cf == F_POINT)
     pmis = t in (CFSplittingType.PMIS, CFSplittingType.PMIS_DIST2)
 
     rng = np.random.default_rng(opts.seed)
@@ -573,7 +557,7 @@ def _cf_split_device(A: DELL, opts: AIROptions):
         gcols = _sym_graph(A, float(opts.strong_threshold), square=True)
         measure = rand + jnp.sum(gcols < PADCOL, axis=1).astype(A.dtype)
         cf = -_luby_rounds(gcols, -measure, cf0, rounds, pmis=True)
-        return cf, jnp.sum(cf == F_POINT).astype(jnp.float32)
+        return cf, _count_pair(cf == F_POINT)
     # PMISR/PMIS ride the directed strength cols: the symmetrized graph
     # is never materialised (its device transpose needs a global sort --
     # a pathological XLA compile on TPU).  Compact the strength pattern
@@ -600,6 +584,22 @@ def _cf_split_device(A: DELL, opts: AIROptions):
                                 offs, rounds, pmis, ddc_its)
     return _split_fused(A, scols, rand, float(opts.ddc_fraction), rounds,
                         pmis, ddc_its)
+
+
+
+def _count_pair(mask):
+    """Exact integer count as a [2] f32 (hi, lo) pair: f32 d2h is the
+    only stall-free transfer on remote TPU backends, but a single f32
+    rounds above 2^24 -- and n_f is load-bearing (it sizes every index
+    structure).  hi/lo base-2^20 digits are exact to 2^44 counts."""
+    c = jnp.sum(mask.astype(jnp.int32))        # int on device: exact
+    hi = c // 1048576
+    return jnp.stack([hi, c - hi * 1048576]).astype(jnp.float32)
+
+
+def _read_pair(pair) -> int:
+    v = np.asarray(pair, dtype=np.float64)
+    return int(v[0]) * 1048576 + int(v[1])
 
 
 # ~~~~~~~~~~~~~~~~~~ compile prefetch ~~~~~~~~~~~~~~~~~~
@@ -647,18 +647,27 @@ def _prefetch(tasks):
         # LOWERING shares in-process state, serialised below).
         return []
 
-    def one(f, a, k):
-        # Only the lowering serialises: it shares in-process jax/MLIR
-        # state; the backend compile is remote and genuinely concurrent
-        # (measured 4 compiles in the wall-clock of one).
+    # Lowering happens HERE on the main thread: it shares in-process
+    # jax/MLIR state with the main thread's own tracing, so doing it in
+    # the pool would race that tracing (the pool lock can only exclude
+    # other pool threads).  Lowering is tens of ms per program; only the
+    # backend compile -- remote and genuinely concurrent (measured 4
+    # compiles in the wall-clock of one) -- goes to the pool.
+    def one(lowered):
         try:
-            with _LOWER_LOCK:
-                lowered = f.lower(*a, **k)
             lowered.compile()
         except Exception:
             pass
 
-    return [_compile_pool().submit(one, f, a, k) for f, a, k in tasks]
+    futures = []
+    for f, a, k in tasks:
+        try:
+            with _LOWER_LOCK:
+                lowered = f.lower(*a, **k)
+        except Exception:
+            continue
+        futures.append(_compile_pool().submit(one, lowered))
+    return futures
 
 
 def _sdt(shape, dtype):
@@ -1321,7 +1330,7 @@ def setup_hierarchy_device(A, opts: AIROptions, dtype=jnp.float32
         with timer("air_coarsen"):
             cf, nf_dev = _cf_split_device(A, opts)
             # float route: int d2h stalls for minutes on some TPU backends
-            n_f = int(float(nf_dev))
+            n_f = _read_pair(nf_dev)
             n_c = n - n_f
         if n_c <= opts.coarse_eq_limit or n_f == 0:
             break

@@ -459,11 +459,17 @@ class PCAIR:
         Call BEFORE ``setup``: that level's coefficient iteration is
         skipped and the stored values are used instead, so a rebuild with
         every level injected reproduces the original preconditioner
-        exactly.  ``level=-1`` (or the coarsest index) targets the coarse
-        solver.  Power/Arnoldi take a 1-D array; Newton takes the stacked
-        ``[2, k]`` (real, imag) root array -- the same layout
-        ``get_poly_coefficients`` returns."""
+        exactly.  ``level=-1`` targets the coarse solver (when a
+        hierarchy already exists -- the re-setup case -- its coarsest
+        index is accepted too and mapped to -1; before the first setup
+        the coarsest index is unknown, so use -1).  Power/Arnoldi take a
+        1-D array; Newton takes the stacked ``[2, k]`` (real, imag) root
+        array -- the same layout ``get_poly_coefficients`` returns."""
+        level = int(level)
+        if (level >= 0 and self.hierarchy is not None
+                and level == self.n_levels - 1):
+            level = -1      # the coarse solver, like get_poly_coefficients
         if not hasattr(self, "_injected_coeffs") or self._injected_coeffs is None:
             self._injected_coeffs = {}
-        self._injected_coeffs[int(level)] = np.asarray(coeffs)
+        self._injected_coeffs[level] = np.asarray(coeffs)
         return self

@@ -343,14 +343,21 @@ def drop_small_native(A, tol, rel_mode, diag_strength, drop_diag_mode, lump):
 # bound can be ~100x the kept nnz (tens of MB/level), and allocating it
 # fresh every call costs more in page-fault zeroing than the product
 # itself on a 1-core host.  Grown geometrically, reused across calls.
-_SPGEMM_SCRATCH: dict = {}
+# THREAD-LOCAL: two concurrent setups in one process (e.g. two PCAIRs
+# built from different threads) must not share output buffers.
+import threading as _threading_mod
+
+_SPGEMM_SCRATCH = _threading_mod.local()
 
 
 def _scratch(key, n, dtype):
-    buf = _SPGEMM_SCRATCH.get(key)
+    store = getattr(_SPGEMM_SCRATCH, "bufs", None)
+    if store is None:
+        store = _SPGEMM_SCRATCH.bufs = {}
+    buf = store.get(key)
     if buf is None or buf.size < n or buf.dtype != dtype:
         buf = np.empty(int(n * 1.25) + 16, dtype=dtype)
-        _SPGEMM_SCRATCH[key] = buf
+        store[key] = buf
     return buf
 
 

@@ -75,7 +75,12 @@ class BandedSpMV:
 
     @property
     def nnz(self):
-        return int(float(jnp.sum(self.data != 0).astype(jnp.float32)))
+        # exact hi/lo f32 readback (a single f32 rounds above 2^24
+        # entries; int d2h stalls on remote TPU backends)
+        c = jnp.sum((self.data != 0).astype(jnp.int32))
+        pair = jnp.stack([c // 1048576, c % 1048576]).astype(jnp.float32)
+        v = np.asarray(pair, dtype=np.float64)
+        return int(v[0]) * 1048576 + int(v[1])
 
     # ~~~~~~~~~~ construction ~~~~~~~~~~
     @staticmethod

@@ -397,23 +397,6 @@ def onecol_product(A: DELL, pcol, pval, n_cols_new: int) -> DELL:
     return DELL(v, c, n_cols_new)
 
 
-@jax.jit
-def _spgemm_merge_sorted(A: DELL, B: DELL):
-    ccols, cvals = spgemm_expand(A, B)
-    ccols, cvals = sort_rows(ccols, cvals)
-    ccols, cvals = segsum_rows(ccols, cvals)
-    return sort_rows(ccols, cvals)      # left-packed, sorted
-
-
-def spgemm_merge_dell(A: DELL, B: DELL) -> DELL:
-    """C = A @ B merged and left-packed at the expand capacity Ka*Kb --
-    NO scalar readback (no compaction).  Use when the expand width is
-    already tight, e.g. B has one entry per row (the one-point P), so the
-    tunnel round-trip of a shape readback costs more than the padding."""
-    ccols, cvals = _spgemm_merge_sorted(A, B)
-    return DELL(cvals, ccols, B.n_cols)
-
-
 @partial(jax.jit, static_argnames=("relative", "lump"))
 def _spgemm_drop_jit(A: DELL, B: DELL, tol, relative: bool, lump: bool,
                      diag_of_row=None):
