@@ -407,3 +407,16 @@ def test_dia_split_matches_general():
                                             opts.ddc_fraction, offs, 25,
                                             pmis, ddc_its)
             assert bool(jnp.all(cf_gen == cf_dia)), (theta, t)
+
+
+@pytest.mark.smoke
+def test_count_pair_exact_above_f32_integers():
+    """The (hi, lo) f32 count readback must stay exact past 2^24, where
+    a single f32 scalar rounds (n_f sizes every index structure)."""
+    from pflare_tpu.air.device_setup import _count_pair, _read_pair
+
+    for n in (5, 2**24 + 1, 2**24 + 7, 3 * 2**23 + 11):
+        mask = jnp.ones(n, dtype=bool)
+        assert _read_pair(_count_pair(mask)) == n
+    mask = jnp.arange(2**24 + 9) % 2 == 0
+    assert _read_pair(_count_pair(mask)) == 2**23 + 5
