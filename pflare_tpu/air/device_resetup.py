@@ -44,6 +44,7 @@ import scipy.sparse as sp
 from ..inverse.build import Inverse
 from ..options import AIROptions
 from ..params import InverseType, ZType
+from ..params import tolerances as _sigma_tols
 from ..sparse import ELL
 from ..sparse.dia import DIA
 from ..sparse.pattern import SparsityPattern
@@ -62,10 +63,11 @@ def _pos_in(src: sp.csr_matrix, dst_keys: np.ndarray) -> np.ndarray:
     """Position of each dst key inside src's (sorted) entry list; -1 when
     absent."""
     skeys = _keys(src.indptr, src.indices, src.shape[1])
+    if len(skeys) == 0:
+        return np.full(np.shape(dst_keys), -1, dtype=np.int64)
     pos = np.searchsorted(skeys, dst_keys)
-    pos_c = np.minimum(pos, max(len(skeys) - 1, 0))
-    ok = (len(skeys) > 0) & (skeys[pos_c] == dst_keys)
-    return np.where(ok, pos_c, -1)
+    pos_c = np.minimum(pos, len(skeys) - 1)
+    return np.where(skeys[pos_c] == dst_keys, pos_c, -1)
 
 
 def _submatrix_map(A: sp.csr_matrix, sub: sp.csr_matrix,
@@ -245,7 +247,6 @@ def _exec_newton_poly(arrs: dict, wr, wi, nnz_s: int, a_flat, tol_zero):
     (X @ A)|_S step plan the monomial path uses -- the root schedule is
     static (reference: src/Gmres_Poly_Newtonk.kokkos.cxx:15; real
     arithmetic for conjugate pairs as inverse/build.py)."""
-    a_on_s = _gather_place(arrs["inject"], a_flat, a_flat.dtype)
     T = arrs["diag_mask"].astype(a_flat.dtype)   # identity on S
     M = jnp.zeros_like(T)
     k = len(wr)
@@ -272,7 +273,6 @@ def _exec_newton_poly(arrs: dict, wr, wi, nnz_s: int, a_flat, tol_zero):
             i += 2
     if k >= 1 and wi[k - 1] == 0.0 and abs(wr[k - 1]) > tol_zero:
         M = M + T / wr[k - 1]
-    del a_on_s
     return M
 
 
@@ -400,9 +400,23 @@ def _inverse_plan(inv: Inverse, A_ff: sp.csr_matrix, patterns: dict,
 
 def _ext_like(ext_op, M_ext):
     """Choose the device layout for a rebuilt full-space matrix: keep the
-    kind of the existing op when shapes line up, else decide fresh."""
+    KIND of the existing op when it still fits (the re-setup replaces
+    ops in an already-compiled solve, and a kind change would alter the
+    pytree structure and force a recompile), else decide fresh."""
+    from ..sparse.dia import DIA
     from .fullspace import make_op
 
+    if isinstance(ext_op, DIA) and DIA.viable(M_ext):
+        return DIA.from_scipy(M_ext)
+    if isinstance(ext_op, ELL):
+        return ELL.from_scipy(M_ext)
+    try:
+        from ..sparse.banded import BandedSpMV
+
+        if isinstance(ext_op, BandedSpMV) and BandedSpMV.viable(M_ext):
+            return BandedSpMV.from_scipy(M_ext, dtype=ext_op.dtype)
+    except Exception:
+        pass
     return make_op(M_ext)
 
 
@@ -911,11 +925,22 @@ class DeviceResetup:
             if z_src in ("diag-same", "diag-own", "diag-drop"):
                 arrs["w_inv_rows"] = jnp.asarray(pa.row_of_pos())
             else:
-                src_plan = (pats["inv_aff_poly_plan"] if z_src == "same"
-                            else pats["inv_aff_drop_poly_plan"])
-                s_csr2 = sp.csr_matrix(
-                    (np.ones(src_plan.pat_S.nnz), src_plan.pat_S.indices,
-                     src_plan.pat_S.indptr), shape=src_plan.pat_S.shape)
+                if z_src == "same" and inv_meta.sai:
+                    # SAI/ISAI: no poly plan exists -- the re-solved
+                    # inverse lives on its own (solve sparsity) pattern
+                    hc = lvl.inv_Aff.host_csr
+                    s_csr2 = sp.csr_matrix(
+                        (np.ones(hc.nnz), hc.indices, hc.indptr),
+                        shape=hc.shape)
+                else:
+                    src_plan = (pats["inv_aff_poly_plan"]
+                                if z_src == "same"
+                                else pats["inv_aff_drop_poly_plan"])
+                    s_csr2 = sp.csr_matrix(
+                        (np.ones(src_plan.pat_S.nnz),
+                         src_plan.pat_S.indices,
+                         src_plan.pat_S.indptr),
+                        shape=src_plan.pat_S.shape)
                 mw = _pos_in(s_csr2, a_keys)
                 if np.any(mw < 0):
                     raise ValueError("inverse pattern does not cover the "
@@ -992,10 +1017,19 @@ class DeviceResetup:
                     meta_imp_diag = "aff-recip"
                     arrs["imp_dpos"] = jnp.asarray(patA_ff.diag_positions())
             else:
-                src_plan3 = (pats["inv_aff_poly_plan"] if z_src == "same"
-                             else pats["inv_aff_drop_poly_plan"])
-                arrs["imp_dpos"] = jnp.asarray(
-                    src_plan3.pat_S.diag_positions())
+                if z_src == "same" and inv_meta.sai:
+                    # SAI/ISAI: diag positions on the inverse's own
+                    # (solve sparsity) pattern -- no poly plan exists
+                    hc = lvl.inv_Aff.host_csr
+                    arrs["imp_dpos"] = jnp.asarray(SparsityPattern(
+                        hc.indptr, hc.indices,
+                        hc.shape).diag_positions())
+                else:
+                    src_plan3 = (pats["inv_aff_poly_plan"]
+                                 if z_src == "same"
+                                 else pats["inv_aff_drop_poly_plan"])
+                    arrs["imp_dpos"] = jnp.asarray(
+                        src_plan3.pat_S.diag_positions())
                 meta_imp_diag = "pattern"
         if opts.improve_z_its > 0:
             if z_is_lair:
@@ -1138,9 +1172,8 @@ class DeviceResetup:
             full_smooth=full_smooth,
             constrain_w=opts.constrain_w,
             constrain_z=opts.constrain_z,
-            sigma_drop=float(__import__(
-                "pflare_tpu.params", fromlist=["tolerances"]
-            ).tolerances(np.float64).sigma_drop),
+            sigma_drop=float(_sigma_tols(
+                np.dtype(self.dtype).type).sigma_drop),
             nnz_w=nnz_w,
             nnz_wdrop=nnz_wdrop,
             invc_meta=invc_meta,
@@ -1472,7 +1505,9 @@ class DeviceResetup:
         op = _build_op(meta.op_kind, arrs["op"], meta.op_aux, a_flat, dtype)
         diag = None
         if "diag_pos" in arrs:
-            dvals = a_flat[arrs["diag_pos"]]
+            # -1 marks a structurally absent diagonal (negative indexing
+            # would silently wrap to the row's last stored value)
+            dvals = _diag_gather(arrs["diag_pos"], a_flat)
             diag = jnp.where(dvals != 0, dvals, 1.0).astype(dtype)
         coeffs = arrs.get("coeffs")
         if coeffs is not None:

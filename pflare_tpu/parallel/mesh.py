@@ -280,6 +280,7 @@ def _shard_inverse(inv, mesh: Mesh):
     """Row-shard an Inverse's operator/diagonal where divisible."""
     from ..inverse.build import Inverse
     from ..sparse.dia import DIA
+    from ..sparse.dell import DELL
 
     n_dev = mesh.devices.size
     diag = inv.diag
@@ -288,7 +289,7 @@ def _shard_inverse(inv, mesh: Mesh):
     elif diag is not None:
         diag = jax.device_put(diag, replicated(mesh))
     mat = inv.mat
-    if isinstance(mat, (ELL, DIA)):
+    if isinstance(mat, (ELL, DIA, DELL)):
         mat = _shard_op(mat, mesh)
     coeffs = inv.coefficients
     if coeffs is not None:

@@ -41,9 +41,12 @@ def tsqr_r(K, mesh: Mesh):
     def body(block):
         r = local_qr(block)
         if not pow2:
-            # non-power-of-two meshes: index-ordered all-gather restack
-            rs = jax.lax.all_gather(r, ROW_AXIS)       # [n_dev, m, m]
-            return jnp.linalg.qr(rs.reshape(n_dev * m, m), mode="r")
+            # non-power-of-two meshes: index-ordered all-gather restack.
+            # r is [min(local_rows, m), m] -- fewer than m rows when the
+            # local block is short, so stack at r's ACTUAL row count
+            rs = jax.lax.all_gather(r, ROW_AXIS)   # [n_dev, r_rows, m]
+            return jnp.linalg.qr(
+                rs.reshape(n_dev * r.shape[0], m), mode="r")
         # butterfly: after round d every shard holds the R of its
         # 2^(d+1)-wide group, ALWAYS stacking the lower-index factor on
         # top (deterministic, index-ordered like the all-gather combine)

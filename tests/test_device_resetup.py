@@ -123,6 +123,13 @@ CONFIGS = {
     "fs_lair_improve_z_sai": dict(
         z_type=__import__("pflare_tpu").ZType.LAIR, improve_z_its=1,
         inverse_type=InverseType.SAI, full_smoothing_up_and_down=True),
+    # SAI/ISAI inverses have no polynomial plan: the ideal-W and
+    # product-Z improve paths must map through the inverse's own
+    # (solve sparsity) pattern instead (regression: KeyError at plan
+    # build for both)
+    "sai_ideal_w": dict(inverse_type=InverseType.SAI,
+                        one_point_classical_prolong=False),
+    "sai_improve_z": dict(inverse_type=InverseType.SAI, improve_z_its=1),
 }
 
 
