@@ -70,21 +70,23 @@ class LevelData:
             d = build_fullspace_level(self, opts, dtype=dtype)
             self.device = d
             return d
+        # full-smoothing branch: honour the requested device dtype here
+        # too (the fullspace builder above already does)
+        self.inv_Aff._mat_dtype = dtype
         d = {
             "fine": jnp.asarray(self.fine, dtype=jnp.int32),
             "coarse": jnp.asarray(self.coarse, dtype=jnp.int32),
-            "A_ff": ELL.from_scipy(self.A_ff),
-            "A_fc": ELL.from_scipy(self.A_fc),
+            "A_ff": ELL.from_scipy(self.A_ff, dtype=dtype),
+            "A_fc": ELL.from_scipy(self.A_fc, dtype=dtype),
             "inv_Aff": self.inv_Aff,
-            "R": ELL.from_scipy(self.R),
-            "P": ELL.from_scipy(self.P),
+            "R": ELL.from_scipy(self.R, dtype=dtype),
+            "P": ELL.from_scipy(self.P, dtype=dtype),
+            "A": ELL.from_scipy(self.A, dtype=dtype),
         }
         if opts.any_c_smooths and self.A_cc is not None:
-            d["A_cf"] = ELL.from_scipy(self.A_cf)
-            d["A_cc"] = ELL.from_scipy(self.A_cc)
+            d["A_cf"] = ELL.from_scipy(self.A_cf, dtype=dtype)
+            d["A_cc"] = ELL.from_scipy(self.A_cc, dtype=dtype)
             d["inv_Acc"] = self.inv_Acc
-        if opts.full_smoothing_up_and_down:
-            d["A"] = ELL.from_scipy(self.A)
         self.device = d
         return d
 
@@ -304,7 +306,7 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
         # 1 keeps only the CF splitting; >=2 also the stored patterns
         if prev_lvl is not None and opts.reuse_amount < 2:
             prev_lvl = None
-        lvl = _build_level(A, fine, coarse, opts, tol, prev_lvl,
+        lvl = _build_level(A, fine, coarse, opts, prev_lvl,
                            left_nulls, right_nulls, qr_reduce=qr_reduce,
                            injected=(injected_coeffs or {}).get(level_idx),
                            mesh=mesh)
@@ -343,7 +345,7 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
     return h
 
 
-def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
+def _build_level(A, fine, coarse, opts: AIROptions, prev: LevelData,
                  left_nulls=None, right_nulls=None,
                  qr_reduce=None, injected=None, mesh=None) -> LevelData:
     """Build one level's operators (reference:
@@ -409,18 +411,34 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
         )
 
         # AIRG needs an *assembled* inverse of the dropped A_ff for Z
-        # (reference: src/AIR_Operators_Setup.F90:406-475)
+        # (reference: src/AIR_Operators_Setup.F90:406-475).  The ideal
+        # (non-one-point) W needs one too, for ANY z_type: a matrix-free
+        # smoother's Inverse carries the operator itself as .mat, so
+        # falling through to _assembled_host(inv_Aff) would silently
+        # compute W = -(A_ff @ A_fc), and a full-smoothing inverse acts
+        # on the whole matrix (wrong shape).
         inv_Aff_host = None
-        if opts.z_type == ZType.PRODUCT:
+        needs_assembled = (opts.z_type == ZType.PRODUCT
+                           or (not opts.symmetric
+                               and not opts.one_point_classical_prolong))
+        if needs_assembled:
             if (opts.strong_r_threshold != 0.0
                     or opts.full_smoothing_up_and_down
                     or opts.matrix_free_polys
                     or inv_Aff.kind != "assembled" and inv_Aff.kind != "diagonal"):
+                prev_drop = None
+                if (injected is None and prev is not None
+                        and opts.reuse_poly_coeffs):
+                    prev_drop = patterns.get("inv_dropped_coeffs")
                 inv_dropped = _build_aff_inverse(
                     A_ff_drop, opts, opts.inverse_type, opts.poly_order,
                     opts.inverse_sparsity_order, matrix_free=False,
+                    coefficients=prev_drop,
                     patterns=patterns, plan_key="inv_aff_drop_poly_plan",
                 )
+                if inv_dropped.coefficients is not None:
+                    patterns["inv_dropped_coeffs"] = np.asarray(
+                        inv_dropped.coefficients)
             else:
                 inv_dropped = inv_Aff
             inv_Aff_host = _assembled_host(inv_dropped)
@@ -657,14 +675,11 @@ def _build_level(A, fine, coarse, opts: AIROptions, tol, prev: LevelData,
                 if RAP is not None:
                     RAP.sort_indices()
             else:
-                coarse_A, RAP = compute_coarse_matrix(
+                coarse_A, RAP, AP = compute_coarse_matrix(
                     A, R, P, opts.a_drop, opts.a_lump, opts.symmetric,
                     need_rap=want_plans)
             patterns["RAP_drop"] = coarse_A
             if want_plans:
-                from .operators import ap_product
-
-                AP = ap_product(A, P)
                 patterns["AP_numeric_plan"] = _make_product_plan(A, P, AP)
                 patterns["RAP_numeric_plan"] = _make_product_plan(R, AP, RAP)
     patterns["coarse_A"] = coarse_A

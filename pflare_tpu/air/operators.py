@@ -253,24 +253,26 @@ def compute_coarse_matrix(A, R, P, a_drop: float, a_lump: bool,
 
     When the caller doesn't need the un-dropped product (``need_rap=False``,
     i.e. no reuse plans), the second product and the drop fuse into one
-    native sweep that never materialises RAP; the returned RAP is None."""
+    native sweep that never materialises RAP; the returned RAP is None.
+    Returns (coarse, RAP, AP): AP is handed back so plan-building callers
+    don't recompute the most expensive host SpGEMM of the level."""
+    AP = ap_product(A, P)
     if symmetric:
-        RAP = _matmat(sp.csr_matrix(P.T).tocsr(), ap_product(A, P))
+        RAP = _matmat(sp.csr_matrix(P.T).tocsr(), AP)
     else:
-        AP = ap_product(A, P)
         if not need_rap:
             from ..native import spgemm_drop_native
 
             fused = spgemm_drop_native(R, AP, a_drop, relative=1,
                                        lump=a_lump)
             if fused is not None:
-                return fused, None
+                return fused, None, AP
         RAP = _matmat(R, AP)
     # tol 0 still drops explicit zeros (reference drops zeros always)
     coarse = remove_small_from_sparse(RAP, a_drop,
                                       relative_max_row_tol=1,
                                       lump=a_lump)
-    return coarse, RAP
+    return coarse, RAP, AP
 
 
 def _rows_of(M: sp.csr_matrix):

@@ -240,9 +240,14 @@ def build_inverse(
     # ~~~~~~~~~~ SAI / ISAI: assembled least-squares inverse ~~~~~~~~~~
     if inverse_type in (InverseType.SAI, InverseType.ISAI):
         A_host = A_scipy if A_scipy is not None else A.to_scipy()
-        S = A_host
+        # PATTERN powers (value products would let exact cancellations
+        # prune entries, making the inverse's sparsity value-dependent
+        # and re-setup-unstable)
+        S1 = _pattern_ones(A_host)
+        S = S1
         for _ in range(sparsity_order - 1):
-            S = (S @ A_host).tocsr()
+            S = sp.csr_matrix(S @ S1)
+            S.data[:] = 1.0
         M = sai_inverse(A_host, incomplete=(inverse_type == InverseType.ISAI),
                         sparsity=S)
         return Inverse("assembled", meta={"type": int(inverse_type)},
@@ -416,19 +421,15 @@ def _newton_fixed_sparsity_scipy(A: sp.csr_matrix, wr, wi, sparsity_order,
     real arithmetic as in the matrix-free applier, Loe 2021 Alg. 3)."""
     n = A.shape[0]
     so = max(1, min(sparsity_order, poly_order))
-    S = A.copy()
-    power = A
-    for _ in range(so - 1):
-        power = (power @ A).tocsr()
-        S = (S + power).tocsr()
-    eye = sp.csr_matrix((np.ones(n), (np.arange(n), np.arange(n))),
-                        shape=A.shape)
-    S_mask = sp.csr_matrix(S + eye)
-    S_mask.data[:] = 1.0
+    si, sx = _poly_sparsity(A, so, poly_order)   # union(I, A, ..., A^so)
+    S_mask = sp.csr_matrix(
+        (np.ones(len(sx), dtype=np.float64), sx, si), shape=A.shape)
 
     def restrict(X):
         return sp.csr_matrix(X.multiply(S_mask))
 
+    eye = sp.csr_matrix((np.ones(n), (np.arange(n), np.arange(n))),
+                        shape=A.shape)
     T = eye.copy()
     M = sp.csr_matrix(A.shape)
     k = len(wr)
@@ -545,19 +546,10 @@ def _fixed_sparsity_poly_scipy(A: sp.csr_matrix, coeffs, sparsity_order
     """scipy fallback for _fixed_sparsity_poly_host (also the
     debug-compare oracle under PFLARE_NO_NATIVE=1)."""
     poly_order = len(coeffs) - 1
-    n = min(A.shape)
-    S = A.copy()
-    power_pat = A
-    for _ in range(max(1, min(sparsity_order, poly_order)) - 1):
-        power_pat = (power_pat @ A).tocsr()
-        S = (S + power_pat).tocsr()
+    so = max(1, min(sparsity_order, poly_order))
+    si, sx = _poly_sparsity(A, so, poly_order)   # union(I, A, ..., A^so)
     S_mask = sp.csr_matrix(
-        (np.ones(S.nnz, dtype=np.float64), S.indices, S.indptr), shape=S.shape
-    )
-    eye = sp.csr_matrix((np.ones(n), (np.arange(n), np.arange(n))),
-                        shape=S.shape)
-    S_mask = sp.csr_matrix(S_mask + eye)
-    S_mask.data[:] = 1.0
+        (np.ones(len(sx), dtype=np.float64), sx, si), shape=A.shape)
 
     A_on_S = sp.csr_matrix(A.multiply(S_mask))
     acc = coeffs[1] * A_on_S
@@ -565,6 +557,9 @@ def _fixed_sparsity_poly_scipy(A: sp.csr_matrix, coeffs, sparsity_order
     for k in range(2, poly_order + 1):
         P = sp.csr_matrix((P @ A).multiply(S_mask))
         acc = acc + coeffs[k] * P
+    n = min(A.shape)
+    eye = sp.csr_matrix((np.ones(n), (np.arange(n), np.arange(n))),
+                        shape=A.shape)
     acc = sp.csr_matrix(acc + coeffs[0] * eye)
     acc.sort_indices()
     return acc

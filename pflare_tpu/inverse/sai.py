@@ -34,19 +34,36 @@ def _rows_of(A):
     return np.repeat(np.arange(A.shape[0], dtype=np.int64), np.diff(A.indptr))
 
 
+def _sv_cutoff(dtype) -> float:
+    """dtype-matched relative singular-value/pivot cutoff (the host
+    constrain/params sigma_drop: 1e-13 f64, 1e-6 f32 -- a fixed 1e-12
+    would invert f32 noise-level singular values)."""
+    from ..params import tolerances
+
+    return float(tolerances(np.dtype(dtype).type).sigma_drop)
+
+
+def _lookup_pos(A, rows, cols):
+    """Position of each (row, col) inside A's sorted entry list; -1 when
+    absent.  Safe on an empty A."""
+    keys = _rows_of(A) * np.int64(A.shape[1]) + A.indices
+    q = (rows.astype(np.int64) * np.int64(A.shape[1])
+         + cols.astype(np.int64))
+    if len(keys) == 0:
+        return np.full(q.shape, -1, dtype=np.int64)
+    pos = np.searchsorted(keys, q.ravel())
+    pos_c = np.minimum(pos, len(keys) - 1)
+    ok = keys[pos_c] == q.ravel()
+    return np.where(ok, pos_c, -1).reshape(q.shape)
+
+
 def _csr_lookup(A, rows, cols):
     """Vectorised A[rows, cols] with 0 for entries outside the pattern.
 
     ``rows``/``cols`` may be any (equal) shape.  A must have sorted indices.
     """
-    n_cols = A.shape[1]
-    keys = _rows_of(A) * np.int64(n_cols) + A.indices
-    q = rows.astype(np.int64) * np.int64(n_cols) + cols.astype(np.int64)
-    pos = np.searchsorted(keys, q.ravel())
-    pos_c = np.minimum(pos, max(len(keys) - 1, 0))
-    ok = (len(keys) > 0) & (keys[pos_c] == q.ravel())
-    out = np.where(ok, A.data[pos_c], 0.0)
-    return out.reshape(q.shape)
+    pos = _lookup_pos(A, np.asarray(rows), np.asarray(cols))
+    return np.where(pos >= 0, A.data[np.maximum(pos, 0)], 0.0)
 
 
 def _pad_indices(M: sp.csr_matrix):
@@ -118,14 +135,7 @@ def _sai_z_device(A_ff, A_cf, S, incomplete: bool) -> sp.csr_matrix:
 
     # entry lookup tables, host-built once: position of (row, col) in
     # A_ff/A_cf (-1 when absent)
-    def lookup_pos(A, rows, cols):
-        keys = _rows_of(A) * np.int64(A.shape[1]) + A.indices
-        q = rows.astype(np.int64) * np.int64(A.shape[1]) + cols.astype(
-            np.int64)
-        pos = np.searchsorted(keys, q.ravel())
-        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
-        ok = (len(keys) > 0) & (keys[pos_c] == q.ravel())
-        return np.where(ok, pos_c, -1).reshape(q.shape)
+    lookup_pos = _lookup_pos
 
     @partial(jax.jit, static_argnames=("kc",))
     def solve_chunk(aff_vals, acf_vals, Mpos, Rpos, Jm, kc):
@@ -142,8 +152,10 @@ def _sai_z_device(A_ff, A_cf, S, incomplete: bool) -> sp.csr_matrix:
         z = jax.scipy.linalg.solve_triangular(R, qtb[..., None],
                                               lower=False)[..., 0]
         rdiag = jnp.abs(jnp.diagonal(R, axis1=1, axis2=2))
+        tiny = float(jnp.finfo(M.dtype).tiny)
         good = (rdiag.min(axis=1)
-                > 1e-12 * jnp.maximum(rdiag.max(axis=1), 1e-300))
+                > _sv_cutoff(M.dtype) * jnp.maximum(rdiag.max(axis=1),
+                                                    tiny))
         good = good & jnp.isfinite(z).all(axis=1)
         return jnp.where(good[:, None], z, 0.0), good
 
@@ -307,14 +319,7 @@ class SAISolvePlan:
             Sh.sort_indices()
             I_idx, I_mask, kI = _pad_indices(Sh)
 
-        def lookup_pos(A, rows, cols):
-            keys = _rows_of(A) * np.int64(A.shape[1]) + A.indices
-            q = (rows.astype(np.int64) * np.int64(A.shape[1])
-                 + cols.astype(np.int64))
-            pos = np.searchsorted(keys, q.ravel())
-            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
-            ok = (len(keys) > 0) & (keys[pos_c] == q.ravel())
-            return np.where(ok, pos_c, -1).reshape(q.shape)
+        lookup_pos = _lookup_pos
 
         order = np.argsort(-kI, kind="stable")
         order = order[kJ[order] > 0]
@@ -416,7 +421,8 @@ def sai_execute(tables, aff_flat, acf_flat=None):
         # gels/pseudo-inverse semantics, relative cutoff)
         U, sv, Vt = jnp.linalg.svd(M_ext, full_matrices=False)
         smax = jnp.max(sv, axis=1, keepdims=True)
-        sinv = jnp.where(sv > 1e-12 * jnp.maximum(smax, 1e-300),
+        tiny = float(jnp.finfo(M.dtype).tiny)
+        sinv = jnp.where(sv > _sv_cutoff(M.dtype) * jnp.maximum(smax, tiny),
                          1.0 / jnp.where(sv != 0, sv, 1.0), 0.0)
         utb = jnp.einsum("bij,bi->bj", U, rhs_ext)
         z = jnp.einsum("bji,bj->bi", Vt, sinv * utb)     # [b, kc]

@@ -594,3 +594,26 @@ def test_set_poly_coefficients_exact_reproduction():
             c2 = pc2.get_poly_coefficients(lvl)
             if c1 is not None:
                 np.testing.assert_allclose(c2, c1, rtol=1e-14)
+
+
+def test_ideal_w_with_mf_smoother_uses_real_inverse():
+    """Ideal (non-one-point) W with a matrix-free smoother or non-PRODUCT
+    z_type must build an ASSEMBLED inverse of A_ff for the prolongator --
+    a matrix-free Inverse carries the OPERATOR itself as .mat, and
+    falling through to it silently computed W = -(A_ff @ A_fc)."""
+    from pflare_tpu import ZType
+
+    A = adv_diff_2d(24)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(A.shape[0]))
+    for kw in (dict(z_type=ZType.LAIR, matrix_free_polys=True),
+               dict(matrix_free_polys=True)):
+        opts = AIROptions(one_point_classical_prolong=False, max_levels=4,
+                          **kw)
+        pc = PCAIR(opts)
+        pc.setup(A)
+        r = pc.solve(b, rtol=1e-8, max_it=25)
+        assert r.converged, kw
+        x = np.asarray(r.x)
+        res = (np.linalg.norm(A @ x - np.asarray(b))
+               / np.linalg.norm(np.asarray(b)))
+        assert res < 1e-6, (kw, res)
