@@ -92,6 +92,15 @@ def inverse_to_fullspace(inv: Inverse, fine: np.ndarray, n: int,
         M_ext = _map_both(M, fine, fine, n)
         return Inverse("assembled", mat=make_op(M_ext, dtype), meta=inv.meta,
                        host_csr=M_ext, coefficients=inv.coefficients)
+    if inv.kind == "dense":
+        # the LU inverse is an EXPLICIT dense inv(A_ff): embed it in the
+        # full space like any assembled inverse (the matrix-free
+        # fallthrough below would swap mat to the A_ff operator itself
+        # and apply A_ff instead of its inverse)
+        M = sp.csr_matrix(np.asarray(inv.mat, dtype=np.float64))
+        M_ext = _map_both(M, fine, fine, n)
+        return Inverse("assembled", mat=make_op(M_ext, dtype),
+                       meta=inv.meta, host_csr=M_ext)
     # matrix-free kinds: swap the operator; extend the diagonal with ones
     # outside F so the divisions are harmless (inputs are F-supported)
     diag_ext = None

@@ -81,8 +81,24 @@ def pmisr_device(cols, mask, measure, cf0, max_luby_steps: int = 3,
         assigned = assigned | nb_of_new
         return (cf, assigned), None
 
-    (cf, assigned), _ = jax.lax.scan(round_fn, (cf, assigned), None,
-                                     length=max_luby_steps)
+    # while_loop with early exit: converged graphs stop, and the host
+    # convention max_luby_steps <= 0 ("iterate until done") maps to a
+    # cap of 64 rounds -- Luby terminates in O(log n) w.h.p., and any
+    # node still undecided afterwards becomes C exactly like the
+    # fixed-step reference mode (a lax.scan with length=-1 raised)
+    cap = max_luby_steps if max_luby_steps > 0 else 64
+
+    def cond(c):
+        cf, assigned, r = c
+        return (~jnp.all(assigned)) & (r < cap)
+
+    def body(c):
+        cf, assigned, r = c
+        (cf, assigned), _ = round_fn((cf, assigned), None)
+        return cf, assigned, r + 1
+
+    cf, assigned, _ = jax.lax.while_loop(
+        cond, body, (cf, assigned, jnp.int32(0)))
     cf = jnp.where(cf == 0, C_POINT, cf)
     return cf
 

@@ -38,8 +38,12 @@ def first_pass_splitting(A, symmetric: bool, strong_threshold: float,
         S = strength_matrix(A, strong_threshold, symmetrize=not symmetric,
                             square=False)
 
-    # every strength variant above is structurally symmetric (symmetrized
-    # S, symmetric A, or S'S + S), so the Luby pass skips re-symmetrizing
+    # the Luby pass skips re-symmetrizing: PMIS/PMIS_DIST2 symmetrize
+    # above, and for symmetric A the reference ITSELF skips the
+    # symmetrization (".NOT. symmetric", reference:
+    # src/CF_Splitting.F90:142-154) -- the per-row relative threshold can
+    # still produce an asymmetric pattern there, and we keep the
+    # reference's behaviour exactly
     if t in (CFSplittingType.PMISR_DDC, CFSplittingType.DIAG_DOM):
         if mesh is not None:
             return _pmisr_sharded(S, max_luby_steps, pmis=False, seed=seed,
@@ -66,7 +70,13 @@ def first_pass_splitting(A, symmetric: bool, strong_threshold: float,
 
 def _pmisr_sharded(S, max_luby_steps, pmis, seed, mesh):
     """Device PMISR over the mesh: padded-graph arrays row-sharded, the
-    jitted Luby rounds compiled SPMD (cf/device.py::pmisr_device)."""
+    jitted Luby rounds compiled SPMD (cf/device.py::pmisr_device).
+
+    Markers match the host path exactly when f64 is enabled (the tested
+    configuration).  With x64 disabled the measure downcasts to f32 on
+    device, and nodes whose f64 measures differ by less than an f32 ulp
+    fall back to the index tie-break -- a possible marker difference vs
+    the host on very large graphs."""
     import jax
     import jax.numpy as jnp
     from ..parallel.mesh import row_sharding, replicated
