@@ -88,13 +88,15 @@ from pflare_tpu.solvers.jitted import richardson_fixed  # noqa: E402
 
 N_GRID = int(os.environ.get("PFLARE_BENCH_N", "512"))
 # Hierarchy truncation depth + coarse polynomial order: measured frontier
-# on this config (see docs/tpu.md) -- 6 levels + Newton-24 mf coarse solve
-# converges in 7 of the 10 fixed Richardson iterations with a 50x residual
-# margin while cutting the deep dense levels whose build dominated setup
-# (the reference's own accelerator guidance: truncate and spend a high-
-# order matrix-free polynomial on the coarsest level, docs/gpus.md:34-40).
-MAX_LEVELS = int(os.environ.get("PFLARE_BENCH_LEVELS", "6"))
-COARSE_ORDER = int(os.environ.get("PFLARE_BENCH_COARSE_ORDER", "24"))
+# on this config (see docs/tpu.md) -- 5 levels + Newton-32 mf coarse solve
+# converges in 8 of the 10 fixed Richardson iterations with a 50x residual
+# margin (robust across RHS seeds) while cutting the deep dense levels
+# whose build dominated setup: 0.63-0.77s vs 0.96s at 6 levels + order 24
+# on the same machine (the reference's own accelerator guidance: truncate
+# and spend a high-order matrix-free polynomial on the coarsest level,
+# docs/gpus.md:34-40).
+MAX_LEVELS = int(os.environ.get("PFLARE_BENCH_LEVELS", "5"))
+COARSE_ORDER = int(os.environ.get("PFLARE_BENCH_COARSE_ORDER", "32"))
 RTOL = 1e-10 if X64 else 1e-5
 MAX_IT = int(os.environ.get("PFLARE_BENCH_MAXIT", "10"))
 MODE = os.environ.get("PFLARE_BENCH_MODE", "auto")

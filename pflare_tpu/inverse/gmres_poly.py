@@ -51,7 +51,14 @@ def arnoldi_host(matvec, n, poly_order, dtype, lucky_tol, compute_cn=False,
     subspace = poly_order + 1
     r0 = box_muller(n, dtype, seed, xp=xp)
     beta = float(xp.linalg.norm(r0))
-    V = [r0 / beta]
+    # host path: preallocated basis, each Vstack below is a VIEW (the
+    # list+stack form re-copied the whole basis every step -- O(m^2 n))
+    prealloc = xp is np
+    if prealloc:
+        V = np.empty((subspace + 1, n))
+        V[0] = r0 / beta
+    else:
+        V = [r0 / beta]
     H = np.zeros((subspace + 1, subspace))
     C = np.zeros((subspace + 1, subspace + 1)) if compute_cn else None
     if compute_cn:
@@ -64,7 +71,7 @@ def arnoldi_host(matvec, n, poly_order, dtype, lucky_tol, compute_cn=False,
             c_j = np.zeros(subspace + 1)
             c_j[1 : j + 2] = C[: j + 1, j]
         # all Hessenberg entries in one batched dot (one reduction)
-        Vstack = xp.stack(V[: j + 1])
+        Vstack = V[: j + 1] if prealloc else xp.stack(V[: j + 1])
         h = np.asarray(Vstack @ w)
         H[: j + 1, j] = h
         w = w - xp.tensordot(xp.asarray(h).astype(w.dtype), Vstack, axes=1)
@@ -78,7 +85,10 @@ def arnoldi_host(matvec, n, poly_order, dtype, lucky_tol, compute_cn=False,
             if rel_tol is not None:
                 y = _ls_solve_arnoldi(beta, m, H)
             break
-        V.append(w / hj1)
+        if prealloc:
+            V[j + 1] = w / hj1
+        else:
+            V.append(w / hj1)
         if compute_cn:
             C[: j + 2, j + 1] = c_j[: j + 2] / hj1
         if rel_tol is not None:

@@ -22,10 +22,20 @@ def modified_leja(real_roots, imag_roots):
     mag = np.sqrt(real_roots**2 + imag_roots**2)
     sorted_ = np.zeros(n, dtype=bool)
     indices = []
+    # running sum of log10-distances from every candidate to the chosen
+    # set, updated per push (vectorised over candidates; the accumulation
+    # order over `indices` matches the reference's inner loop exactly)
+    acc = np.zeros(n)
 
     def push(i):
         indices.append(i)
         sorted_[i] = True
+        a = real_roots - real_roots[i]
+        b = imag_roots - imag_roots[i]
+        sq = a * a + b * b
+        with np.errstate(divide="ignore"):
+            acc[:] += np.where(sq > 0, 0.5 * np.log10(
+                np.where(sq > 0, sq, 1.0)), -np.inf)
 
     i0 = int(np.argmax(mag))
     push(i0)
@@ -33,21 +43,9 @@ def modified_leja(real_roots, imag_roots):
         push(i0 + 1 if imag_roots[i0] > 0 else i0 - 1)
 
     while len(indices) < n:
-        best, best_val = -1, -np.inf
-        for i in range(n):
-            if sorted_[i]:
-                continue
-            val = 1.0
-            for k in indices:
-                a = real_roots[i] - real_roots[k]
-                b = imag_roots[i] - imag_roots[k]
-                sq = a * a + b * b
-                with np.errstate(divide="ignore"):
-                    val += np.log10(np.sqrt(sq)) if sq > 0 else -np.inf
-            if val > best_val:
-                best_val = val
-                best = i
-        if best_val < 0 or best < 0:
+        val = np.where(sorted_, -np.inf, 1.0 + acc)
+        best = int(np.argmax(val))
+        if val[best] < 0 or not np.isfinite(val[best]):
             # only repeated roots left: take next unsorted
             best = int(np.nonzero(~sorted_)[0][0])
         push(best)
