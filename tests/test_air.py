@@ -288,6 +288,27 @@ def test_diag_scale_polys():
     assert res.converged, res.iterations
 
 
+def test_bench_truncated_config():
+    """The headline bench configuration (bench.py): reference medium
+    scaling options + TPU-shaped truncation -- 5 levels with an order-32
+    matrix-free Newton coarse solve (reference accelerator guidance:
+    docs/gpus.md:34-40).  Guards the benchmark config against hierarchy
+    regressions at a test-sized grid."""
+    A = adv_diff_2d(128)
+    pc = PCAIR(AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99,
+                          max_levels=5,
+                          coarsest_inverse_type=InverseType.NEWTON,
+                          coarsest_poly_order=32,
+                          coarsest_matrix_free_polys=True))
+    pc.setup(A)
+    assert pc.n_levels <= 5
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-5, max_it=10)
+    assert res.converged, res.iterations
+    x = np.asarray(res.x)
+    b = np.asarray(rhs(A.shape[0]))
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-4
+
+
 def test_auto_truncate():
     A = adv_diff_2d(20)
     pc = PCAIR(AIROptions(auto_truncate_start_level=2,
