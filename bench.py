@@ -118,6 +118,22 @@ def _device_probe(host_best: float | None) -> bool:
     budget = int(os.environ.get("PFLARE_BENCH_DEVICE_BUDGET", "900"))
     if budget <= 0:
         return True      # explicit opt-out of the guard
+    # Cheap pre-screen: the device setup's warm EXECUTION has a hard
+    # dispatch-latency floor on this tunnel backend (measured 4.3-5.1 s at
+    # 512^2/5-6 levels -- hundreds of small programs at ~10 ms round-trip
+    # each, docs/tpu.md).  When the host setup is already far below that
+    # floor the probe cannot change the reported minimum, and its one-time
+    # XLA compile pass (190-400 s measured, even disk-cache-warm) would
+    # only burn the driver's wall-clock budget.  Threshold overridable;
+    # set to 0 to always probe.
+    skip_below = float(os.environ.get("PFLARE_BENCH_DEVICE_SKIP_BELOW",
+                                      "2.0"))
+    if host_best is not None and host_best < skip_below:
+        print(f"# device probe skipped: host setup {host_best:.2f}s is "
+              f"below the measured device-execution floor (~4.3s warm on "
+              "this backend); PFLARE_BENCH_DEVICE_SKIP_BELOW=0 to force",
+              file=sys.stderr)
+        return False
     import subprocess
 
     code = (
