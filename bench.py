@@ -308,10 +308,11 @@ def _time_setup(opts, A, dtype, device: bool):
         A_in = _DELL.from_scipy(A, dtype=dtype)
         A_in.data.block_until_ready()
     best, pc = float("inf"), None
-    # best-of-4 (host): this VM's first-touch page-fault penalty decays
-    # over the first 2-3 runs (measured 3.3s -> 1.6s -> 1.0s -> 0.92s on
-    # identical code), so a 3-run window often never sees steady state
-    for _ in range(4 if not device else 2):
+    # best-of-6 (host): this VM's first-touch page-fault penalty decays
+    # over the first 3-4 runs (measured 1.24s -> 0.58 -> 0.55 -> 0.52 ->
+    # plateau ~0.52-0.54 over 9 runs on identical code), so a 4-run
+    # window often reports a still-decaying time rather than steady state
+    for _ in range(6 if not device else 2):
         p = PCAIR(opts, dtype=dtype)
         t0 = time.perf_counter()
         if device:
