@@ -29,27 +29,32 @@ def main():
     rng = np.random.default_rng(1)
     b = rng.standard_normal(n)
 
-    best_lu = float("inf")
-    for _ in range(3):
+    # best-of-6: the SAME steady-state window bench.py uses for the
+    # subject (this VM's first-touch page-fault penalty decays over the
+    # first 3-4 runs), so anchor and subject are measured symmetrically
+    runs_lu = []
+    for _ in range(6):
         t0 = time.perf_counter()
         lu = spla.splu(A)
         x = lu.solve(b)
-        best_lu = min(best_lu, time.perf_counter() - t0)
+        runs_lu.append(time.perf_counter() - t0)
+    best_lu = min(runs_lu)
     res = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
     print(f"superlu {N}^2: {best_lu:.3f}s = {n / best_lu:.0f} DoF/s "
-          f"(rel res {res:.1e})")
+          f"(rel res {res:.1e}; runs {[round(t, 3) for t in runs_lu]})")
 
-    best_it = float("inf")
-    for _ in range(3):
+    runs_it = []
+    for _ in range(6):
         t0 = time.perf_counter()
         ilu = spla.spilu(A, drop_tol=1e-4, fill_factor=10)
         M = spla.LinearOperator((n, n), ilu.solve)
         x, info = spla.gmres(A, b, rtol=1e-10, restart=30, maxiter=100, M=M)
-        best_it = min(best_it, time.perf_counter() - t0)
+        runs_it.append(time.perf_counter() - t0)
         assert info == 0, f"GMRES failed: {info}"
+    best_it = min(runs_it)
     res = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
     print(f"ilu(1e-4)+gmres {N}^2: {best_it:.3f}s = {n / best_it:.0f} DoF/s "
-          f"(rel res {res:.1e})")
+          f"(rel res {res:.1e}; runs {[round(t, 3) for t in runs_it]})")
     print(f"-> BASELINE_DOF_PER_S = {n / best_it:.0f}")
 
 
