@@ -164,6 +164,10 @@ class Hierarchy:
 def _is_diagonal_only(A: sp.csr_matrix) -> bool:
     """MATDIAGONAL fast path detection (reference:
     src/C_PETSc_Routines.c:324, src/AIR_MG_Setup.F90:405-522)."""
+    # a canonical CSR with more entries than rows must hold an
+    # off-diagonal -- O(1) short-circuit for every real operator
+    if A.nnz > A.shape[0]:
+        return False
     rows = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
     return bool(np.all(rows == A.indices))
 
@@ -306,10 +310,19 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
         # 1 keeps only the CF splitting; >=2 also the stored patterns
         if prev_lvl is not None and opts.reuse_amount < 2:
             prev_lvl = None
-        lvl = _build_level(A, fine, coarse, opts, prev_lvl,
-                           left_nulls, right_nulls, qr_reduce=qr_reduce,
-                           injected=(injected_coeffs or {}).get(level_idx),
-                           mesh=mesh)
+        injected = (injected_coeffs or {}).get(level_idx)
+        if (prev_lvl is not None and injected is None and mesh is None
+                and "host_fast" in prev_lvl.patterns):
+            # numeric-only rebuild from the cached index plans (the
+            # MAT_REUSE fast path, see host_resetup.py)
+            from .host_resetup import rebuild_level
+
+            lvl = rebuild_level(A, prev_lvl, opts)
+        else:
+            lvl = _build_level(A, fine, coarse, opts, prev_lvl,
+                               left_nulls, right_nulls,
+                               qr_reduce=qr_reduce, injected=injected,
+                               mesh=mesh)
         levels.append(lvl)
         # restrict near-nullspace vectors to the coarse grid
         if left_nulls is not None:
@@ -630,6 +643,7 @@ def _build_level(A, fine, coarse, opts: AIROptions, prev: LevelData,
             P = assemble_p(W_drop, fine, coarse, n)
 
     # ~~~~~~~~~~ RAP ~~~~~~~~~~
+    AP = None
     with timer("air_rap"):
         ap_plan = patterns.get("AP_numeric_plan")
         rap_plan = patterns.get("RAP_numeric_plan")
@@ -684,12 +698,20 @@ def _build_level(A, fine, coarse, opts: AIROptions, prev: LevelData,
                 patterns["RAP_numeric_plan"] = _make_product_plan(R, AP, RAP)
     patterns["coarse_A"] = coarse_A
 
-    return LevelData(
+    lvl = LevelData(
         n=n, fine=fine, coarse=coarse, A=A, A_ff=A_ff, A_fc=A_fc,
         A_cf=A_cf if need_acc else None, A_cc=A_cc, R=R, P=P,
         inv_Aff=inv_Aff, inv_Acc=inv_Acc, inv_Aff_host=inv_Aff_host,
         patterns=patterns,
     )
+    if (prev is None and mesh is None and injected is None
+            and opts.reuse_sparsity and opts.reuse_amount >= 2):
+        from .host_resetup import build_plan, eligible
+
+        if eligible(opts) and AP is not None:
+            with timer("air_reuse_plan"):
+                build_plan(lvl, A, AP, opts)
+    return lvl
 
 
 def _make_product_plan(A: sp.csr_matrix, B: sp.csr_matrix,

@@ -281,7 +281,9 @@ def coefficients_power(matvec, n, poly_order, dtype=jnp.float64,
 def horner(matvec, coefficients, x):
     """y = (c0 + c1 A + c2 A^2 + ...) x via Horner (reference:
     src/Gmres_Poly.F90:1418-1484).  ``coefficients`` is a static-length
-    device array; jit-friendly."""
+    device array; jit-friendly.  (Chained matvecs are protected from the
+    XLA:CPU fusion-recompute blowup inside the matvec implementations
+    themselves -- see utils/fusion.pin_cpu.)"""
     order = coefficients.shape[0] - 1
     y = coefficients[order] * x
     for k in range(order - 1, -1, -1):

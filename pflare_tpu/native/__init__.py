@@ -208,6 +208,35 @@ def get_lib():
         lib.csr_to_ell.argtypes = [i64p, i64p, i64_, i64_, i32p, i64p]
         lib.csr_to_ell_i32.restype = ctypes.c_int
         lib.csr_to_ell_i32.argtypes = [i32p, i32p, i64_, i64_, i32p, i64p]
+        lib.plan_fill_lump.restype = ctypes.c_int64
+        lib.plan_fill_lump.argtypes = [i64p, i64p, i64p, i64p, i64p, i64p,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       i64p, i64p, i64p]
+        lib.plan_fill_lump_i32.restype = ctypes.c_int64
+        lib.plan_fill_lump_i32.argtypes = [i32p, i32p, i32p, i32p, i32p,
+                                           i32p, ctypes.c_int64,
+                                           ctypes.c_int64, i64p, i64p, i64p]
+        lib.plan_execute.restype = None
+        lib.plan_execute.argtypes = [f64p, f64p, i64p, i64p, i64p,
+                                     ctypes.c_int64, ctypes.c_double,
+                                     f64p, ctypes.c_int64]
+        lib.plan_execute_i32.restype = None
+        lib.plan_execute_i32.argtypes = [f64p, f64p, i32p, i32p, i32p,
+                                         ctypes.c_int64, ctypes.c_double,
+                                         f64p, ctypes.c_int64]
+        lib.gather_fill.restype = None
+        lib.gather_fill.argtypes = [f64p, i64p, ctypes.c_int64,
+                                    ctypes.c_double, f64p]
+        lib.gather_fill_i32.restype = None
+        lib.gather_fill_i32.argtypes = [f64p, i32p, ctypes.c_int64,
+                                        ctypes.c_double, f64p]
+        for nm, ip_ in (("plan_fill32", i64p), ("plan_fill32_i32", i32p),
+                        ("plan_fill_lump32", i64p),
+                        ("plan_fill_lump32_i32", i32p)):
+            fn = getattr(lib, nm)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ip_] * 6 + [ctypes.c_int64, ctypes.c_int64,
+                                       i32p, i32p, i32p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -706,3 +735,121 @@ def csr_to_ell_native(indptr, indices, n_rows: int, K: int):
         raise ValueError(
             f"csr_to_ell: a row exceeds the padded width K={K}")
     return ell_cols, slot_of_pos
+
+
+def plan_triples_lump_native(a_indptr, a_indices, b_indptr, b_indices,
+                             c_indptr, c_indices, n_cols):
+    """Triples of C = A@B where out-of-pattern products are redirected to
+    C's structural diagonal of their row (fused drop+lump of the RAP
+    re-product).  Returns (a_pos, b_pos, c_pos) int64 or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    arrs = (a_indptr, a_indices, b_indptr, b_indices, c_indptr, c_indices)
+    if all(getattr(a, "dtype", None) == np.int32 for a in arrs):
+        ip = ctypes.POINTER(ctypes.c_int32)
+        count, fill = lib.plan_count_i32, lib.plan_fill_lump_i32
+        arrs = tuple(np.ascontiguousarray(a) for a in arrs)
+    else:
+        ip, count, fill = i64p, lib.plan_count, lib.plan_fill_lump
+        arrs = tuple(_i64(a) for a in arrs)
+    a_indptr, a_indices, b_indptr, b_indices, c_indptr, c_indices = arrs
+    n_rows = len(a_indptr) - 1
+    total = count(_p(a_indptr, ip), _p(a_indices, ip),
+                  _p(b_indptr, ip), n_rows)
+    a_pos = np.empty(total, dtype=np.int64)
+    b_pos = np.empty(total, dtype=np.int64)
+    c_pos = np.empty(total, dtype=np.int64)
+    kept = fill(_p(a_indptr, ip), _p(a_indices, ip),
+                _p(b_indptr, ip), _p(b_indices, ip),
+                _p(c_indptr, ip), _p(c_indices, ip), n_rows, int(n_cols),
+                _p(a_pos, i64p), _p(b_pos, i64p), _p(c_pos, i64p))
+    return a_pos[:kept], b_pos[:kept], c_pos[:kept]
+
+
+def plan_execute_native(a_data, b_data, a_pos, b_pos, c_pos, nnz_out,
+                        alpha=1.0):
+    """out[c[k]] += alpha * a[a[k]] * (b[b[k]] if b is not None else 1)
+    over k ascending (bitwise-identical accumulation order to a numpy
+    bincount over the same triples).  Returns the out array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f64p = ctypes.POINTER(ctypes.c_double)
+    pos = (a_pos, c_pos) + (() if b_pos is None else (b_pos,))
+    i32 = all(getattr(p_, "dtype", None) == np.int32 for p_ in pos)
+    ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
+    conv = (lambda a: np.ascontiguousarray(a)) if i32 else _i64
+    fn = lib.plan_execute_i32 if i32 else lib.plan_execute
+    a_data = _f64(a_data)
+    a_pos = conv(a_pos)
+    c_pos = conv(c_pos)
+    out = np.empty(int(nnz_out), dtype=np.float64)
+    if b_data is None:
+        bp, bpp = None, None
+    else:
+        b_data = _f64(b_data)
+        b_pos = conv(b_pos)
+        bp, bpp = _p(b_data, f64p), _p(b_pos, ip)
+    fn(_p(a_data, f64p), bp, _p(a_pos, ip), bpp,
+       _p(c_pos, ip), len(a_pos), float(alpha),
+       _p(out, f64p), int(nnz_out))
+    return out
+
+
+def gather_fill_native(src, idx, fill):
+    """out[k] = src[idx[k]] if idx[k] >= 0 else fill.  Returns the array
+    or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f64p = ctypes.POINTER(ctypes.c_double)
+    src = _f64(src)
+    if getattr(idx, "dtype", None) == np.int32:
+        idx = np.ascontiguousarray(idx)
+        ip, fn = ctypes.POINTER(ctypes.c_int32), lib.gather_fill_i32
+    else:
+        idx = _i64(idx)
+        ip, fn = ctypes.POINTER(ctypes.c_int64), lib.gather_fill
+    out = np.empty(len(idx), dtype=np.float64)
+    fn(_p(src, f64p), _p(idx, ip), len(idx), float(fill), _p(out, f64p))
+    return out
+
+
+def plan_triples32_native(a_indptr, a_indices, b_indptr, b_indices,
+                          c_indptr, c_indices, n_cols, lump=False):
+    """Like plan_triples_native/plan_triples_lump_native but emits int32
+    position arrays directly (half the triple-stream memory; valid for
+    single-host nnz counts).  Returns (a_pos, b_pos, c_pos) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    arrs = (a_indptr, a_indices, b_indptr, b_indices, c_indptr, c_indices)
+    if all(getattr(a, "dtype", None) == np.int32 for a in arrs):
+        ip = i32p
+        count = lib.plan_count_i32
+        fill = (lib.plan_fill_lump32_i32 if lump else lib.plan_fill32_i32)
+        arrs = tuple(np.ascontiguousarray(a) for a in arrs)
+    else:
+        ip = ctypes.POINTER(ctypes.c_int64)
+        count = lib.plan_count
+        fill = lib.plan_fill_lump32 if lump else lib.plan_fill32
+        arrs = tuple(_i64(a) for a in arrs)
+    a_indptr, a_indices, b_indptr, b_indices, c_indptr, c_indices = arrs
+    n_rows = len(a_indptr) - 1
+    total = count(_p(a_indptr, ip), _p(a_indices, ip),
+                  _p(b_indptr, ip), n_rows)
+    if total >= 2**31:
+        return (plan_triples_lump_native if lump else plan_triples_native)(
+            a_indptr, a_indices, b_indptr, b_indices, c_indptr, c_indices,
+            n_cols)
+    a_pos = np.empty(total, dtype=np.int32)
+    b_pos = np.empty(total, dtype=np.int32)
+    c_pos = np.empty(total, dtype=np.int32)
+    kept = fill(_p(a_indptr, ip), _p(a_indices, ip),
+                _p(b_indptr, ip), _p(b_indices, ip),
+                _p(c_indptr, ip), _p(c_indices, ip), n_rows, int(n_cols),
+                _p(a_pos, i32p), _p(b_pos, i32p), _p(c_pos, i32p))
+    return a_pos[:kept], b_pos[:kept], c_pos[:kept]

@@ -76,7 +76,16 @@ class SpGEMMPlan:
     def execute_host(self, a_data: np.ndarray, b_data: np.ndarray
                      ) -> np.ndarray:
         """Numeric product on host (setup phase): CSR value arrays in,
-        CSR-ordered C values out."""
+        CSR-ordered C values out.  One native streaming pass when
+        available (bitwise-identical accumulation order to the bincount
+        fallback: k ascending over the triple list)."""
+        from ..native import plan_execute_native
+
+        out = plan_execute_native(a_data, b_data, self.a_pos_np,
+                                  self.b_pos_np, self.out_pos_np,
+                                  self.pat_C.nnz)
+        if out is not None:
+            return out
         prod = a_data[self.a_pos_np] * b_data[self.b_pos_np]
         return np.bincount(self.out_pos_np, weights=prod,
                            minlength=self.pat_C.nnz)

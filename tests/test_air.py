@@ -357,6 +357,83 @@ def test_reuse_poly_coeffs_identical():
     assert np.allclose(h1, h2, rtol=1e-8)
 
 
+def test_host_fast_resetup_matches_generic():
+    """The cached-index-plan numeric re-setup (air/host_resetup.py) must
+    reproduce the generic pattern-reusing path's values (reference
+    MAT_REUSE semantics, src/PETSc_Helper.F90:490): same pinned patterns,
+    same numerics up to summation order."""
+    from pflare_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native kernels unavailable (PFLARE_NO_NATIVE)")
+    A = adv_diff_2d(40)
+    opts = AIROptions(a_lump=True, a_drop=1e-5, strong_threshold=0.99,
+                      reuse_sparsity=True, reuse_amount=2,
+                      reuse_poly_coeffs=True)
+    rng = np.random.default_rng(11)
+    A2 = A.copy()
+    A2.data = A2.data * (1.0 + 0.01 * rng.standard_normal(A2.nnz))
+
+    pc = PCAIR(opts)
+    pc.setup(A)
+    assert any("host_fast" in lv.patterns for lv in pc.hierarchy.levels), \
+        "fast-path plans not built for the default AIRG config"
+    pc.setup(A2, structure="same")
+
+    pc_gen = PCAIR(opts)
+    pc_gen.setup(A)
+    for lv in pc_gen.hierarchy.levels:
+        lv.patterns.pop("host_fast", None)   # force the generic path
+    pc_gen.setup(A2, structure="same")
+
+    assert pc.n_levels == pc_gen.n_levels
+    for li, (l1, l2) in enumerate(zip(pc.hierarchy.levels,
+                                      pc_gen.hierarchy.levels)):
+        for name in ("A_ff", "A_fc", "R"):
+            d = abs(getattr(l1, name) - getattr(l2, name)).max()
+            assert d < 1e-11, (li, name, d)
+        d = abs(l1.patterns["coarse_A"] - l2.patterns["coarse_A"]).max()
+        assert d < 1e-10, (li, "coarse_A", d)
+        if l1.inv_Aff_host is not None and l2.inv_Aff_host is not None:
+            d = abs(l1.inv_Aff_host - l2.inv_Aff_host).max()
+            assert d < 1e-11, (li, "inv", d)
+    # and the rebuilt preconditioner still solves the perturbed system
+    r1 = pc.solve(rhs(A.shape[0]), rtol=1e-8, max_it=12)
+    r2 = pc_gen.solve(rhs(A.shape[0]), rtol=1e-8, max_it=12)
+    assert r1.converged and r2.converged
+    assert r1.iterations == r2.iterations
+
+
+def test_host_fast_resetup_reiterates_coefficients():
+    """Without reuse_poly_coeffs the fast path must RE-ITERATE the
+    polynomial coefficients on the new values (reference:
+    src/Approx_Inverse_Setup.F90:52-64 -- coefficients are only reused
+    when explicitly restored)."""
+    from pflare_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native kernels unavailable (PFLARE_NO_NATIVE)")
+    A = adv_diff_2d(30)
+    opts = AIROptions(reuse_sparsity=True, reuse_amount=2)
+    pc = PCAIR(opts)
+    pc.setup(A)
+    lv = next((l for l in pc.hierarchy.levels
+               if l.inv_Aff.kind == "assembled"), None)
+    if lv is None:
+        pytest.skip("no assembled level in this hierarchy")
+    c1 = np.asarray(lv.inv_Aff.coefficients).copy()
+    A2 = A.copy()
+    A2.data = A2.data * 2.0          # scaling halves the inverse's coeffs
+    pc.setup(A2, structure="same")
+    lv2 = pc.hierarchy.levels[pc.hierarchy.levels.index(
+        next(l for l in pc.hierarchy.levels
+             if l.inv_Aff.kind == "assembled"))]
+    c2 = np.asarray(lv2.inv_Aff.coefficients)
+    assert not np.allclose(c1, c2), "coefficients were frozen"
+    res = pc.solve(rhs(A.shape[0]), rtol=1e-6, max_it=10)
+    assert res.converged
+
+
 def test_freeze_preconditioner():
     """KSPSetReusePreconditioner analogue (reference: src/PCAIR.c:150-166)."""
     A = adv_diff_2d(20)
