@@ -381,6 +381,30 @@ def _build_level(A, fine, coarse, opts: AIROptions, prev: LevelData,
         A_ff, A_fc, A_cf, A_cc = extract_submatrices(A, fine, coarse,
                                                      need_acc=need_acc)
 
+    # START the power-basis coefficient reduction as soon as A_ff exists,
+    # so the strong-R drops below overlap the in-flight distributed TSQR
+    # (reference: the non-blocking coefficient comms posted before the
+    # remaining submatrix work, src/AIR_Operators_Setup.F90:112-153,
+    # src/TSQR.F90:65); finished at the inverse build.
+    pending_coeffs = None
+    smooth_mat = A if opts.full_smoothing_up_and_down else A_ff
+    _have_coeffs = (injected is not None
+                    or (prev is not None and opts.reuse_poly_coeffs
+                        and prev.inv_Aff.coefficients is not None))
+    if (qr_reduce is not None and not _have_coeffs
+            and opts.inverse_type == InverseType.POWER
+            and not _is_diagonal_only(smooth_mat)):
+        from ..inverse.build import _clamp_orders
+        from ..inverse.gmres_poly import coefficients_power_start
+
+        with timer("air_inverse"):
+            n_s = smooth_mat.shape[0]
+            order_c, _ = _clamp_orders(n_s, opts.poly_order,
+                                       opts.inverse_sparsity_order)
+            pending_coeffs = coefficients_power_start(
+                (lambda M: (lambda v: M @ v))(smooth_mat), n_s, order_c,
+                seed=opts.seed, qr_reduce=qr_reduce, xp=np)
+
     # strong-R dropped copies used only for the grid transfers.  On a
     # same-pattern re-setup the DROPPED patterns are reuse slots: values
     # restrict onto the stored structure instead of re-discovering it
@@ -409,13 +433,18 @@ def _build_level(A, fine, coarse, opts: AIROptions, prev: LevelData,
 
     # ~~~~~~~~~~ approximate inverse of A_ff (smoother) ~~~~~~~~~~
     with timer("air_inverse"):
-        smooth_mat = A if opts.full_smoothing_up_and_down else A_ff
         # PCAIRSetPolyCoeffs injection wins over reuse_poly_coeffs
         # (reference: include/pflare.h:244, docs/reuse.md:216-390)
         prev_coeffs = injected
         if prev_coeffs is None and prev is not None and opts.reuse_poly_coeffs:
             prev_coeffs = (np.asarray(prev.inv_Aff.coefficients)
                            if prev.inv_Aff.coefficients is not None else None)
+        if prev_coeffs is None and pending_coeffs is not None:
+            # FINISH the reduction posted before the drops: the only
+            # blocking point of the overlapped coefficient computation
+            from ..inverse.gmres_poly import coefficients_power_finish
+
+            prev_coeffs = coefficients_power_finish(pending_coeffs)
         inv_Aff = _build_aff_inverse(
             smooth_mat, opts, opts.inverse_type, opts.poly_order,
             opts.inverse_sparsity_order, opts.matrix_free_polys,

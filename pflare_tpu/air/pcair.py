@@ -210,7 +210,7 @@ class PCAIR:
         if self.options.reorder == "none":
             self._perm = None
             return A
-        if self.options.reorder != "rcm":
+        if self.options.reorder not in ("rcm", "auto"):
             raise ValueError(f"unknown reorder {self.options.reorder!r}")
         from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -219,6 +219,22 @@ class PCAIR:
         pat = sp.csr_matrix(pat + pat.T)
         perm = np.asarray(reverse_cuthill_mckee(pat, symmetric_mode=True),
                           dtype=np.int64)
+        if self.options.reorder == "auto":
+            # the partitioner-quality stand-in (reference: ParMETIS
+            # repartition, src/C_PETSc_Routines.c:17-175): reorder only
+            # when RCM meaningfully shrinks the bandwidth, so banded
+            # operators (structured grids, already-RCM inputs) keep their
+            # natural order and unstructured gmsh operators become
+            # neighbour-only under the 1-D row mesh (HaloELL band check)
+            rows = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+            bw_nat = int(np.abs(A.indices - rows).max()) if A.nnz else 0
+            iperm_t = np.empty_like(perm)
+            iperm_t[perm] = np.arange(len(perm))
+            bw_rcm = int(np.abs(iperm_t[A.indices] - iperm_t[rows]).max()
+                         ) if A.nnz else 0
+            if bw_rcm * 2 > bw_nat:
+                self._perm = None
+                return A
         self._perm = perm
         iperm = np.empty_like(perm)
         iperm[perm] = np.arange(len(perm))

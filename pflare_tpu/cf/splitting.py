@@ -57,15 +57,58 @@ def first_pass_splitting(A, symmetric: bool, strong_threshold: float,
         return pmisr(S, max_luby_steps, pmis=True, seed=seed,
                      assume_symmetric=True)
     if t == CFSplittingType.AGG:
+        if mesh is not None:
+            return _agg_sharded(S, mesh, boundary_pmis=False,
+                                max_luby_steps=max_luby_steps, seed=seed)
         cf, _ = serial_aggregation(S)
         return cf
     if t == CFSplittingType.PMIS_AGG:
+        if mesh is not None:
+            return _agg_sharded(S, mesh, boundary_pmis=True,
+                                max_luby_steps=max_luby_steps, seed=seed)
         # single-shard: the boundary PMIS pass is empty, pure aggregation
         # (reference: src/CF_Splitting.F90:178-206 -- the PMIS applies only
         # to processor-boundary nodes)
         cf, _ = serial_aggregation(S)
         return cf
     raise ValueError(f"unknown CF splitting {t}")
+
+
+def _agg_sharded(S, mesh, boundary_pmis: bool, max_luby_steps: int,
+                 seed: int) -> np.ndarray:
+    """Distributed aggregation over the mesh's row blocks (reference:
+    src/CF_Splitting.F90:162-225): PMIS_AGG first runs PMIS over the
+    SHARD-BOUNDARY nodes (nodes with a strong connection crossing a block
+    edge -- the processor-boundary set the reference marks through its
+    halo exchange), then each shard aggregates its LOCAL diagonal block
+    with the boundary markers pinned; plain AGG skips the boundary pass,
+    matching the reference's rank-local aggregation."""
+    S = sp.csr_matrix(S)
+    n = S.shape[0]
+    n_dev = mesh.devices.size
+    bounds = np.linspace(0, n, n_dev + 1).astype(np.int64)
+    shard_of = np.searchsorted(bounds, np.arange(n), side="right") - 1
+    rows = np.repeat(np.arange(n), np.diff(S.indptr))
+    cross = shard_of[rows] != shard_of[S.indices]
+
+    cf = np.zeros(n, dtype=np.int64)
+    if boundary_pmis and cross.any():
+        boundary = np.zeros(n, dtype=bool)
+        boundary[rows[cross]] = True
+        boundary[S.indices[cross]] = True
+        bidx = np.nonzero(boundary)[0]
+        S_bb = sp.csr_matrix(S[bidx][:, bidx])
+        cf_b = pmisr(S_bb, max_luby_steps, pmis=True, seed=seed,
+                     assume_symmetric=True)
+        cf[bidx] = cf_b
+    for s in range(n_dev):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        if hi <= lo:
+            continue
+        S_loc = sp.csr_matrix(S[lo:hi, lo:hi])
+        cf_loc, _ = serial_aggregation(S_loc, cf_markers=cf[lo:hi])
+        cf[lo:hi] = cf_loc
+    return cf
 
 
 def _pmisr_sharded(S, max_luby_steps, pmis, seed, mesh):

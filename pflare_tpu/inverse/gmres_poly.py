@@ -245,16 +245,17 @@ def coefficients_arnoldi(matvec, n, poly_order, dtype=jnp.float64,
     return coeffs
 
 
-def coefficients_power(matvec, n, poly_order, dtype=jnp.float64,
-                       seed: int = 17, qr_reduce=None, xp=jnp) -> np.ndarray:
-    """Power-basis coefficients with a single QR reduction (reference:
-    src/Gmres_Poly.F90:552-776).
-
-    Build K_{m+1} = [b, Ab, ..., A^m b]; QR; beta sits at R[0,0]; solve
-    min || beta e1 - R[:,1:] g || with a rank-revealing lstsq (the power
-    basis may be rank deficient).  ``qr_reduce`` can override the QR for the
-    distributed TSQR (local QR + psum of stacked R factors).
-    """
+def coefficients_power_start(matvec, n, poly_order, dtype=jnp.float64,
+                             seed: int = 17, qr_reduce=None, xp=jnp):
+    """START the comms-avoiding power-basis computation: build
+    K_{m+1} = [b, Ab, ..., A^m b] and ISSUE the QR reduction, returning
+    the (possibly still in-flight) R factor -- the analogue of the
+    reference's non-blocking TSQR start (reference:
+    src/Approx_Inverse_Setup.F90:207, src/TSQR.F90:65: the reduction is
+    posted before submatrix extraction and finished after).  With a
+    ``qr_reduce`` (the distributed butterfly TSQR) the returned R is an
+    un-synchronised device value: jax's async dispatch keeps the
+    collective in flight while the caller does host-side work."""
     subspace = poly_order + 1
     b = box_muller(n, dtype, seed, xp=xp)
     cols = [b]
@@ -265,6 +266,16 @@ def coefficients_power(matvec, n, poly_order, dtype=jnp.float64,
         R = np.linalg.qr(np.asarray(K, dtype=np.float64), mode="r")
     else:
         R = qr_reduce(K)
+    return R, subspace
+
+
+def coefficients_power_finish(pending, dtype=jnp.float64) -> np.ndarray:
+    """FINISH a started power-basis computation: synchronise R (the only
+    blocking point) and solve min || beta e1 - R[:,1:] g || with a
+    rank-revealing lstsq (the power basis may be rank deficient;
+    reference: src/Gmres_Poly.F90:552-776)."""
+    R, subspace = pending
+    R = np.asarray(R, dtype=np.float64)
     # R has min(n, subspace+1) rows: tiny matrices (order clamped to n-1)
     # give a wide K whose R is n x (subspace+1)
     g0 = np.zeros(R.shape[0])
@@ -274,6 +285,16 @@ def coefficients_power(matvec, n, poly_order, dtype=jnp.float64,
     out = np.zeros(subspace)
     out[: len(g)] = g[:subspace]
     return out
+
+
+def coefficients_power(matvec, n, poly_order, dtype=jnp.float64,
+                       seed: int = 17, qr_reduce=None, xp=jnp) -> np.ndarray:
+    """Power-basis coefficients with a single QR reduction (reference:
+    src/Gmres_Poly.F90:552-776) -- the blocking start+finish pair."""
+    pending = coefficients_power_start(matvec, n, poly_order, dtype,
+                                       seed=seed, qr_reduce=qr_reduce,
+                                       xp=xp)
+    return coefficients_power_finish(pending, dtype)
 
 
 # ~~~~~~~~~~~~~~~~~~~~~~ appliers ~~~~~~~~~~~~~~~~~~~~~~

@@ -61,11 +61,15 @@ class AIROptions:
     # setting it emits a note rather than silently ignoring it.
     subcomm: bool = False
 
-    # row/column reordering applied before setup ("none" | "rcm"):
+    # row/column reordering applied before setup ("none" | "rcm" | "auto"):
     # reverse Cuthill-McKee bands the matrix so unstructured operators
     # reach the slice-based SpMV paths (DIA / banded Pallas) instead of
-    # the ~50x-slower TPU gather (docs/tpu.md) -- a TPU-first design
-    # choice with no reference analogue (PETSc keeps natural ordering)
+    # the ~50x-slower TPU gather (docs/tpu.md), and keep NEIGHBOUR-ONLY
+    # halo exchange under a 1-D row mesh (parallel/halo.py band check) --
+    # the TPU-first stand-in for the reference's ParMETIS repartition
+    # (reference: src/C_PETSc_Routines.c:17-175).  "auto" applies RCM only
+    # when it at least halves the bandwidth (structured/banded operators
+    # keep their natural order).
     reorder: str = "none"
 
     strong_threshold: float = 0.5

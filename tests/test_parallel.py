@@ -337,3 +337,84 @@ def test_halo_extraction_rejects_rectangular():
     got = extract_dell(d_sh, ridx, cmask, cnew, int(keep.sum()))
     diff = abs(got.to_scipy() - ref.to_scipy())
     assert (diff.max() if diff.nnz else 0.0) < 1e-14
+
+
+def test_auto_reorder_unstructured_neighbour_only():
+    """reorder='auto' is the ParMETIS-repartition stand-in (reference:
+    src/C_PETSc_Routines.c:17-175, src/Repartition.F90:69-110): an
+    unstructured gmsh DG operator (natural bandwidth ~n) is RCM-banded at
+    setup so the distributed solve's top matvec takes the NEIGHBOUR-ONLY
+    HaloELL path -- collective-permutes only, no all-gather of the
+    operator -- while banded operators keep their natural order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pflare_tpu import PCAIR, AIROptions, adv_diff_2d
+    from pflare_tpu.problems import dg_upwind_advection_unstructured
+    from pflare_tpu.parallel import make_mesh
+    from pflare_tpu.parallel.halo import HaloELL
+
+    A = dg_upwind_advection_unstructured(24)       # 1058 rows, bw 928
+    mesh = make_mesh(8)
+    pc = PCAIR(AIROptions(reorder="auto", strong_threshold=0.99))
+    pc.setup(A)
+    assert pc._perm is not None, "auto reorder must engage (bw ~n)"
+    E, _, _ = pc._distributed_state(mesh)
+    assert isinstance(E, HaloELL), \
+        "banded partition must take the halo-exchange top operator"
+
+    # neighbour-only collectives in the top matvec's compiled HLO
+    x = jax.device_put(
+        jnp.zeros(E.data.shape[0]),
+        jax.sharding.NamedSharding(mesh,
+                                   jax.sharding.PartitionSpec("rows")))
+    lowered = jax.jit(lambda e, v: e.matvec(v)).lower(E, x)
+    txt = lowered.as_text()
+    assert "collective_permute" in txt or "collective-permute" in txt
+    for bad in ("all_gather", "all-gather", "all_to_all", "all-to-all"):
+        assert bad not in txt, f"top matvec must not {bad}"
+
+    # the reordered distributed solve matches the natural-order serial one
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(A.shape[0]))
+    x_m, _ = pc.solve_device(b, max_it=20, mesh=mesh)
+    tr = np.linalg.norm(A @ np.asarray(x_m) - np.asarray(b)) \
+        / np.linalg.norm(np.asarray(b))
+    assert tr < 1e-10, tr
+
+    # structured operators keep natural order under "auto"
+    pc2 = PCAIR(AIROptions(reorder="auto"))
+    pc2.setup(adv_diff_2d(32))
+    assert pc2._perm is None
+
+
+def test_distributed_agg_splitting_parity():
+    """AGG / PMIS_AGG with mesh= run boundary-PMIS + shard-local
+    aggregation (reference: src/CF_Splitting.F90:162-225) instead of
+    silently computing a serial splitting.  Statistical parity: the
+    coarsening fraction matches the serial aggregation within a few
+    percent and the resulting PCAIR still converges."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pflare_tpu import (AIROptions, CFSplittingType, PCAIR,
+                            adv_diff_2d, compute_cf_splitting)
+    from pflare_tpu.parallel import make_mesh
+
+    A = adv_diff_2d(48)
+    mesh = make_mesh(8)
+    for t in (CFSplittingType.AGG, CFSplittingType.PMIS_AGG):
+        f_ser, c_ser = compute_cf_splitting(A, cf_splitting_type=t)
+        f_m, c_m = compute_cf_splitting(A, cf_splitting_type=t, mesh=mesh)
+        frac_ser = len(c_ser) / A.shape[0]
+        frac_m = len(c_m) / A.shape[0]
+        assert abs(frac_ser - frac_m) < 0.08, (t, frac_ser, frac_m)
+        # the distributed splitting must differ from the serial one ONLY
+        # through block-local decisions -- i.e. be a genuine splitting:
+        # every node assigned
+        assert len(f_m) + len(c_m) == A.shape[0]
+
+        pc = PCAIR(AIROptions(cf_splitting_type=t, max_levels=3))
+        pc.setup(A, mesh=mesh)
+        b = jnp.asarray(np.random.default_rng(0).standard_normal(
+            A.shape[0]))
+        res = pc.solve(b, rtol=1e-5, max_it=25)
+        assert res.converged, (t, res.iterations)
