@@ -303,15 +303,9 @@ def _x64_parity() -> dict | None:
     import subprocess
 
     env = dict(os.environ)
-    # XLA:CPU chained-matvec fusion recompute blowup guard
-    # (pflare_tpu/utils/fusion.py)
-    xla_flags = os.environ.get("XLA_FLAGS", "")
-    if "--xla_disable_hlo_passes" not in xla_flags:
-        xla_flags = (xla_flags + " --xla_disable_hlo_passes=fusion").strip()
     env.update({"PFLARE_BENCH_X64": "1", "PFLARE_BENCH_PLATFORM": "cpu",
                 "PFLARE_BENCH_MODE": "host",
-                "PFLARE_JAX_CACHE": "/tmp/pflare_jax_cache_cpu",
-                "XLA_FLAGS": xla_flags})
+                "PFLARE_JAX_CACHE": "/tmp/pflare_jax_cache_cpu"})
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            timeout=budget, capture_output=True, env=env,

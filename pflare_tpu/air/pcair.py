@@ -276,7 +276,25 @@ class PCAIR:
             def fn(levels, ci, r):
                 return vcycle_kaskade(levels, ci, r, smooth_order)
 
-        self._apply_jit = jax.jit(fn) if self.jit else fn
+        def _inv_kind(lvl):
+            inv = (lvl.get("inv_Aff") if isinstance(lvl, dict)
+                   else getattr(lvl, "inv_Aff", None))
+            return getattr(inv, "kind", "")
+
+        use_jit = self.jit
+        if use_jit and jax.default_backend() == "cpu" and any(
+                _inv_kind(lvl).endswith("_mf") for lvl in hier.levels):
+            # XLA:CPU loop fusions recompute chained gather-SpMVs per
+            # OUTPUT element, so a jitted cycle with matrix-free Horner
+            # smoothers at every level costs O(K^depth) -- measured 60 s
+            # per apply vs 50 ms eager on the 2,364-row streaming matrix
+            # (see utils/fusion.py for the full post-mortem; the
+            # fusion-pass-disable flag that fixes it segfaults this
+            # jaxlib elsewhere).  Eager per-op execution never forms the
+            # pathological fusion, so CPU runs of mf-smoother configs
+            # fall back to it; TPU keeps the single jitted program.
+            use_jit = False
+        self._apply_jit = jax.jit(fn) if use_jit else fn
 
     # ~~~~~~~~~~ apply / solve ~~~~~~~~~~
     def apply(self, r):

@@ -1,24 +1,32 @@
-"""XLA:CPU fusion-recompute mitigation.
+"""XLA:CPU fusion-recompute post-mortem (and why no flag is set).
 
-XLA:CPU's loop-fusion emitter evaluates a fusion's expression tree per
-OUTPUT element, so when several gather-SpMVs chain inside one fusion (a
-Horner polynomial applier, an F-smooth residual chain), every upstream
-matvec is recomputed for each consumed element: O(n * K^depth) instead of
-O(depth * n * K).  Measured on the reference streaming matrix (2,364
-rows, 10-level all-matrix-free AIR cycle): 60 s per jitted V-cycle vs
-50 ms eager -- a 1000x blowup.  `jax.lax.optimization_barrier` does NOT
-help: XLA:CPU strips opt-barrier during optimization and fuses anyway.
+**The pathology.**  XLA:CPU's loop-fusion emitter evaluates a fusion's
+expression tree per OUTPUT element.  When several gather-SpMVs chain
+inside one fusion -- a matrix-free Horner polynomial applier, an F-smooth
+residual chain -- every upstream matvec is recomputed for each consumed
+element: O(n * K^depth) instead of O(depth * n * K).  Measured on the
+reference streaming matrix (2,364 rows, 10-level all-matrix-free AIR
+cycle): 60 s per jitted V-cycle vs 50 ms eager, and an 8-deep ELL matvec
+chain at 3,000 rows runs 920x faster with fusion off.  Only
+gather-based chains blow up; DIA slice chains recompute cheap slices and
+stay fast, which is why the production (assembled/DIA) configurations
+never see this.
 
-The working mitigation is disabling the HLO "fusion" pass on the CPU
-backend (measured 920x faster on an 8-deep matvec chain; elementwise
-fusion loss costs only ~2x on pure elementwise code, irrelevant next to
-the blowup).  XLA reads the flag from the environment at backend
-initialisation, so it must be set BEFORE the first jax backend touch --
-call :func:`disable_cpu_fusion_blowup` at process start (tests/conftest,
-bench subprocesses, and the driver dry-run do this).
+**Dead ends, recorded so they are not retried.**
+- ``jax.lax.optimization_barrier``: present in the lowered stablehlo but
+  STRIPPED by XLA:CPU during optimisation -- the chain fuses anyway.
+- ``XLA_FLAGS=--xla_disable_hlo_passes=fusion``: fixes the blowup (the
+  920x above) but makes this jaxlib SEGFAULT while compiling/serialising
+  unrelated programs (reproduced deterministically in the device-setup
+  test suite; crash inside ``put_executable_and_time``).  Do not ship.
 
-TPU is NOT affected: its fusion cost model does not duplicate expensive
-producers this way, and no flag is set for TPU runs.
+**The working mitigation** lives in ``PCAIR._build_apply``: on the CPU
+backend, hierarchies whose smoothers are matrix-free fall back to EAGER
+application (per-op dispatch never forms the pathological fusion; 50 ms
+vs 60 s).  TPU execution is unaffected in all cases.
+
+``disable_cpu_fusion_blowup`` remains for experiments on jaxlibs where
+the flag is safe; nothing in the library calls it.
 """
 
 from __future__ import annotations
@@ -31,8 +39,9 @@ _FLAG = "--xla_disable_hlo_passes=fusion"
 def disable_cpu_fusion_blowup() -> bool:
     """Append the fusion-pass-disable flag to XLA_FLAGS (idempotent).
 
-    Returns True if the flag is (now) present.  Must run before jax
-    initialises its backends to take effect.
+    WARNING: known to segfault jaxlib 0.8-era CPU compilation on some
+    programs (see module docstring).  Must run before jax initialises
+    its backends to take effect.  Returns True if the flag is present.
     """
     cur = os.environ.get("XLA_FLAGS", "")
     if _FLAG in cur:

@@ -8,15 +8,6 @@ benchmarking happens in bench.py.
 """
 
 import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from pflare_tpu.utils.fusion import disable_cpu_fusion_blowup
-
-# BEFORE jax initialises: XLA:CPU's loop fusion recomputes chained
-# gather-SpMVs per output element (O(K^depth) blowup; one all-matrix-free
-# test measured 504 s -> ~5 s).  See pflare_tpu/utils/fusion.py.
-disable_cpu_fusion_blowup()
 
 import jax
 import pytest
