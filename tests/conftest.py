@@ -59,9 +59,30 @@ _SMOKE_TESTS = {
 }
 
 
+# Compile-heavy device-path tests demoted to the slow (nightly) tier so
+# `pytest -m "not slow"` stays verifiable on a 1-core box with a COLD
+# XLA cache (each of these builds tens of per-shape programs).  One
+# representative end-to-end oracle per subsystem stays in the default
+# tier (the _DEVICE_KEEP set below + the smoke tests).
+_DEVICE_HEAVY_MODULES = {"test_device_setup", "test_device_resetup"}
+_DEVICE_KEEP = {
+    # device first setup: solve-quality + CF parity oracles
+    "test_solve_quality_matches_host", "test_device_vs_host_coarsening_stats",
+    "test_spgemm_drop_lump_matches_native", "test_matvec", "test_extract",
+    "test_tiny_matrix_single_level",
+    # device re-setup: value parity + install protocol
+    "test_device_resetup_matches_host_values",
+    "test_device_resetup_validation",
+    "test_device_resetup_rejects_wrong_pattern",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__
         base = item.name.split("[")[0]
         if mod in _SMOKE_MODULES or base in _SMOKE_TESTS:
             item.add_marker(pytest.mark.smoke)
+        if (mod in _DEVICE_HEAVY_MODULES and base not in _DEVICE_KEEP
+                and base not in _SMOKE_TESTS):
+            item.add_marker(pytest.mark.slow)

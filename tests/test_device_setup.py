@@ -110,8 +110,11 @@ class TestDellPrimitives:
         assert np.array_equal(T[live], Tref.indices)
 
 
+# max_levels=4 (was 6): the per-(level, primitive) compile count is what
+# dominates these tests on a cold XLA cache; 4 levels exercise the same
+# code paths for ~2/3 the programs
 BENCH_OPTS = AIROptions(
-    a_lump=True, a_drop=1e-5, strong_threshold=0.99, max_levels=6,
+    a_lump=True, a_drop=1e-5, strong_threshold=0.99, max_levels=4,
     coarsest_inverse_type=InverseType.NEWTON, coarsest_poly_order=10,
     coarsest_matrix_free_polys=True,
 )
