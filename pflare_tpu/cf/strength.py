@@ -21,7 +21,12 @@ def strength_matrix(A, theta: float, symmetrize: bool = True,
         diag_strength=diag_strength,
     )
     if symmetrize:
-        S = sp.csr_matrix(S + S.T)
+        from ..native import symmetrize_pattern_native
+
+        # values are overwritten with 1.0 below, so only the union
+        # PATTERN matters: one native transpose+merge pass when available
+        Su = symmetrize_pattern_native(S)
+        S = Su if Su is not None else sp.csr_matrix(S + S.T)
     if square:
         if symmetrize:
             S2 = sp.csr_matrix(S @ S)

@@ -237,6 +237,17 @@ def get_lib():
             fn.restype = ctypes.c_int64
             fn.argtypes = [ip_] * 6 + [ctypes.c_int64, ctypes.c_int64,
                                        i32p, i32p, i32p]
+        for nm, ip_ in (("sym_union_count", i64p),
+                        ("sym_union_count_i32", i32p)):
+            fn = getattr(lib, nm)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ip_, ip_, ctypes.c_int64, ip_, ip_, ip_]
+        for nm, ip_ in (("sym_union_fill", i64p),
+                        ("sym_union_fill_i32", i32p)):
+            fn = getattr(lib, nm)
+            fn.restype = None
+            fn.argtypes = [ip_, ip_, ip_, ip_, ctypes.c_int64, ip_, ip_,
+                           f64p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -853,3 +864,40 @@ def plan_triples32_native(a_indptr, a_indices, b_indptr, b_indices,
                 _p(c_indptr, ip), _p(c_indices, ip), n_rows, int(n_cols),
                 _p(a_pos, i32p), _p(b_pos, i32p), _p(c_pos, i32p))
     return a_pos[:kept], b_pos[:kept], c_pos[:kept]
+
+
+def symmetrize_pattern_native(S):
+    """Union pattern S | S^T with unit values (the strength-matrix
+    symmetrization whose values are overwritten to 1.0; reference:
+    src/SAbs.F90 S + S^T).  Returns a sorted csr or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    n = S.shape[0]
+    if S.shape[1] != n:
+        return None
+    i32 = (S.indptr.dtype == np.int32 and S.indices.dtype == np.int32)
+    idt = np.int32 if i32 else np.int64
+    ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    count = lib.sym_union_count_i32 if i32 else lib.sym_union_count
+    fill = lib.sym_union_fill_i32 if i32 else lib.sym_union_fill
+    indptr = np.ascontiguousarray(S.indptr, dtype=idt)
+    indices = np.ascontiguousarray(S.indices, dtype=idt)
+    t_indptr = np.empty(n + 1, dtype=idt)
+    t_indices = _scratch(("symT", idt), max(S.nnz, 1), idt)
+    rowcnt = np.empty(n, dtype=idt)
+    total = count(_p(indptr, ip), _p(indices, ip), n,
+                  _p(t_indptr, ip), _p(t_indices, ip), _p(rowcnt, ip))
+    out_indptr = np.zeros(n + 1, dtype=idt)
+    np.cumsum(rowcnt, out=out_indptr[1:])
+    out_indices = np.empty(total, dtype=idt)
+    out_data = np.empty(total, dtype=np.float64)
+    fill(_p(indptr, ip), _p(indices, ip), _p(t_indptr, ip),
+         _p(t_indices, ip), n, _p(out_indptr, ip), _p(out_indices, ip),
+         _p(out_data, f64p))
+    out = sp.csr_matrix((out_data, out_indices, out_indptr), shape=S.shape)
+    out.has_sorted_indices = True
+    return out

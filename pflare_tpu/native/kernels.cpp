@@ -1545,3 +1545,101 @@ int64_t plan_fill_lump32(const int64_t* a_indptr, const int64_t* a_indices,
 }
 
 }  // extern "C"
+
+// ~~~~~~~~~~~~~~~~ pattern symmetrize (S | S^T) ~~~~~~~~~~~~~~~~
+// Union pattern of a sorted CSR with its transpose, all values 1.0 --
+// the strength-matrix symmetrization (reference: src/SAbs.F90 S + S^T),
+// whose values are overwritten with 1 afterwards so only the PATTERN
+// matters.  Builds the transpose with a counting scatter (row-major scan
+// keeps its rows sorted), then merges row pairs.  Two exact-size passes.
+template <typename I>
+static int64_t sym_union_count_t(const I* indptr, const I* indices,
+                                 int64_t n, I* t_indptr, I* t_indices,
+                                 I* out_rowcnt) {
+    // transpose counts
+    std::vector<int64_t> cnt(n, 0);
+    const int64_t nnz = indptr[n];
+    for (int64_t p = 0; p < nnz; ++p) ++cnt[indices[p]];
+    t_indptr[0] = 0;
+    for (int64_t i = 0; i < n; ++i) t_indptr[i + 1] = (I)(t_indptr[i] + cnt[i]);
+    std::vector<int64_t> w(n);
+    for (int64_t i = 0; i < n; ++i) w[i] = t_indptr[i];
+    for (int64_t i = 0; i < n; ++i)
+        for (I p = indptr[i]; p < indptr[i + 1]; ++p)
+            t_indices[w[indices[p]]++] = (I)i;
+    // merged union counts per row
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        I a = indptr[i], ae = indptr[i + 1];
+        I b = t_indptr[i], be = t_indptr[i + 1];
+        int64_t c = 0;
+        while (a < ae && b < be) {
+            if (indices[a] == t_indices[b]) { ++a; ++b; }
+            else if (indices[a] < t_indices[b]) ++a;
+            else ++b;
+            ++c;
+        }
+        c += (ae - a) + (be - b);
+        out_rowcnt[i] = (I)c;
+        total += c;
+    }
+    return total;
+}
+
+template <typename I>
+static void sym_union_fill_t(const I* indptr, const I* indices,
+                             const I* t_indptr, const I* t_indices,
+                             int64_t n, const I* out_indptr,
+                             I* out_indices, double* out_data) {
+    for (int64_t i = 0; i < n; ++i) {
+        I a = indptr[i], ae = indptr[i + 1];
+        I b = t_indptr[i], be = t_indptr[i + 1];
+        int64_t o = out_indptr[i];
+        while (a < ae && b < be) {
+            if (indices[a] == t_indices[b]) {
+                out_indices[o] = indices[a]; ++a; ++b;
+            } else if (indices[a] < t_indices[b]) {
+                out_indices[o] = indices[a]; ++a;
+            } else {
+                out_indices[o] = t_indices[b]; ++b;
+            }
+            out_data[o++] = 1.0;
+        }
+        for (; a < ae; ++a) { out_indices[o] = indices[a]; out_data[o++] = 1.0; }
+        for (; b < be; ++b) { out_indices[o] = t_indices[b]; out_data[o++] = 1.0; }
+    }
+}
+
+extern "C" {
+
+int64_t sym_union_count(const int64_t* indptr, const int64_t* indices,
+                        int64_t n, int64_t* t_indptr, int64_t* t_indices,
+                        int64_t* out_rowcnt) {
+    return sym_union_count_t(indptr, indices, n, t_indptr, t_indices,
+                             out_rowcnt);
+}
+
+int64_t sym_union_count_i32(const int32_t* indptr, const int32_t* indices,
+                            int64_t n, int32_t* t_indptr,
+                            int32_t* t_indices, int32_t* out_rowcnt) {
+    return sym_union_count_t(indptr, indices, n, t_indptr, t_indices,
+                             out_rowcnt);
+}
+
+void sym_union_fill(const int64_t* indptr, const int64_t* indices,
+                    const int64_t* t_indptr, const int64_t* t_indices,
+                    int64_t n, const int64_t* out_indptr,
+                    int64_t* out_indices, double* out_data) {
+    sym_union_fill_t(indptr, indices, t_indptr, t_indices, n, out_indptr,
+                     out_indices, out_data);
+}
+
+void sym_union_fill_i32(const int32_t* indptr, const int32_t* indices,
+                        const int32_t* t_indptr, const int32_t* t_indices,
+                        int64_t n, const int32_t* out_indptr,
+                        int32_t* out_indices, double* out_data) {
+    sym_union_fill_t(indptr, indices, t_indptr, t_indices, n, out_indptr,
+                     out_indices, out_data);
+}
+
+}  // extern "C"
