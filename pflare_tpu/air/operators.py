@@ -212,7 +212,7 @@ def improve_transfer(M: sp.csr_matrix, A_ff: sp.csr_matrix,
     (the reference always pulls diag(A_ff_inv), :60-66), scaling BOTH
     residual terms.
     """
-    D = sp.diags(inv_diag)
+    D = sp.diags(np.asarray(inv_diag).astype(M.data.dtype, copy=False))
     for _ in range(its):
         if is_z:
             resid = (M @ A_ff + A_other) @ D
@@ -228,7 +228,7 @@ def assemble_p(W: sp.csr_matrix, fine, coarse, n: int) -> sp.csr_matrix:
     n_c = len(coarse)
     rows = np.concatenate([fine[_rows_of(W)], coarse])
     cols = np.concatenate([W.indices, np.arange(n_c)])
-    vals = np.concatenate([W.data, np.ones(n_c)])
+    vals = np.concatenate([W.data, np.ones(n_c, dtype=W.data.dtype)])
     P = sp.csr_matrix((vals, (rows, cols)), shape=(n, n_c))
     P.sort_indices()
     return P
@@ -240,7 +240,7 @@ def assemble_r(Z: sp.csr_matrix, fine, coarse, n: int) -> sp.csr_matrix:
     n_c = len(coarse)
     rows = np.concatenate([_rows_of(Z), np.arange(n_c)])
     cols = np.concatenate([fine[Z.indices], coarse])
-    vals = np.concatenate([Z.data, np.ones(n_c)])
+    vals = np.concatenate([Z.data, np.ones(n_c, dtype=Z.data.dtype)])
     R = sp.csr_matrix((vals, (rows, cols)), shape=(n_c, n))
     R.sort_indices()
     return R

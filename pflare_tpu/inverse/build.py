@@ -266,7 +266,8 @@ def build_inverse(
         # (reference: src/Neumann_Poly.F90:177-212)
         A_host = A_scipy if A_scipy is not None else A.to_scipy()
         d = np.asarray(diag)
-        N = sp.eye(n, format="csr") - sp.diags(1.0 / d) @ A_host
+        N = (sp.eye(n, format="csr", dtype=A_host.data.dtype)
+             - sp.diags(1.0 / d) @ A_host)
         N = sp.csr_matrix(N)
         N.sort_indices()
         from ..sparse.pattern import SparsityPattern as _SP

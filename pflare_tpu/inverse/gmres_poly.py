@@ -31,7 +31,9 @@ def box_muller(n: int, dtype=jnp.float64, seed: int = 17, xp=jnp):
     u2 = rng.random(n)
     z = np.sqrt(-2.0 * np.log1p(-u1)) * np.cos(2.0 * np.pi * u2)
     if xp is np:
-        return z.astype(np.float64)
+        # follow the matrix precision: an f64 start vector against an f32
+        # matrix makes scipy upcast the matrix DATA on every matvec
+        return z.astype(np.float64 if dtype is None else np.dtype(dtype))
     return jnp.asarray(z, dtype=dtype)
 
 
@@ -55,7 +57,9 @@ def arnoldi_host(matvec, n, poly_order, dtype, lucky_tol, compute_cn=False,
     # list+stack form re-copied the whole basis every step -- O(m^2 n))
     prealloc = xp is np
     if prealloc:
-        V = np.empty((subspace + 1, n))
+        # basis in the MATRIX precision (bandwidth: the matvecs and MGS
+        # dots dominate); the Hessenberg/LS stay float64 below
+        V = np.empty((subspace + 1, n), dtype=r0.dtype)
         V[0] = r0 / beta
     else:
         V = [r0 / beta]

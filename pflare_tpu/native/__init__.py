@@ -242,12 +242,15 @@ def get_lib():
             fn = getattr(lib, nm)
             fn.restype = ctypes.c_int64
             fn.argtypes = [ip_, ip_, ctypes.c_int64, ip_, ip_, ip_]
-        for nm, ip_ in (("sym_union_fill", i64p),
-                        ("sym_union_fill_i32", i32p)):
+        f32p_ = ctypes.POINTER(ctypes.c_float)
+        for nm, ip_, vp_ in (("sym_union_fill", i64p, f64p),
+                             ("sym_union_fill_i32", i32p, f64p),
+                             ("sym_union_fill_f32", i64p, f32p_),
+                             ("sym_union_fill_i32f32", i32p, f32p_)):
             fn = getattr(lib, nm)
             fn.restype = None
             fn.argtypes = [ip_, ip_, ip_, ip_, ctypes.c_int64, ip_, ip_,
-                           f64p]
+                           vp_]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -881,9 +884,9 @@ def symmetrize_pattern_native(S):
     i32 = (S.indptr.dtype == np.int32 and S.indices.dtype == np.int32)
     idt = np.int32 if i32 else np.int64
     ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
-    f64p = ctypes.POINTER(ctypes.c_double)
+    vdt, vp, f32 = _val_dispatch(S.data)
     count = lib.sym_union_count_i32 if i32 else lib.sym_union_count
-    fill = lib.sym_union_fill_i32 if i32 else lib.sym_union_fill
+    fill = _vfn(lib, "sym_union_fill", i32, f32)
     indptr = np.ascontiguousarray(S.indptr, dtype=idt)
     indices = np.ascontiguousarray(S.indices, dtype=idt)
     t_indptr = np.empty(n + 1, dtype=idt)
@@ -894,10 +897,10 @@ def symmetrize_pattern_native(S):
     out_indptr = np.zeros(n + 1, dtype=idt)
     np.cumsum(rowcnt, out=out_indptr[1:])
     out_indices = np.empty(total, dtype=idt)
-    out_data = np.empty(total, dtype=np.float64)
+    out_data = np.empty(total, dtype=vdt)
     fill(_p(indptr, ip), _p(indices, ip), _p(t_indptr, ip),
          _p(t_indices, ip), n, _p(out_indptr, ip), _p(out_indices, ip),
-         _p(out_data, f64p))
+         _p(out_data, vp))
     out = sp.csr_matrix((out_data, out_indices, out_indptr), shape=S.shape)
     out.has_sorted_indices = True
     return out

@@ -1586,11 +1586,11 @@ static int64_t sym_union_count_t(const I* indptr, const I* indices,
     return total;
 }
 
-template <typename I>
+template <typename I, typename T>
 static void sym_union_fill_t(const I* indptr, const I* indices,
                              const I* t_indptr, const I* t_indices,
                              int64_t n, const I* out_indptr,
-                             I* out_indices, double* out_data) {
+                             I* out_indices, T* out_data) {
     for (int64_t i = 0; i < n; ++i) {
         I a = indptr[i], ae = indptr[i + 1];
         I b = t_indptr[i], be = t_indptr[i + 1];
@@ -1603,10 +1603,10 @@ static void sym_union_fill_t(const I* indptr, const I* indices,
             } else {
                 out_indices[o] = t_indices[b]; ++b;
             }
-            out_data[o++] = 1.0;
+            out_data[o++] = (T)1.0;
         }
-        for (; a < ae; ++a) { out_indices[o] = indices[a]; out_data[o++] = 1.0; }
-        for (; b < be; ++b) { out_indices[o] = t_indices[b]; out_data[o++] = 1.0; }
+        for (; a < ae; ++a) { out_indices[o] = indices[a]; out_data[o++] = (T)1.0; }
+        for (; b < be; ++b) { out_indices[o] = t_indices[b]; out_data[o++] = (T)1.0; }
     }
 }
 
@@ -1638,6 +1638,22 @@ void sym_union_fill_i32(const int32_t* indptr, const int32_t* indices,
                         const int32_t* t_indptr, const int32_t* t_indices,
                         int64_t n, const int32_t* out_indptr,
                         int32_t* out_indices, double* out_data) {
+    sym_union_fill_t(indptr, indices, t_indptr, t_indices, n, out_indptr,
+                     out_indices, out_data);
+}
+
+void sym_union_fill_f32(const int64_t* indptr, const int64_t* indices,
+                        const int64_t* t_indptr, const int64_t* t_indices,
+                        int64_t n, const int64_t* out_indptr,
+                        int64_t* out_indices, float* out_data) {
+    sym_union_fill_t(indptr, indices, t_indptr, t_indices, n, out_indptr,
+                     out_indices, out_data);
+}
+
+void sym_union_fill_i32f32(const int32_t* indptr, const int32_t* indices,
+                           const int32_t* t_indptr, const int32_t* t_indices,
+                           int64_t n, const int32_t* out_indptr,
+                           int32_t* out_indices, float* out_data) {
     sym_union_fill_t(indptr, indices, t_indptr, t_indices, n, out_indptr,
                      out_indices, out_data);
 }

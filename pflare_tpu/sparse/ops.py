@@ -142,7 +142,7 @@ def remove_from_sparse_match(
     pos_c = np.minimum(pos, max(len(keysP) - 1, 0))
     inside = (len(keysP) > 0) & (keysP[pos_c] == keysA)
 
-    new_data = np.zeros(P.nnz, dtype=np.float64)
+    new_data = np.zeros(P.nnz, dtype=A.data.dtype)
     # canonical CSR keys are unique, so plain fancy assignment is exact
     # (np.add.at is unbuffered and measured ~20x slower at 512^2 RAP nnz)
     new_data[pos_c[inside]] = A.data[inside]
@@ -183,7 +183,8 @@ def duplicate_plus_diag(A) -> sp.csr_matrix:
     A = _canon(A)
     n = min(A.shape)
     d = sp.csr_matrix(
-        (np.zeros(n), (np.arange(n), np.arange(n))), shape=A.shape
+        (np.zeros(n, dtype=A.data.dtype), (np.arange(n), np.arange(n))),
+        shape=A.shape
     )
     out = _canon(A + d)
     return out
@@ -211,7 +212,8 @@ def one_point_strongest(A_fc) -> sp.csr_matrix:
     out_rows = rows[sel]
     out_cols = A.indices[sel]
     out = sp.csr_matrix(
-        (np.ones(len(sel)), (out_rows, out_cols)), shape=A.shape
+        (np.ones(len(sel), dtype=A.data.dtype), (out_rows, out_cols)),
+        shape=A.shape
     )
     out.sort_indices()
     return out
