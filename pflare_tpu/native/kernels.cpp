@@ -849,43 +849,65 @@ static void poly_on_sparsity_t(const I* a_indptr, const I* a_indices,
                                const I* s_indices, int64_t n_rows,
                                int64_t n_cols, const double* coeffs,
                                int64_t order, T* out_data) {
-    std::vector<int64_t> stamp(n_cols, -1);
-    std::vector<int32_t> slot(n_cols, 0);
+    // Membership tag and slot packed into ONE word: pk[j] = ((i+1)<<SH)|t
+    // when column j sits at slot t of row i's S pattern.  The restricted
+    // products (X@A)|_S walk nnz(S) * avg_row(A) elements per power but
+    // only 30-45% land inside S (measured on the dense mid-hierarchy
+    // A_ff blocks this kernel dominates on) -- an unpredictable branch
+    // AND mostly wasted work.  So the intersection PAIR LIST
+    // {(src slot, A position, dst slot)} is built once per row (one
+    // branchy pass) and each of the order-1 powers replays it as a tight
+    // branch-free FMA over the hits only.
+    constexpr int SH = 32;
+    constexpr int64_t SLOT = ((int64_t)1 << SH) - 1;
+    std::vector<int64_t> pk(n_cols, 0);
     std::vector<double> cur, nxt, acc;
+    std::vector<int32_t> p_src, p_dst;
+    std::vector<int64_t> p_apos;
     for (int64_t i = 0; i < n_rows; ++i) {
         const I s0 = s_indptr[i];
-        const int m = (int)(s_indptr[i + 1] - s0);
+        const int64_t m = s_indptr[i + 1] - s0;
+        const int64_t tag = i + 1;
         cur.assign(m, 0.0);
+        nxt.assign(m, 0.0);
         acc.assign(m, 0.0);
-        nxt.resize(m);
-        for (int t = 0; t < m; ++t) {
-            const I j = s_indices[s0 + t];
-            stamp[j] = i;
-            slot[j] = t;
-        }
+        for (int64_t t = 0; t < m; ++t)
+            pk[s_indices[s0 + t]] = (tag << SH) | t;
         // cur = row i of A restricted to S
         for (I p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
-            const I j = a_indices[p];
-            if (stamp[j] == i) cur[slot[j]] = a_data[p];
+            const int64_t w = pk[a_indices[p]];
+            if ((w >> SH) == tag) cur[w & SLOT] = a_data[p];
         }
-        for (int t = 0; t < m; ++t) acc[t] = coeffs[1] * cur[t];
-        for (int64_t k = 2; k <= order; ++k) {
-            std::fill(nxt.begin(), nxt.end(), 0.0);
-            for (int t = 0; t < m; ++t) {
-                const double v = cur[t];
-                if (v == 0.0) continue;
+        for (int64_t t = 0; t < m; ++t) acc[t] = coeffs[1] * cur[t];
+        if (order >= 2) {
+            p_src.clear(); p_dst.clear(); p_apos.clear();
+            for (int64_t t = 0; t < m; ++t) {
                 const I kk = s_indices[s0 + t];
                 for (I q = a_indptr[kk]; q < a_indptr[kk + 1]; ++q) {
-                    const I j = a_indices[q];
-                    if (stamp[j] == i) nxt[slot[j]] += v * a_data[q];
+                    const int64_t w = pk[a_indices[q]];
+                    if ((w >> SH) == tag) {
+                        p_src.push_back((int32_t)t);
+                        p_dst.push_back((int32_t)(w & SLOT));
+                        p_apos.push_back((int64_t)q);
+                    }
                 }
             }
-            const double ck = coeffs[k];
-            for (int t = 0; t < m; ++t) acc[t] += ck * nxt[t];
-            cur.swap(nxt);
+            const size_t np = p_src.size();
+            const int32_t* ps = p_src.data();
+            const int32_t* pd = p_dst.data();
+            const int64_t* pa = p_apos.data();
+            for (int64_t k = 2; k <= order; ++k) {
+                std::fill(nxt.begin(), nxt.end(), 0.0);
+                for (size_t e = 0; e < np; ++e)
+                    nxt[pd[e]] += cur[ps[e]] * a_data[pa[e]];
+                const double ck = coeffs[k];
+                for (int64_t t = 0; t < m; ++t) acc[t] += ck * nxt[t];
+                cur.swap(nxt);
+            }
         }
-        if (i < n_cols && stamp[i] == i) acc[slot[i]] += coeffs[0];
-        for (int t = 0; t < m; ++t) out_data[s0 + t] = (T)acc[t];
+        if (i < n_cols && (pk[i] >> SH) == tag)
+            acc[pk[i] & SLOT] += coeffs[0];
+        for (int64_t t = 0; t < m; ++t) out_data[s0 + t] = (T)acc[t];
     }
 }
 
@@ -903,38 +925,57 @@ static void newton_on_sparsity_t(const I* a_indptr, const I* a_indices,
                                  int64_t n_cols, const double* wr,
                                  const double* wi, int64_t k_roots,
                                  double tol_zero, V* out_data) {
-    std::vector<int64_t> stamp(n_cols, -1);
-    std::vector<int32_t> slot(n_cols, 0);
+    // packed tag|slot + per-row intersection pair list (see
+    // poly_on_sparsity_t above for the rationale): the restricted
+    // product runs k_roots times per row on the SAME pattern, so the
+    // hits are discovered once and replayed branch-free.
+    constexpr int SH = 32;
+    constexpr int64_t SLOT = ((int64_t)1 << SH) - 1;
+    std::vector<int64_t> pk(n_cols, 0);
     std::vector<double> T, M, TA, T2;
+    std::vector<int32_t> p_src, p_dst;
+    std::vector<int64_t> p_apos;
     for (int64_t i = 0; i < n_rows; ++i) {
         const I s0 = s_indptr[i];
-        const int m = (int)(s_indptr[i + 1] - s0);
+        const int64_t m = s_indptr[i + 1] - s0;
+        const int64_t tag = i + 1;
         T.assign(m, 0.0);
         M.assign(m, 0.0);
         TA.resize(m);
         T2.resize(m);
-        int diag_t = -1;
-        for (int t = 0; t < m; ++t) {
+        int64_t diag_t = -1;
+        for (int64_t t = 0; t < m; ++t) {
             const I j = s_indices[s0 + t];
-            stamp[j] = i;
-            slot[j] = t;
+            pk[j] = (tag << SH) | t;
             if ((int64_t)j == i) diag_t = t;
         }
         if (diag_t >= 0) T[diag_t] = 1.0;  // T starts as the identity
+
+        p_src.clear(); p_dst.clear(); p_apos.clear();
+        for (int64_t t = 0; t < m; ++t) {
+            const I kk = s_indices[s0 + t];
+            for (I q = a_indptr[kk]; q < a_indptr[kk + 1]; ++q) {
+                const int64_t w = pk[a_indices[q]];
+                if ((w >> SH) == tag) {
+                    p_src.push_back((int32_t)t);
+                    p_dst.push_back((int32_t)(w & SLOT));
+                    p_apos.push_back((int64_t)q);
+                }
+            }
+        }
+        const size_t np = p_src.size();
+        const int32_t* ps = p_src.data();
+        const int32_t* pd = p_dst.data();
+        const int64_t* pa = p_apos.data();
 
         // row-local restricted product TA = (T @ A)|_S
         auto restricted_product = [&](const std::vector<double>& X,
                                       std::vector<double>& out) {
             std::fill(out.begin(), out.end(), 0.0);
-            for (int t = 0; t < m; ++t) {
-                const double v = X[t];
-                if (v == 0.0) continue;
-                const I kk = s_indices[s0 + t];
-                for (I q = a_indptr[kk]; q < a_indptr[kk + 1]; ++q) {
-                    const I j = a_indices[q];
-                    if (stamp[j] == i) out[slot[j]] += v * a_data[q];
-                }
-            }
+            const double* Xd = X.data();
+            double* od = out.data();
+            for (size_t e = 0; e < np; ++e)
+                od[pd[e]] += Xd[ps[e]] * a_data[pa[e]];
         };
 
         int64_t r = 0;
@@ -942,20 +983,20 @@ static void newton_on_sparsity_t(const I* a_indptr, const I* a_indices,
             if (wi[r] == 0.0) {
                 const double th = wr[r];
                 if (std::fabs(th) < tol_zero) { ++r; continue; }
-                for (int t = 0; t < m; ++t) M[t] += T[t] / th;
+                for (int64_t t = 0; t < m; ++t) M[t] += T[t] / th;
                 restricted_product(T, TA);
-                for (int t = 0; t < m; ++t) T[t] -= TA[t] / th;
+                for (int64_t t = 0; t < m; ++t) T[t] -= TA[t] / th;
                 ++r;
             } else {
                 const double s = wr[r] * wr[r] + wi[r] * wi[r];
                 if (s < tol_zero) { r += 2; continue; }
                 restricted_product(T, TA);
                 const double tw = 2.0 * wr[r];
-                for (int t = 0; t < m; ++t) T2[t] = tw * T[t] - TA[t];
-                for (int t = 0; t < m; ++t) M[t] += T2[t] / s;
+                for (int64_t t = 0; t < m; ++t) T2[t] = tw * T[t] - TA[t];
+                for (int64_t t = 0; t < m; ++t) M[t] += T2[t] / s;
                 if (r <= k_roots - 3) {
                     restricted_product(T2, TA);
-                    for (int t = 0; t < m; ++t) T[t] -= TA[t] / s;
+                    for (int64_t t = 0; t < m; ++t) T[t] -= TA[t] / s;
                 }
                 r += 2;
             }
@@ -963,9 +1004,9 @@ static void newton_on_sparsity_t(const I* a_indptr, const I* a_indices,
         if (k_roots >= 1 && wi[k_roots - 1] == 0.0 &&
             std::fabs(wr[k_roots - 1]) > tol_zero) {
             const double th = wr[k_roots - 1];
-            for (int t = 0; t < m; ++t) M[t] += T[t] / th;
+            for (int64_t t = 0; t < m; ++t) M[t] += T[t] / th;
         }
-        for (int t = 0; t < m; ++t) out_data[s0 + t] = (V)M[t];
+        for (int64_t t = 0; t < m; ++t) out_data[s0 + t] = (V)M[t];
     }
 }
 
