@@ -453,9 +453,10 @@ def main():
                 A2 = A.copy()
                 A2.data = A2.data * (1.0 + 1e-4)
                 t_first = t_re = float("inf")
-                # best-of-2: first-touch page faults on this VM add
-                # seconds to whichever phase allocates fresh memory first
-                for _ in range(2):
+                # best-of-4 (symmetric on first AND re-setup): first-touch
+                # page faults and CPU-steal on this VM add large noise to
+                # whichever phase allocates fresh memory first
+                for _ in range(4):
                     pcr = PCAIR(ropts, dtype=dtype)
                     t0 = time.perf_counter()
                     pcr.setup(A)

@@ -62,13 +62,45 @@ def richardson(A, b, x0=None, M=None, rtol=1e-5, atol=1e-50, max_it=1000,
     return SolveResult(x, max_it, False, norms)
 
 
+def _givens_step(H, cs, sn, g, j):
+    """Apply the stored Givens rotations to column j of H, compute the new
+    rotation eliminating H[j+1, j], and update the residual vector g
+    in place.  Returns |g[j+1]| -- the LS residual after j+1 steps.
+    O(j) per iteration (PETSc's KSPGMRES update; replaces the previous
+    full lstsq per iteration, which re-solved an O(m^3) problem)."""
+    for i in range(j):
+        t = cs[i] * H[i, j] + sn[i] * H[i + 1, j]
+        H[i + 1, j] = -sn[i] * H[i, j] + cs[i] * H[i + 1, j]
+        H[i, j] = t
+    a, bb = H[j, j], H[j + 1, j]
+    rho = np.hypot(a, bb)
+    if rho == 0.0:
+        cs[j], sn[j] = 1.0, 0.0
+    else:
+        cs[j], sn[j] = a / rho, bb / rho
+    H[j, j] = cs[j] * a + sn[j] * bb
+    H[j + 1, j] = 0.0
+    g[j + 1] = -sn[j] * g[j]
+    g[j] = cs[j] * g[j]
+    return abs(float(g[j + 1]))
+
+
+def _givens_solve(H, g, m):
+    """Back-substitute the rotated (upper-triangular) H for y."""
+    y = np.zeros(m)
+    for i in range(m - 1, -1, -1):
+        s = g[i] - H[i, i + 1 : m] @ y[i + 1 : m]
+        y[i] = s / H[i, i] if H[i, i] != 0.0 else 0.0
+    return y
+
+
 def gmres(A, b, x0=None, M=None, side="left", restart=30, rtol=1e-5,
           atol=1e-50, max_it=10000) -> SolveResult:
     """Restarted GMRES with left/right preconditioning (PETSc-style defaults).
 
     ``M`` applies the (approximate) inverse preconditioner.  Arnoldi uses
-    modified Gram-Schmidt; the small least-squares problem is solved on host
-    each iteration via Givens-free lstsq (cheap at these restart sizes).
+    modified Gram-Schmidt; the small least-squares problem is maintained
+    incrementally with Givens rotations (O(m) per iteration).
     """
     matvec = as_operator(A)
     M = M or (lambda r: r)
@@ -102,8 +134,11 @@ def gmres(A, b, x0=None, M=None, side="left", restart=30, rtol=1e-5,
             return SolveResult(x, total_it, True, norms)
         V = [r / beta]
         H = np.zeros((restart + 1, restart))
+        cs = np.zeros(restart)
+        sn = np.zeros(restart)
+        g = np.zeros(restart + 1)
+        g[0] = beta
         m_used = 0
-        y = None
         for j in range(restart):
             if total_it >= max_it:
                 break
@@ -121,19 +156,14 @@ def gmres(A, b, x0=None, M=None, side="left", restart=30, rtol=1e-5,
             H[j + 1, j] = hj1
             m_used = j + 1
             total_it += 1
-            # solve small LS for current residual estimate
-            g = np.zeros(m_used + 1)
-            g[0] = beta
-            y, res_, _, _ = np.linalg.lstsq(H[: m_used + 1, :m_used], g, rcond=None)
-            res_norm = float(
-                np.linalg.norm(g - H[: m_used + 1, :m_used] @ y)
-            )
+            res_norm = _givens_step(H, cs, sn, g, j)
             norms.append(res_norm)
             if res_norm <= tol or hj1 < 1e-30:
                 break
             V.append(w / hj1)
         # update x
-        if y is not None and m_used > 0:
+        if m_used > 0:
+            y = _givens_solve(H, g, m_used)
             update = V[0] * float(y[0])
             for i in range(1, m_used):
                 update = update + V[i] * float(y[i])
@@ -171,8 +201,11 @@ def fgmres(A, b, x0=None, M=None, restart=30, rtol=1e-5, atol=1e-50,
         V = [r / beta]
         Z = []
         H = np.zeros((restart + 1, restart))
+        cs = np.zeros(restart)
+        sn = np.zeros(restart)
+        g = np.zeros(restart + 1)
+        g[0] = beta
         m_used = 0
-        y = None
         for j in range(restart):
             if total_it >= max_it:
                 break
@@ -187,15 +220,13 @@ def fgmres(A, b, x0=None, M=None, restart=30, rtol=1e-5, atol=1e-50,
             H[j + 1, j] = hj1
             m_used = j + 1
             total_it += 1
-            g = np.zeros(m_used + 1)
-            g[0] = beta
-            y, _, _, _ = np.linalg.lstsq(H[: m_used + 1, :m_used], g, rcond=None)
-            res_norm = float(np.linalg.norm(g - H[: m_used + 1, :m_used] @ y))
+            res_norm = _givens_step(H, cs, sn, g, j)
             norms.append(res_norm)
             if res_norm <= tol or hj1 < 1e-30:
                 break
             V.append(w / hj1)
-        if y is not None and m_used > 0:
+        if m_used > 0:
+            y = _givens_solve(H, g, m_used)
             update = Z[0] * float(y[0])
             for i in range(1, m_used):
                 update = update + Z[i] * float(y[i])
