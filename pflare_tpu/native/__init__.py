@@ -243,6 +243,13 @@ def get_lib():
             fn.restype = ctypes.c_int64
             fn.argtypes = [ip_, ip_, ctypes.c_int64, ip_, ip_, ip_]
         f32p_ = ctypes.POINTER(ctypes.c_float)
+        for nm, ip_, vp_ in (("one_point_strongest", i64p, f64p),
+                             ("one_point_strongest_i32", i32p, f64p),
+                             ("one_point_strongest_f32", i64p, f32p_),
+                             ("one_point_strongest_i32f32", i32p, f32p_)):
+            fn = getattr(lib, nm)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ip_, ip_, vp_, ctypes.c_int64, ip_]
         for nm, ip_, vp_ in (("sym_union_fill", i64p, f64p),
                              ("sym_union_fill_i32", i32p, f64p),
                              ("sym_union_fill_f32", i64p, f32p_),
@@ -904,3 +911,33 @@ def symmetrize_pattern_native(S):
     out = sp.csr_matrix((out_data, out_indices, out_indptr), shape=S.shape)
     out.has_sorted_indices = True
     return out
+
+
+def one_point_strongest_native(A):
+    """W: one strongest-|entry| column per row (lowest-column tie-break;
+    reference: src/Grid_Transfer.F90:26).  Returns a sorted unit-valued
+    csr, or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    n_rows = A.shape[0]
+    i32 = (A.indptr.dtype == np.int32 and A.indices.dtype == np.int32)
+    idt = np.int32 if i32 else np.int64
+    ip = ctypes.POINTER(ctypes.c_int32 if i32 else ctypes.c_int64)
+    vdt, vp, f32 = _val_dispatch(A.data)
+    fn = _vfn(lib, "one_point_strongest", i32, f32)
+    indptr = np.ascontiguousarray(A.indptr, dtype=idt)
+    indices = np.ascontiguousarray(A.indices, dtype=idt)
+    data = np.ascontiguousarray(A.data, dtype=vdt)
+    out_cols = np.empty(n_rows, dtype=idt)
+    cnt = fn(_p(indptr, ip), _p(indices, ip), _p(data, vp), n_rows,
+             _p(out_cols, ip))
+    keep = out_cols >= 0
+    out_indptr = np.zeros(n_rows + 1, dtype=idt)
+    np.cumsum(keep, out=out_indptr[1:], dtype=idt)
+    W = sp.csr_matrix((np.ones(int(cnt), dtype=A.data.dtype),
+                       out_cols[keep], out_indptr), shape=A.shape)
+    W.has_sorted_indices = True
+    return W

@@ -1700,3 +1700,56 @@ void sym_union_fill_i32f32(const int32_t* indptr, const int32_t* indices,
 }
 
 }  // extern "C"
+
+// ~~~~~~~~~~~~~~~~ one-point strongest (classical prolongator) ~~~~~~~~~~~~~~~~
+// out_cols[i] = column of the strongest |entry| of row i (FIRST position
+// achieving the row max -- the lowest column, since CSR entries are
+// column-sorted), or -1 for empty rows.  Returns the nonempty-row count.
+// Replaces a numpy np.maximum.at reduction (unbuffered ufunc.at measured
+// ~20 ms per call at 512^2); reference: src/Grid_Transfer.F90:26.
+template <typename I, typename T>
+static int64_t one_point_strongest_t(const I* indptr, const I* indices,
+                                     const T* data, int64_t n_rows,
+                                     I* out_cols) {
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        double best = -1.0;
+        I bc = (I)-1;
+        for (I p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const double v = std::fabs((double)data[p]);
+            if (v > best) { best = v; bc = indices[p]; }
+        }
+        out_cols[i] = bc;
+        if (bc >= 0) ++cnt;
+    }
+    return cnt;
+}
+
+extern "C" {
+
+int64_t one_point_strongest(const int64_t* indptr, const int64_t* indices,
+                            const double* data, int64_t n_rows,
+                            int64_t* out_cols) {
+    return one_point_strongest_t(indptr, indices, data, n_rows, out_cols);
+}
+
+int64_t one_point_strongest_i32(const int32_t* indptr,
+                                const int32_t* indices, const double* data,
+                                int64_t n_rows, int32_t* out_cols) {
+    return one_point_strongest_t(indptr, indices, data, n_rows, out_cols);
+}
+
+int64_t one_point_strongest_f32(const int64_t* indptr,
+                                const int64_t* indices, const float* data,
+                                int64_t n_rows, int64_t* out_cols) {
+    return one_point_strongest_t(indptr, indices, data, n_rows, out_cols);
+}
+
+int64_t one_point_strongest_i32f32(const int32_t* indptr,
+                                   const int32_t* indices,
+                                   const float* data, int64_t n_rows,
+                                   int32_t* out_cols) {
+    return one_point_strongest_t(indptr, indices, data, n_rows, out_cols);
+}
+
+}  // extern "C"

@@ -195,10 +195,15 @@ def one_point_strongest(A_fc) -> sp.csr_matrix:
     (reference: src/Grid_Transfer.F90:26).  Rows with no entries stay empty."""
     A = _canon(A_fc)
     n_rows, n_cols = A.shape
-    rows = row_of_entries(A)
-    absval = np.abs(A.data)
     if A.nnz == 0:
         return sp.csr_matrix(A.shape)
+    from ..native import one_point_strongest_native
+
+    nat = one_point_strongest_native(A)
+    if nat is not None:
+        return nat
+    rows = row_of_entries(A)
+    absval = np.abs(A.data)
     row_max = np.full(n_rows, -1.0)
     np.maximum.at(row_max, rows, absval)
     # First position achieving the row max (deterministic tie-break: the
