@@ -662,6 +662,11 @@ class DeviceResetup:
     def _build_level_plan(self, lvl, dev, opts: AIROptions):
         A, fine, coarse = lvl.A, np.asarray(lvl.fine), np.asarray(lvl.coarse)
         pats = lvl.patterns
+        if getattr(lvl, "coarse_order", None) is not None:
+            raise ValueError(
+                "device re-setup does not support coarse-level "
+                "repartitioning (reorder with an RCM-repartitioned coarse "
+                "level); use the host re-setup path")
         n = lvl.n
         arrs: dict = {}
         # submatrix maps

@@ -41,7 +41,12 @@ def make_op(M_host: sp.csr_matrix, dtype=None):
         return DIA.from_scipy(M_host, dtype=dtype)
     import jax
 
-    if jax.default_backend() == "tpu":
+    # the banded kernel computes in f32/bf16: never substitute it for an
+    # f64 solve (x64 runs also trip Mosaic's int64/f64 conversion limits)
+    want_f64 = (dtype is None and jax.config.jax_enable_x64
+                ) or (dtype is not None
+                      and np.dtype(dtype) == np.float64)
+    if jax.default_backend() == "tpu" and not want_f64:
         from ..sparse.banded import BandedSpMV
 
         if BandedSpMV.viable(M_host):
@@ -124,6 +129,12 @@ def build_fullspace_level(lvl, opts, dtype=None) -> dict:
     n = lvl.n
     fine = np.asarray(lvl.fine)
     coarse = np.asarray(lvl.coarse)
+    # transfer order: the next level may live in a repartitioned (RCM)
+    # coarse order (hierarchy.LevelData.coarse_order) -- the basis change
+    # costs nothing here because the transfer is already a gather/scatter
+    coarse_tx = (np.asarray(lvl.coarse_order)
+                 if getattr(lvl, "coarse_order", None) is not None
+                 else coarse)
     mask_f = np.zeros(n, dtype=np.dtype(dtype) if dtype is not None else np.float64)
     mask_f[fine] = 1.0
 
@@ -138,7 +149,7 @@ def build_fullspace_level(lvl, opts, dtype=None) -> dict:
     d = {
         "mask_f": jnp.asarray(mask_f),
         "fine": jnp.asarray(fine, dtype=jnp.int32),
-        "coarse": jnp.asarray(coarse, dtype=jnp.int32),
+        "coarse": jnp.asarray(coarse_tx, dtype=jnp.int32),
         "A_ff": A_ff_op,
         "A_fc": make_op(A_fc_ext, dtype),
         "inv_Aff": inverse_to_fullspace(lvl.inv_Aff, fine, n, A_ff_op,

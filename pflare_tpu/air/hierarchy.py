@@ -62,6 +62,11 @@ class LevelData:
     # stored patterns for reuse (reference: reuse_amount >= 2 slots)
     patterns: dict = field(default_factory=dict)
     device: dict | None = None
+    # graph-aware coarse repartition (the ParMETIS stand-in): when set,
+    # the NEXT level lives in this permuted coarse order and the transfer
+    # gathers embody the basis change; all level-local operators keep the
+    # natural sorted-coarse convention (see setup_hierarchy)
+    coarse_order: np.ndarray | None = None
 
     def to_device(self, opts: AIROptions, dtype=None):
         if not opts.full_smoothing_up_and_down:
@@ -324,11 +329,41 @@ def setup_hierarchy(A: sp.csr_matrix, opts: AIROptions,
                                qr_reduce=qr_reduce, injected=injected,
                                mesh=mesh)
         levels.append(lvl)
+        # ~~~~~~~~~~ graph-aware coarse-level repartition ~~~~~~~~~~
+        # The ParMETIS stand-in (reference: src/C_PETSc_Routines.c:17-175,
+        # src/Repartition.F90:69-110): when the natural coarse order fails
+        # the neighbour-band check, RCM-band the next level's operator so
+        # its distributed full-space operators compile to neighbour
+        # collectives (docs/tpu.md).  The basis change lives entirely in
+        # the transfer array (``coarse_order``); every level-local object
+        # and stored reuse pattern keeps the sorted-coarse convention, and
+        # on re-setups the stored permutation is reapplied so patterns
+        # stay aligned across setups.
+        perm = None
+        _cr = opts.coarse_repartition
+        if _cr is None:
+            _cr = opts.reorder in ("auto", "rcm")
+        if prev_lvl is not None and "coarse_perm" in prev_lvl.patterns:
+            perm = prev_lvl.patterns["coarse_perm"]
+        elif (_cr and mesh is None
+              and not opts.full_smoothing_up_and_down
+              and isinstance(lvl.patterns.get("coarse_A"), sp.csr_matrix)):
+            from ..parallel.repartition import coarse_repartition_perm
+
+            perm = coarse_repartition_perm(lvl.patterns["coarse_A"])
+        coarse_used = coarse
+        if perm is not None:
+            lvl.coarse_order = np.asarray(lvl.coarse)[perm]
+            lvl.patterns["coarse_perm"] = perm
+            Ap = sp.csr_matrix(lvl.patterns["coarse_A"][perm][:, perm])
+            Ap.sort_indices()
+            lvl.patterns["coarse_A"] = Ap
+            coarse_used = lvl.coarse_order
         # restrict near-nullspace vectors to the coarse grid
         if left_nulls is not None:
-            left_nulls = [v[coarse] for v in left_nulls]
+            left_nulls = [v[coarse_used] for v in left_nulls]
         if right_nulls is not None:
-            right_nulls = [v[coarse] for v in right_nulls]
+            right_nulls = [v[coarse_used] for v in right_nulls]
         A = lvl.patterns["coarse_A"]
         level_idx += 1
 
@@ -398,11 +433,25 @@ def _build_level(A, fine, coarse, opts: AIROptions, prev: LevelData,
         from ..inverse.gmres_poly import coefficients_power_start
 
         with timer("air_inverse"):
+            import jax as _jax
+
             n_s = smooth_mat.shape[0]
             order_c, _ = _clamp_orders(n_s, opts.poly_order,
                                        opts.inverse_sparsity_order)
+            # mirror build_inverse's host path exactly: diagonal scaling
+            # fits the coefficients to D^-1 A, and the matrix dtype is
+            # respected (an f32 end-to-end setup must not upcast the
+            # Krylov basis)
+            _dt = (None if (smooth_mat.data.dtype == np.float64
+                            and not _jax.config.jax_enable_x64)
+                   else smooth_mat.data.dtype)
+            if opts.diag_scale_polys:
+                _d = np.asarray(smooth_mat.diagonal())
+                _mv = (lambda M, d: (lambda v: (M @ v) / d))(smooth_mat, _d)
+            else:
+                _mv = (lambda M: (lambda v: M @ v))(smooth_mat)
             pending_coeffs = coefficients_power_start(
-                (lambda M: (lambda v: M @ v))(smooth_mat), n_s, order_c,
+                _mv, n_s, order_c, dtype=_dt,
                 seed=opts.seed, qr_reduce=qr_reduce, xp=np)
 
     # strong-R dropped copies used only for the grid transfers.  On a

@@ -75,6 +75,8 @@ def build_plan(lvl, A: sp.csr_matrix, AP: sp.csr_matrix, opts) -> None:
     inv_host = lvl.inv_Aff_host
     if inv_host is None:
         return
+    if A.nnz >= 2**31 or AP.nnz >= 2**31:
+        return  # int32 gather positions would wrap; generic reuse path
 
     pf: dict = {}
     pos = _positions_matrix(A)
@@ -108,6 +110,8 @@ def build_plan(lvl, A: sp.csr_matrix, AP: sp.csr_matrix, opts) -> None:
 
     # ~~~ Z product straight onto the stored dropped pattern ~~~
     zd = lvl.patterns["Z_drop"]
+    if zd.nnz >= 2**31:
+        return
     trip = plan_triples32_native(p_cf.indptr, p_cf.indices,
                                  inv_host.indptr, inv_host.indices,
                                  zd.indptr, zd.indices, inv_host.shape[1])

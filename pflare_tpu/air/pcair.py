@@ -16,11 +16,32 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
+from functools import partial
+
 from ..options import AIROptions
 from ..utils.timers import timer
 from .hierarchy import Hierarchy, setup_hierarchy
 from .smooth import vcycle_full, vcycle_kaskade
 from .stats import compute_stats, print_stats
+
+
+@partial(jax.jit,
+         static_argnames=("max_it", "m", "side", "smooth_order", "full"))
+def _gmres_jit_program(E, levels, ci, b, x0, rtol, atol, *, max_it, m,
+                       side, smooth_order, full):
+    """One-program restarted GMRES with the AIR cycle as preconditioner
+    (solvers/jitted.py::gmres_stationary).  Operators are pytree
+    ARGUMENTS, never closure constants (docs/tpu.md)."""
+    from ..solvers.jitted import gmres_stationary
+
+    if not levels:
+        precond = ci.apply
+    elif full:
+        precond = lambda r: vcycle_full(levels, ci, r)
+    else:
+        precond = lambda r: vcycle_kaskade(levels, ci, r, smooth_order)
+    return gmres_stationary(E.matvec, precond, b, x0, rtol, atol,
+                            max_it, m, side)
 
 
 def _cast_inverse_lazy(inv, dtype):
@@ -294,6 +315,7 @@ class PCAIR:
             # pathological fusion, so CPU runs of mf-smoother configs
             # fall back to it; TPU keeps the single jitted program.
             use_jit = False
+        self._cycle_jitted = use_jit
         self._apply_jit = jax.jit(fn) if use_jit else fn
 
     # ~~~~~~~~~~ apply / solve ~~~~~~~~~~
@@ -309,20 +331,33 @@ class PCAIR:
         return self.apply(r)
 
     def solve(self, b, x0=None, ksp="gmres", rtol=1e-5, atol=1e-50,
-              max_it=10000, side="left", restart=30):
+              max_it=10000, side="left", restart=30, eager=None):
+        """Krylov solve with this PC.  The default ``ksp='gmres'`` runs as
+        ONE jitted XLA program (solvers/jitted.py::gmres_stationary) --
+        the whole restarted solve issues <= 3 host syncs instead of one
+        per iteration (~10 ms each on a remote TPU).  ``eager=True`` (or
+        PFLARE_EAGER_KSP=1) forces the step-by-step host driver in
+        solvers/krylov.py, the debug path."""
+        import os
+
         from ..solvers import gmres, richardson, fgmres
 
         if self.hierarchy is None:
             raise RuntimeError("PCAIR not set up")
         E = self._top_operator()
         b = jnp.asarray(b, dtype=self.dtype) if self.dtype else jnp.asarray(b)
+        if eager is None:
+            eager = os.environ.get("PFLARE_EAGER_KSP") == "1"
         if self._perm is not None:
             # solve in the internal (reordered) space with the INTERNAL
             # preconditioner; permute b in and x out
             res = self._solve_internal(E, b, x0, ksp, rtol, atol, max_it,
-                                       side, restart)
+                                       side, restart, eager)
             return res
         if ksp == "gmres":
+            if not eager and getattr(self, "_cycle_jitted", False):
+                return self._solve_gmres_jit(E, b, x0, rtol, atol, max_it,
+                                             side, restart)
             return gmres(E, b, x0=x0, M=self.apply, side=side, rtol=rtol,
                          atol=atol, max_it=max_it, restart=restart)
         if ksp == "fgmres":
@@ -333,8 +368,31 @@ class PCAIR:
                               atol=atol, max_it=max_it)
         raise ValueError(ksp)
 
+    def _solve_gmres_jit(self, E, b, x0, rtol, atol, max_it, side,
+                         restart, internal=False):
+        """Route the default gmres through the one-program jitted solver
+        (<= 3 host syncs; see _gmres_jit_program).  ``b`` (and ``x0``)
+        are already in internal order when ``internal``."""
+        from ..solvers.krylov import SolveResult
+
+        hier = self.hierarchy
+        x0a = (jnp.zeros_like(b) if x0 is None
+               else jnp.asarray(x0, dtype=b.dtype))
+        m = max(1, min(int(restart), int(max_it)))
+        full = self.options.full_smoothing_up_and_down
+        x, tot, hist, done = _gmres_jit_program(
+            E, hier.device_levels, hier.coarse_inv, b, x0a,
+            jnp.asarray(rtol, dtype=b.dtype), jnp.asarray(atol, dtype=b.dtype),
+            max_it=int(max_it), m=m, side=side,
+            smooth_order=self.options.smooth_arg, full=full)
+        tot = int(tot)
+        norms = np.asarray(hist)[: tot + 1]
+        if internal:
+            x = self._from_internal(x)
+        return SolveResult(x, tot, bool(done), list(norms))
+
     def _solve_internal(self, E, b, x0, ksp, rtol, atol, max_it, side,
-                        restart):
+                        restart, eager=False):
         from ..solvers import gmres, richardson, fgmres
 
         bi = self._to_internal(b)
@@ -342,6 +400,10 @@ class PCAIR:
         M = lambda r: self._apply_jit(self.hierarchy.device_levels,
                                       self.hierarchy.coarse_inv, r)
         if ksp == "gmres":
+            if not eager and getattr(self, "_cycle_jitted", False):
+                return self._solve_gmres_jit(E, bi, x0i, rtol, atol,
+                                             max_it, side, restart,
+                                             internal=True)
             res = gmres(E, bi, x0=x0i, M=M, side=side, rtol=rtol,
                         atol=atol, max_it=max_it, restart=restart)
         elif ksp == "fgmres":

@@ -27,6 +27,10 @@ def strength_matrix(A, theta: float, symmetrize: bool = True,
         # PATTERN matters: one native transpose+merge pass when available
         Su = symmetrize_pattern_native(S)
         S = Su if Su is not None else sp.csr_matrix(S + S.T)
+        # unit values BEFORE squaring: the scipy fallback's S + S.T keeps
+        # signed sums whose cancellation-zeros eliminate_zeros() would
+        # prune, diverging the distance-2 pattern from the native path
+        S.data[:] = 1.0
     if square:
         if symmetrize:
             S2 = sp.csr_matrix(S @ S)

@@ -71,6 +71,17 @@ class AIROptions:
     # when it at least halves the bandwidth (structured/banded operators
     # keep their natural order).
     reorder: str = "none"
+    # graph-aware COARSE-level repartition (the ParMETIS stand-in applied
+    # per coarse grid, reference: src/Repartition.F90:69-110 +
+    # src/C_PETSc_Routines.c:17-175): RCM-band a coarse operator whose
+    # natural order fails the neighbour-band check, so its distributed
+    # full-space operators ride the halo-exchange path.  Internal-order
+    # only -- the user-visible (finest) ordering is governed by
+    # ``reorder`` above.  None (default) follows ``reorder``: engaged for
+    # "auto"/"rcm", off for "none" (the permuted coarse order perturbs
+    # the position-seeded CF measures, so default hierarchies stay
+    # bit-identical); True/False force it.
+    coarse_repartition: bool | None = None
 
     strong_threshold: float = 0.5
     ddc_its: int = 1
@@ -166,6 +177,17 @@ class AIROptions:
         return replace(self, **kw)
 
     def __post_init__(self):
+        # accept case-insensitive string names for the enum options, like
+        # the reference's options database (-pc_air_inverse_type power,
+        # reference: src/PCAIR.c:2777)
+        for fld, enum_cls in (("cf_splitting_type", CFSplittingType),
+                              ("z_type", ZType),
+                              ("inverse_type", InverseType),
+                              ("c_inverse_type", InverseType),
+                              ("coarsest_inverse_type", InverseType)):
+            v = getattr(self, fld)
+            if isinstance(v, str):
+                object.__setattr__(self, fld, enum_cls[v.upper()])
         if self.subcomm or self.coarsest_subcomm:
             import warnings
 
@@ -187,3 +209,9 @@ class PFLAREINVOptions:
     matrix_free: bool = False
     diag_scale: bool = False
     seed: int = 17
+
+    def __post_init__(self):
+        # string names accepted like the reference's -pc_pflareinv_type
+        if isinstance(self.inverse_type, str):
+            object.__setattr__(self, "inverse_type",
+                               InverseType[self.inverse_type.upper()])

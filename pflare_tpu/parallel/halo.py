@@ -90,6 +90,49 @@ class HaloELL:
                        jax.device_put(jnp.asarray(lcols), sh),
                        mesh, n, w)
 
+    @staticmethod
+    def from_ell(op, mesh, n_pad: int | None = None) -> "HaloELL":
+        """Lift a device ELL operator onto the banded halo-exchange path
+        WITHOUT a d2h of its values: the band check and the local-window
+        column rewrite run on the host pattern, and the device value
+        array is resharded in place.  ``n_pad`` is the (padded) row space
+        the caller's level uses -- S equal blocks of width n_pad/S.
+        Raises ValueError when the partition is not banded (caller falls
+        back to the GSPMD row-sharded path).  This is how shard_hierarchy
+        gives COARSE levels neighbour-only collectives after the
+        graph-aware repartition (reference: the repartitioned coarse
+        grids of src/Repartition.F90)."""
+        pat = op.pattern
+        n = pat.shape[0]
+        S = mesh.devices.size
+        if n_pad is None:
+            n_pad = S * (-(-n // S))
+        if n_pad % S != 0:
+            raise ValueError("n_pad must divide the mesh")
+        w = n_pad // S
+        if w == 0:
+            raise ValueError("empty shards")
+        row_len = np.diff(pat.indptr)
+        rows = np.repeat(np.arange(n, dtype=np.int64), row_len)
+        sr = rows // w
+        sc = pat.indices // w
+        if pat.nnz and np.any(np.abs(sr - sc) > 1):
+            raise ValueError("matrix is not banded for this partition")
+        K = pat.K
+        # pad slots point at the row's own window start (their data is 0)
+        lcols = np.full((n_pad, K), w, dtype=np.int32)
+        offs = (np.arange(pat.nnz, dtype=np.int64)
+                - np.repeat(pat.indptr[:-1], row_len))
+        ext_base = sr * w - w
+        lcols[rows, offs] = (pat.indices - ext_base).astype(np.int32)
+        data = op.data
+        if data.shape[0] < n_pad:
+            data = jnp.pad(data, ((0, n_pad - data.shape[0]), (0, 0)))
+        sh = row_sharding(mesh)
+        return HaloELL(jax.device_put(data, sh),
+                       jax.device_put(jnp.asarray(lcols), sh),
+                       mesh, n, w)
+
     def matvec(self, x):
         """y = A @ x on padded [S*w] vectors (trace-friendly: call inside
         jit with x sharded P(rows))."""

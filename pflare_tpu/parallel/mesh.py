@@ -259,14 +259,27 @@ def shard_hierarchy(hierarchy, mesh: Mesh, options=None):
         new = {}
         sh = row_sharding(mesh)
         for key, val in lvl.items():
-            if isinstance(val, (ELL, DIA, DELL)):
+            if isinstance(val, ELL):
+                # banded level operators take the explicit neighbour
+                # halo-exchange path (two ppermutes) instead of the
+                # GSPMD gather (which all-gathers x); coarse levels are
+                # RCM-repartitioned at setup exactly so this check passes
+                # (air/hierarchy.py coarse repartition; reference:
+                # src/Repartition.F90)
+                from .halo import HaloELL
+
+                try:
+                    new[key] = HaloELL.from_ell(val, mesh, n_pad)
+                except ValueError:
+                    new[key] = _shard_op(_pad_op_rows_to(val, n_pad), mesh)
+            elif isinstance(val, (DIA, DELL)):
                 new[key] = _shard_op(_pad_op_rows_to(val, n_pad), mesh)
             elif key in ("mask_f", "mask_c"):
                 m = jnp.pad(val, (0, n_pad - val.shape[0]))
                 new[key] = jax.device_put(m, sh)
             elif hasattr(val, "kind"):          # Inverse pytree
                 new[key] = _shard_inverse(
-                    _pad_inverse_rows_to(val, n_pad), mesh)
+                    _pad_inverse_rows_to(val, n_pad), mesh, n_pad=n_pad)
             elif hasattr(val, "dtype"):
                 new[key] = jax.device_put(val, replicated(mesh))
             else:
@@ -276,7 +289,7 @@ def shard_hierarchy(hierarchy, mesh: Mesh, options=None):
     return out_levels, coarse_inv
 
 
-def _shard_inverse(inv, mesh: Mesh):
+def _shard_inverse(inv, mesh: Mesh, n_pad: int | None = None):
     """Row-shard an Inverse's operator/diagonal where divisible."""
     from ..inverse.build import Inverse
     from ..sparse.dia import DIA
@@ -289,7 +302,14 @@ def _shard_inverse(inv, mesh: Mesh):
     elif diag is not None:
         diag = jax.device_put(diag, replicated(mesh))
     mat = inv.mat
-    if isinstance(mat, (ELL, DIA, DELL)):
+    if isinstance(mat, ELL) and n_pad is not None:
+        from .halo import HaloELL
+
+        try:
+            mat = HaloELL.from_ell(mat, mesh, n_pad)
+        except ValueError:
+            mat = _shard_op(mat, mesh)
+    elif isinstance(mat, (ELL, DIA, DELL)):
         mat = _shard_op(mat, mesh)
     coeffs = inv.coefficients
     if coeffs is not None:

@@ -65,6 +65,49 @@ def active_shards_schedule(level_sizes, n_shards: int,
     return schedule
 
 
+def coarse_repartition_perm(A_c: sp.csr_matrix, min_rows: int = 256,
+                            check_shards: int = 8) -> np.ndarray | None:
+    """Graph-aware coarse-level repartition: the ParMETIS stand-in
+    (reference: src/C_PETSc_Routines.c:17-175 partitions each coarse grid
+    onto the surviving ranks; src/Repartition.F90:69-110).
+
+    On a TPU row mesh a partition is communication-minimal exactly when
+    the operator is BANDED for the block width (parallel/halo.py band
+    check): then the halo is two neighbour ppermutes and GSPMD never
+    all-gathers.  So the partition-quality objective collapses to
+    bandwidth reduction, and RCM -- BFS band-growing from a peripheral
+    node -- is the natural partitioner.  Returns a permutation when (a)
+    the natural order FAILS the neighbour-band check for
+    ``check_shards`` equal blocks and (b) RCM at least halves the
+    bandwidth; None otherwise (structured/banded levels keep their
+    order, exactly like the fine-level ``reorder='auto'`` rule)."""
+    A_c = sp.csr_matrix(A_c)
+    n = A_c.shape[0]
+    if n < min_rows or A_c.nnz == 0:
+        return None
+    rows = np.repeat(np.arange(n), np.diff(A_c.indptr))
+    bw_nat = int(np.abs(A_c.indices - rows).max())
+    w = -(-n // check_shards)        # full-mesh equal-block width
+    if bw_nat <= w:
+        return None               # interleaved partition is already banded
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    pat = sp.csr_matrix((np.ones(A_c.nnz), A_c.indices, A_c.indptr),
+                        shape=A_c.shape)
+    pat = sp.csr_matrix(pat + pat.T)
+    perm = np.asarray(reverse_cuthill_mckee(pat, symmetric_mode=True),
+                      dtype=np.int64)
+    ip = np.empty_like(perm)
+    ip[perm] = np.arange(n)
+    bw_rcm = int(np.abs(ip[A_c.indices] - ip[rows]).max())
+    # accept when RCM actually FIXES the full-mesh band check, or at
+    # least halves the bandwidth (so agglomerated widths pass); marginal
+    # gains keep the natural order (deterministic hierarchies)
+    if not (bw_rcm <= w or bw_rcm * 2 <= bw_nat):
+        return None
+    return perm
+
+
 def interleaved_partition(n_rows: int, active: int) -> np.ndarray:
     """Row -> shard map, contiguous blocks over the ``active`` shards
     (the reference's 'simple'/strided repartition,

