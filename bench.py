@@ -105,24 +105,33 @@ from pflare_tpu.sparse import ELL  # noqa: E402
 from pflare_tpu.solvers.jitted import richardson_fixed  # noqa: E402
 
 N_GRID = int(os.environ.get("PFLARE_BENCH_N", "512"))
-# Hierarchy truncation depth + coarse polynomial order: measured frontier
-# on this config (see docs/tpu.md) -- 5 levels + Newton-32 mf coarse solve
-# converges in 8 of the 10 fixed Richardson iterations with a 50x residual
-# margin (robust across RHS seeds) while cutting the deep dense levels
-# whose build dominated setup: 0.63-0.77s vs 0.96s at 6 levels + order 24
-# on the same machine (the reference's own accelerator guidance: truncate
-# and spend a high-order matrix-free polynomial on the coarsest level,
-# docs/gpus.md:34-40).
-MAX_LEVELS = int(os.environ.get("PFLARE_BENCH_LEVELS", "5"))
-COARSE_ORDER = int(os.environ.get("PFLARE_BENCH_COARSE_ORDER", "32"))
+# Hierarchy truncation depth + coarse polynomial order: re-measured
+# 2026-08-21 under the HONEST solve timing (device_sync_read value
+# readback; rounds 3-4 timed dispatch only).  The solve on this backend
+# is PER-OP-LATENCY bound (~10 ms per mid-size op regardless of
+# formulation -- gather, banded Pallas and DIA all floor there below
+# ~1M rows), so the frontier moved: the order-32 coarse chain (33
+# latency-bound matvecs/cycle) dominated the 5-level cycle at 0.70
+# s/cycle; 6 levels + order 24 trims the coarse chain against two extra
+# level smooths, 0.42-0.55 s/cycle (the reference's accelerator
+# guidance -- truncate, spend a high-order mf polynomial on the
+# coarsest level -- still holds, the optimum order is just smaller
+# here, docs/gpus.md:34-40).
+MAX_LEVELS = int(os.environ.get("PFLARE_BENCH_LEVELS", "6"))
+COARSE_ORDER = int(os.environ.get("PFLARE_BENCH_COARSE_ORDER", "24"))
 RTOL = 1e-10 if X64 else 1e-5
 MAX_IT = int(os.environ.get("PFLARE_BENCH_MAXIT", "10"))
 MODE = os.environ.get("PFLARE_BENCH_MODE", "auto")
-# MEASURED anchor: scipy ILU(1e-4)+GMRES at 512^2, rtol 1e-10, best of 6
-# (steady-state window, symmetric with the subject's timing protocol),
-# single core on this machine (tools/measure_baseline.py, 2026-08-20).
-# This is a SINGLE-CORE scipy anchor, not the 64-rank PETSc north-star.
-BASELINE_DOF_PER_S = 442852.0
+# MEASURED per-size anchors: scipy ILU(1e-4)+GMRES, rtol 1e-10, best of
+# 6 (steady-state window, symmetric with the subject's timing protocol),
+# single core on this machine (tools/measure_baseline.py [N]; 512 on
+# 2026-08-20, 2048 on 2026-08-21).  Per-size because the anchor's ILU
+# fill grows super-linearly -- a flat-scaling claim against the 512^2
+# anchor would not be comparable (round-4 ask #10).
+# These are SINGLE-CORE scipy anchors, not the 64-rank PETSc north-star.
+ANCHORS = {512: 442852.0, 2048: 346327.0}
+ANCHOR_SIZE = N_GRID if ANCHORS.get(N_GRID) else 512
+BASELINE_DOF_PER_S = ANCHORS.get(N_GRID) or ANCHORS[512]
 
 
 def _device_probe(host_best: float | None) -> bool:
@@ -286,6 +295,47 @@ def _device_resetup_probe() -> dict | None:
         return None
 
 
+def _extra_size_row() -> dict | None:
+    """The >= 2048^2 row (round-4 asks #1/#4): re-run this bench at
+    N=2048 in a budget-gated subprocess (no nested probes) and return
+    its parsed headline.  Off when this run IS the child or the size is
+    overridden; PFLARE_BENCH_EXTRA=0 disables."""
+    if (os.environ.get("PFLARE_BENCH_EXTRA", "1") != "1"
+            or "PFLARE_BENCH_N" in os.environ or X64):
+        return None
+    budget = int(os.environ.get("PFLARE_BENCH_EXTRA_BUDGET",
+                                str(int(max(0, min(300, _remaining() - 40))))))
+    if budget < 120:
+        print("# 2048^2 row skipped: under 120s of bench budget left",
+              file=sys.stderr)
+        return None
+    import subprocess
+
+    env = dict(os.environ)
+    env.update({
+        "PFLARE_BENCH_N": "2048",
+        "PFLARE_BENCH_EXTRA": "0",
+        "PFLARE_BENCH_REUSE": "0",
+        "PFLARE_BENCH_PARITY_BUDGET": "0",
+        "PFLARE_BENCH_RESETUP_BUDGET": "0",
+        "PFLARE_BENCH_TOTAL_BUDGET": str(budget),
+        # host setups are fewer at this size (6x the rows; the page-fault
+        # decay the 512^2 best-of-6 rides is amortised by size)
+        "PFLARE_BENCH_SETUP_RUNS": "2",
+    })
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           timeout=budget + 30, capture_output=True,
+                           env=env,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        sys.stderr.write(r.stderr.decode()[-600:])
+        line = r.stdout.decode().strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception as e:
+        print(f"# 2048^2 row failed: {e!r}", file=sys.stderr)
+        return None
+
+
 def _x64_parity() -> dict | None:
     """The BASELINE.json metric itself: f64, rtol 1e-10, iterations <= 6
     on the same 512^2 config (reference: tests/Makefile:1117-1140).
@@ -348,7 +398,9 @@ def _time_setup(opts, A, dtype, device: bool):
     # over the first 3-4 runs (measured 1.24s -> 0.58 -> 0.55 -> 0.52 ->
     # plateau ~0.52-0.54 over 9 runs on identical code), so a 4-run
     # window often reports a still-decaying time rather than steady state
-    for _ in range(6 if not device else 2):
+    runs_n = int(os.environ.get("PFLARE_BENCH_SETUP_RUNS",
+                                "6" if not device else "2"))
+    for _ in range(runs_n):
         p = PCAIR(opts, dtype=dtype)
         t0 = time.perf_counter()
         if device:
@@ -464,9 +516,34 @@ def main():
                     t0 = time.perf_counter()
                     pcr.setup(A2, structure="same")
                     t_re = min(t_re, time.perf_counter() - t0)
+                # one more instrumented re-setup: the PUBLISHED
+                # decomposition -- the measured value-streaming floor
+                # (onto-pattern product passes, inverse value assembly,
+                # coefficient re-iteration, entry gathers) vs plan/python
+                # overhead, settling whether the remaining gap to the
+                # reference's 10-20x band is irreducible fresh-value work
+                # (reference: docs/reuse.md:11)
+                from pflare_tpu.utils.timers import (get_timers,
+                                                     reset_timers)
+
+                reset_timers()
+                t0 = time.perf_counter()
+                pcr.setup(A, structure="same")
+                t_dec = time.perf_counter() - t0
+                tm = get_timers()
+                fl = {k: round(v, 4) for k, v in tm.items()
+                      if k.startswith("resetup_")}
+                # air_inverse here = the coarsest-solver re-iteration
+                # (level inverses go through the resetup_* phases)
+                fl["coarse_inverse"] = round(tm.get("air_inverse", 0.0), 4)
+                floor = sum(fl.values())
                 reuse = {"first_setup_s": round(t_first, 3),
                          "resetup_s": round(t_re, 4),
-                         "speedup": round(t_first / max(t_re, 1e-9), 2)}
+                         "speedup": round(t_first / max(t_re, 1e-9), 2),
+                         "floor_s": round(floor, 4),
+                         "floor_ratio": round(floor / max(t_dec, 1e-9), 3),
+                         "decomposed_resetup_s": round(t_dec, 4),
+                         "floor_detail": fl}
             except Exception as e:
                 print(f"# reuse measurement failed: {e!r}",
                       file=sys.stderr)
@@ -515,16 +592,14 @@ def main():
         return richardson_fixed(E_arg.matvec, precond, b, MAX_IT)
 
     # compile + device warmup (excluded like the reference's prelim solve)
+    from pflare_tpu.utils.timers import device_sync_read
+
     xw, _ = solve(E, levels, coarse_inv, b)
-    xw.block_until_ready()
+    device_sync_read(xw)
     t1 = time.perf_counter()
     x_dev, norms_dev = solve(E, levels, coarse_inv, b)
-    x_dev.block_until_ready()
+    device_sync_read(x_dev)   # the ONE honest barrier: a value read-back
     t_solve = time.perf_counter() - t1
-    # NOTE: on remote-tunneled backends a value read-back (d2h) inside the
-    # timed region permanently degrades subsequent dispatches, so the sync
-    # is block_until_ready (exact on locally-attached hardware); the true
-    # residual check below reads values AFTER timing either way
 
     norms = np.asarray(norms_dev)
     rel = norms / norms[0]
@@ -557,6 +632,8 @@ def main():
             "backend": jax.devices()[0].platform,
         },
     }
+    result["detail"]["anchor"] = {"size": ANCHOR_SIZE,
+                                  "dof_per_s": BASELINE_DOF_PER_S}
     # headline FIRST: never lost to a wall-clock kill
     print(json.dumps(result), flush=True)
 
@@ -571,6 +648,18 @@ def main():
             "vs_baseline": round(6.0 / max(parity["iterations"], 1), 3),
             "detail": parity,
         }), flush=True)
+
+    # a LARGER-n row (round-4 asks #1/#4): the same metric at 2048^2 with
+    # its own measured anchor, in a budget-gated subprocess (the scaling
+    # regime where the HBM-roofline fused kernels engage)
+    extra = _extra_size_row()
+    if extra is not None:
+        print(json.dumps(extra), flush=True)
+        result["detail"]["row_2048"] = {
+            "value": extra["value"], "vs_baseline": extra["vs_baseline"],
+            **{k: extra["detail"].get(k) for k in
+               ("setup_s", "solve_s", "setup_mode", "iterations",
+                "converged", "anchor")}}
 
     # the flagship reuse subsystem (reference: docs/reuse.md:11 -- "10-20x
     # faster re-setup"): same-pattern DEVICE numeric re-setup, warm,

@@ -51,7 +51,12 @@ def make_op(M_host: sp.csr_matrix, dtype=None):
 
         if BandedSpMV.viable(M_host):
             return BandedSpMV.from_scipy(M_host, dtype=dtype or jnp.float32)
-    return ELL.from_scipy(M_host, dtype=dtype)
+    # K-transposed gather layout: the plain [n, K] ELL pads its K-minor
+    # dim to 128 lanes on TPU (8-16x device memory and the gather streams
+    # the padding -- an OOM at 2048^2); TELL keeps n on lanes
+    from ..sparse import TELL
+
+    return TELL.from_scipy(M_host, dtype=dtype)
 
 
 def _map_rows(M: sp.csr_matrix, row_map: np.ndarray, n_new: int):

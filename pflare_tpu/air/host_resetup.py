@@ -170,13 +170,20 @@ def rebuild_level(A: sp.csr_matrix, prev, opts):
     from ..inverse.build import Inverse
     from ..native import plan_execute_native, gather_fill_native
 
+    from ..utils.timers import timer
+
     pf = prev.patterns["host_fast"]
     patterns = prev.patterns
     d = A.data
 
-    A_ff = _csr_view(d[pf["pos_ff"]], prev.A_ff)
-    A_fc = _csr_view(d[pf["pos_fc"]], prev.A_fc)
-    A_cf = _csr_view(d[pf["pos_cf"]], pf["cf_struct"])
+    # phase timers ("resetup_*") publish the re-setup decomposition the
+    # bench reports: value-streaming floor (gathers + inverse values +
+    # onto-pattern products) vs everything else (reference band:
+    # docs/reuse.md:11)
+    with timer("resetup_gather"):
+        A_ff = _csr_view(d[pf["pos_ff"]], prev.A_ff)
+        A_fc = _csr_view(d[pf["pos_fc"]], prev.A_fc)
+        A_cf = _csr_view(d[pf["pos_cf"]], pf["cf_struct"])
 
     # ~~~ approximate inverse of A_ff ~~~
     spec = pf["inv"]
@@ -191,46 +198,52 @@ def rebuild_level(A: sp.csr_matrix, prev, opts):
         inv_host.sort_indices()
     else:
         kind, si, sx = spec
-        coeffs = _inverse_coefficients(A_ff, prev, opts, kind)
-        if kind == "newton":
-            from ..native import newton_on_sparsity_native
-            from ..params import tolerances
+        with timer("resetup_coeffs"):
+            coeffs = _inverse_coefficients(A_ff, prev, opts, kind)
+        with timer("resetup_inverse"):
+            if kind == "newton":
+                from ..native import newton_on_sparsity_native
+                from ..params import tolerances
 
-            tol = tolerances(np.float64)
-            data = newton_on_sparsity_native(A_ff, si, sx, coeffs[0],
-                                             coeffs[1], tol.zero)
-            cj = jnp.asarray(np.stack([coeffs[0], coeffs[1]]))
-        else:
-            from ..native import poly_on_sparsity_native
+                tol = tolerances(np.float64)
+                data = newton_on_sparsity_native(A_ff, si, sx, coeffs[0],
+                                                 coeffs[1], tol.zero)
+                cj = jnp.asarray(np.stack([coeffs[0], coeffs[1]]))
+            else:
+                from ..native import poly_on_sparsity_native
 
-            data = poly_on_sparsity_native(A_ff, si, sx, coeffs)
-            cj = jnp.asarray(coeffs)
-        inv_host = sp.csr_matrix((data, sx, si), shape=A_ff.shape)
-        inv_host.has_sorted_indices = True
+                data = poly_on_sparsity_native(A_ff, si, sx, coeffs)
+                cj = jnp.asarray(coeffs)
+            inv_host = sp.csr_matrix((data, sx, si), shape=A_ff.shape)
+            inv_host.has_sorted_indices = True
         inv_Aff = Inverse("assembled", host_csr=inv_host, mat_src=inv_host,
                           coefficients=cj,
                           meta={"type": int(opts.inverse_type)})
 
     # ~~~ Z = -A_cf @ inv(A_ff) directly onto the stored Z_drop pattern ~~~
-    zd_prev = patterns["Z_drop"]
-    za, zb, zc = pf["zplan"]
-    zvals = plan_execute_native(A_cf.data, inv_host.data, za, zb, zc,
-                                zd_prev.nnz, alpha=-1.0)
+    with timer("resetup_products"):
+        zd_prev = patterns["Z_drop"]
+        za, zb, zc = pf["zplan"]
+        zvals = plan_execute_native(A_cf.data, inv_host.data, za, zb, zc,
+                                    zd_prev.nnz, alpha=-1.0)
     Z_drop = _csr_view(zvals, zd_prev)
     patterns["Z_drop"] = Z_drop
 
     # ~~~ R = [Z I]; P unchanged (one-point W values are all 1.0) ~~~
-    rvals = gather_fill_native(zvals, pf["rperm"], 1.0)
+    with timer("resetup_gather"):
+        rvals = gather_fill_native(zvals, pf["rperm"], 1.0)
     R = _csr_view(rvals, prev.R)
     P = prev.P
 
     # ~~~ coarse matrix: AP then RAP onto the stored dropped pattern ~~~
-    apos, cpos = pf["applan"]
-    ap_vals = plan_execute_native(d, None, apos, None, cpos, pf["ap_nnz"])
-    ra, rb, rc = pf["rapplan"]
-    rapd_prev = patterns["RAP_drop"]
-    coarse_vals = plan_execute_native(rvals, ap_vals, ra, rb, rc,
-                                      rapd_prev.nnz)
+    with timer("resetup_products"):
+        apos, cpos = pf["applan"]
+        ap_vals = plan_execute_native(d, None, apos, None, cpos,
+                                      pf["ap_nnz"])
+        ra, rb, rc = pf["rapplan"]
+        rapd_prev = patterns["RAP_drop"]
+        coarse_vals = plan_execute_native(rvals, ap_vals, ra, rb, rc,
+                                          rapd_prev.nnz)
     coarse_A = _csr_view(coarse_vals, rapd_prev)
     patterns["RAP_drop"] = coarse_A
     patterns["coarse_A"] = coarse_A

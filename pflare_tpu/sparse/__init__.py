@@ -1,5 +1,5 @@
 from .pattern import SparsityPattern
-from .ell import ELL, spmv
+from .ell import ELL, TELL, spmv
 from .dia import DIA
 from .ops import (
     remove_small_from_sparse,
@@ -17,6 +17,7 @@ from .banded import BandedSpMV
 __all__ = [
     "SparsityPattern",
     "ELL",
+    "TELL",
     "DIA",
     "spmv",
     "remove_small_from_sparse",

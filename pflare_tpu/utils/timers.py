@@ -57,3 +57,23 @@ def print_timers():
     for name, label in LABELS.items():
         if name in _TIMERS:
             print(f" {label} : {_TIMERS[name]:.6f}")
+
+
+def device_sync_read(x) -> float:
+    """The ONE honest timing barrier: a VALUE read-back of a scalar
+    reduction of ``x``.  On remote-attached TPU backends
+    ``block_until_ready`` returns before execution completes (measured in
+    docs/tpu.md), so every published ms figure goes through this helper
+    -- dispatch-to-value-read -- instead.  Returns the f32 sum so callers
+    can also sanity-check for NaN."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    leaves = [x] if hasattr(x, "dtype") else [
+        v for v in jax.tree_util.tree_leaves(x) if hasattr(v, "dtype")]
+    acc = None
+    for v in leaves:
+        s = jnp.sum(v.astype(jnp.float32))
+        acc = s if acc is None else acc + s
+    return float(np.asarray(acc))

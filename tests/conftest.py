@@ -32,6 +32,12 @@ def pytest_configure(config):
         "smoke: fast correctness tier (<5 min), run with -m smoke; the "
         "analogue of the reference's `make check` "
         "(reference: tests/Makefile:1316-1348)")
+    config.addinivalue_line(
+        "markers",
+        "device: the device-path tier (~5 min): the top device_setup/"
+        "device_resetup oracles + the 120^2 device scaling study, run "
+        "with -m device so the 1,600+1,600 LoC device modules are "
+        "verifiably green every round without the full nightly tier")
 
 
 # The smoke tier: whole fast modules plus one representative end-to-end
@@ -77,12 +83,37 @@ _DEVICE_KEEP = {
 }
 
 
+# The device tier (-m device): the top ~20 device-path oracles at their
+# reduced grids plus the 120^2 scaling study -- every primitive family
+# (SpGEMM/drop/lump, extraction, fixed-sparsity poly + Newton, LAIR Z,
+# PMIS variants, CR, truncation, DIA split, sharded setup, one-program
+# re-setup) has a green representative each round.
+_DEVICE_TIER = {
+    # device first setup
+    "test_matvec", "test_spgemm_plain", "test_spgemm_drop_lump_matches_native",
+    "test_extract", "test_poly_matches_host", "test_newton_matches_host",
+    "test_transpose_pattern", "test_solve_quality_matches_host",
+    "test_assembled_arnoldi_levels", "test_device_vs_host_coarsening_stats",
+    "test_pmis_variants", "test_auto_truncation", "test_cr_splitting",
+    "test_lair_variants_match_host", "test_lair_z_values_match_host",
+    "test_device_setup_scaling_120", "test_dia_split_matches_general",
+    "test_sharded_device_setup_parity",
+    # one-program device re-setup
+    "test_device_resetup_matches_host_values",
+    "test_device_resetup_repeated_installs",
+    "test_device_resetup_validation",
+    "test_device_resetup_rejects_wrong_pattern",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__
         base = item.name.split("[")[0]
         if mod in _SMOKE_MODULES or base in _SMOKE_TESTS:
             item.add_marker(pytest.mark.smoke)
+        if base in _DEVICE_TIER:
+            item.add_marker(pytest.mark.device)
         if (mod in _DEVICE_HEAVY_MODULES and base not in _DEVICE_KEEP
                 and base not in _SMOKE_TESTS):
             item.add_marker(pytest.mark.slow)

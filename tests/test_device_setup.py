@@ -348,6 +348,23 @@ class TestDeviceHierarchy:
             Z_host.eliminate_zeros()
             assert abs(Z_dev - Z_host).max() < 1e-8, incomplete
 
+    def test_device_setup_scaling_120(self):
+        """The device-tier scaling oracle (round-4 ask #5): the same
+        reference regime as the 200^2 study below at a grid sized so the
+        cold-cache compile pass fits the ~5-minute device tier."""
+        A = adv_diff_2d(120)
+        pc = PCAIR(AIROptions(a_lump=True, a_drop=1e-5,
+                              strong_threshold=0.99, max_levels=5,
+                              coarsest_inverse_type=InverseType.NEWTON,
+                              coarsest_poly_order=40,
+                              coarsest_matrix_free_polys=True))
+        pc.setup_device(A, dtype=jnp.float64)
+        assert not hasattr(pc.hierarchy.levels[0], "A")   # device-built
+        b = jnp.asarray(
+            np.random.default_rng(9).standard_normal(A.shape[0]))
+        res = pc.solve(b, rtol=1e-10, max_it=6, side="right")
+        assert res.converged, res.iterations
+
     @pytest.mark.slow
     def test_device_setup_scaling_200(self):
         """Scaling-study oracle for the DEVICE first setup at 200^2

@@ -222,22 +222,27 @@ def test_dia_fused_matvec_matches(monkeypatch):
     monkeypatch.setattr(dia_mod, "_FUSED_MIN_ROWS", 4096)
     monkeypatch.setenv("PFLARE_DIA_FUSED", "force")
     rng = np.random.default_rng(0)
-    n = 8192
-    offs = [-64, -1, 0, 1, 64]
-    A = sp.diags([rng.random(n - abs(o)) + 0.1 for o in offs], offs,
-                 format="csr")
-    D = dia_mod.DIA.from_scipy(A, dtype=np.float32)
-    assert D._tr is not None and D.data.shape[1] % (8 * D._tr) == 0
-    x = rng.random(n).astype(np.float32)
-    y = np.asarray(D.matvec(jnp.asarray(x)))
-    y_ref = (A @ x).astype(np.float32)
-    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
-    assert rel < 1e-6, rel
-    # XLA fallback on the padded container matches too
-    monkeypatch.setenv("PFLARE_DIA_FUSED", "0")
-    y2 = np.asarray(D.matvec(jnp.asarray(x)))
-    assert np.linalg.norm(y2 - y_ref) / np.linalg.norm(y_ref) < 1e-6
-    # round trip keeps only the real rows
-    assert abs(D.to_scipy() - sp.csr_matrix(A, dtype=np.float32)).max() \
-        < 1e-7
-    assert D.nnz == A.nnz
+    # n=8192 divides by an offset-covering TR -> ALIGNED (pad-free)
+    # variant; n=4224 has no suitable divisor -> padded variant
+    for n, want_aligned in ((8192, True), (4224, False)):
+        offs = [-64, -1, 0, 1, 64]
+        A = sp.diags([rng.random(n - abs(o)) + 0.1 for o in offs], offs,
+                     format="csr")
+        monkeypatch.setenv("PFLARE_DIA_FUSED", "force")
+        D = dia_mod.DIA.from_scipy(A, dtype=np.float32)
+        tr, sub, aligned = D._tr
+        assert aligned == want_aligned, (n, D._tr)
+        assert D.data.shape[1] % (tr * sub) == 0
+        x = rng.random(n).astype(np.float32)
+        y = np.asarray(D.matvec(jnp.asarray(x)))
+        y_ref = (A @ x).astype(np.float32)
+        rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-6, (n, rel)
+        # XLA fallback on the padded container matches too
+        monkeypatch.setenv("PFLARE_DIA_FUSED", "0")
+        y2 = np.asarray(D.matvec(jnp.asarray(x)))
+        assert np.linalg.norm(y2 - y_ref) / np.linalg.norm(y_ref) < 1e-6
+        # round trip keeps only the real rows
+        assert abs(D.to_scipy()
+                   - sp.csr_matrix(A, dtype=np.float32)).max() < 1e-7
+        assert D.nnz == A.nnz
